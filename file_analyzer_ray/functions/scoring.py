@@ -1,0 +1,113 @@
+"""Deterministic mock-VLM scoring (content-hash seeded).
+
+Replaces the reference's FastVLM subprocess adapter chain
+(src/models/fastvlm/adapter.py:101-546, mock adapter
+src/models/mock_adapter.py:31-305) with a pure function: the "model
+output" is a deterministic template chosen by the document's content
+hash — including deliberately malformed / truncated / plain-text outputs
+at the reference-observed failure rates — and is then pushed through the
+real extract→validate→repair→fallback chain
+(:mod:`file_analyzer_ray.functions.json_extract`), so the parsing code
+paths are exercised for real. Seeding from content (not wall clock /
+``random``) follows the reference's own deterministic sample-cache
+pattern (src/cli/benchmark/samples.py:131-200) and the determinism
+requirement in SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import json
+
+from .json_extract import process_model_output
+from .tags import clean_tags, suggest_filename
+
+MODES = ["describe", "detect", "document"]
+
+CATEGORIES = [
+    "landscape",
+    "portrait",
+    "diagram",
+    "screenshot",
+    "document scan",
+    "chart",
+    "logo",
+    "map",
+]
+
+_OBJECT_BANK = ["duck", "car", "tree", "house", "sign", "book", "phone", "cat"]
+
+
+def _mode_and_style(h: int) -> tuple[str, int]:
+    return MODES[h % 3], (h // 3) % 100
+
+
+def raw_model_output(content_hash: str, words: list[str]) -> tuple[str, str]:
+    """(mode, raw_text): the deterministic 'model' emission for a doc.
+
+    Style buckets (per 100): <80 valid JSON, <90 malformed truncated JSON
+    with a repeated tag run (the 512-token failure mode from reference
+    tests/test_fastvlm_json_parsing.py:30-32), <97 JSON embedded in
+    chatter, else plain text (no JSON at all).
+    """
+    h = int(content_hash[:12], 16)
+    mode, style = _mode_and_style(h)
+    cat = CATEGORIES[h % len(CATEGORIES)]
+    obj = _OBJECT_BANK[(h >> 4) % len(_OBJECT_BANK)]
+    toks = [w for w in words[:4] if w] or ["scene"]
+    desc = f"A {cat} showing a {obj} with {' and '.join(toks[:2])}"
+    tags = ["image", cat.split()[0], obj, *toks[:3]]
+    if mode == "describe":
+        payload = {"description": desc, "tags": tags}
+    elif mode == "detect":
+        payload = {
+            "description": desc,
+            "objects": [
+                {"name": obj, "location": "center", "confidence": 0.9},
+                {"name": toks[0], "location": "left", "confidence": 0.7},
+            ],
+        }
+    else:
+        payload = {"text": " ".join(words[:16]) or desc, "document_type": cat}
+    valid = json.dumps(payload)
+    if style < 80:
+        return mode, valid
+    if style < 90:
+        # Truncated mid-array with a repeated tag run.
+        rep = ", ".join([f'"{obj}"'] * 12)
+        broken = (
+            '{"description": ' + json.dumps(desc) + ', "tags": [' + rep + ', "' + cat[:4]
+        )
+        if mode == "detect":
+            broken = (
+                '{"description": ' + json.dumps(desc) + ', "objects": [{"name": "'
+                + obj + '", "location": "center"}, {"name": "' + obj
+            )
+        if mode == "document":
+            broken = (
+                '{"text": ' + json.dumps(" ".join(words[:8]) or desc)
+                + ', "document_type": "' + cat
+            )
+        return mode, broken
+    if style < 97:
+        return mode, f"Sure! Here is the JSON you asked for:\n{valid}\nHope this helps."
+    return mode, f"# Analysis\nThis {cat} appears to show a {obj}. No JSON available."
+
+
+def score_doc(content_hash: str, words: list[str]) -> dict:
+    """Full scorer result for one document: run the deterministic model
+    emission through the robust parsing chain, clean tags, derive the
+    recommended filename (reference flow §3.1 steps 4-7, fused into one
+    pass instead of a second model call)."""
+    mode, raw = raw_model_output(content_hash, words)
+    result = process_model_output(raw, mode)
+    description = str(result.get("description") or result.get("text") or "")
+    tags = clean_tags(result.get("tags") or [])
+    filename = suggest_filename(None, description, "")
+    return {
+        "mode": mode,
+        "description": description,
+        "tags": tags,
+        "recommended_filename": filename,
+        "model_status": "extracted" if result.get("extracted") else "fallback",
+        "attempts": int(result.get("attempts", 1)),
+    }

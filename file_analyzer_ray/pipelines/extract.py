@@ -1,0 +1,119 @@
+"""Flagship extraction pipeline — the Ray-Data-native re-expression of
+``fa analyze all <dir>`` (reference src/cli/analyze/main.py:124-231,
+traced in SURVEY.md §3.2).
+
+Shape (one streaming plan, no disk IR between stages, no full
+materialization):
+
+    read_parquet(docs)
+      → map_batches(ExtractStage, concurrency=N)      # actor pool:
+            normalize+sniff+meta+OCR+carve+match fused, automata in
+            __init__, bounded-window scan for pathological payloads
+      → map_batches(ScorerStage, concurrency=M)       # actor pool:
+            deterministic mock-VLM + JSON parse/repair chain
+      → write_partitioned(...)                        # atomic per-
+            partition parquet + lineage manifests (resume)
+
+The seven sequential per-file analyses + per-call subprocess reloads of
+the reference collapse into two actor-pool batch stages; dedup is the
+single shuffle and runs on the narrow (doc_id, content_hash) projection
+(see stages/dedup.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray
+import ray.data
+
+from ..corpus import generate_parquet
+from ..stages.extract import ExtractStage
+from ..stages.scorer import ScorerStage
+
+_CORPUS_CACHE_ROOT = "/tmp/fa_ray_corpus"
+
+
+def corpus_path(n_docs: int) -> str:
+    """Deterministic on-disk corpus cache (generated once per size)."""
+    path = os.path.join(_CORPUS_CACHE_ROOT, f"v1_{n_docs}")
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        tmp = path + ".building"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        generate_parquet(n_docs, tmp)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def _default_concurrency() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus - 2)  # leave headroom for read/write stages
+
+
+def extract_pipeline(
+    source: "str | ray.data.Dataset",
+    *,
+    score: bool = True,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Lazy Dataset of extracted (+ scored) documents."""
+    ds = ray.data.read_parquet(source) if isinstance(source, str) else source
+    n = concurrency or _default_concurrency()
+    # Extraction is the heavy stage: give it most of the pool. Scoring is
+    # lighter per row; a smaller pool keeps total reservations ≤ CPUs so
+    # neither stage starves the other or the read.
+    n_extract = max(2, (n * 2) // 3) if score else n
+    n_score = max(1, n - n_extract)
+    ds = ds.map_batches(
+        ExtractStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=n_extract,
+        num_cpus=1,
+    )
+    if score:
+        ds = ds.map_batches(
+            ScorerStage,
+            batch_format="pyarrow",
+            batch_size=max(128, batch_size * 4),
+            concurrency=n_score,
+            num_cpus=1,
+        )
+    return ds
+
+
+def run_flagship(
+    n_docs: int,
+    out_dir: str | None = None,
+    *,
+    score: bool = True,
+    concurrency: int | None = None,
+    num_partitions: int = 32,
+) -> dict:
+    """Generate-or-reuse the deterministic corpus, run the flagship plan,
+    write resumable partitioned output. Returns run metrics."""
+    from ..state.lineage import write_partitioned
+
+    src = corpus_path(n_docs)
+    ds = extract_pipeline(src, score=score, concurrency=concurrency)
+    if out_dir is None:
+        rows = ds.count()
+        return {"n_docs": n_docs, "rows": rows, "out_dir": None}
+    manifests = write_partitioned(
+        ds, out_dir, num_partitions=num_partitions, run_meta={"n_docs": n_docs}
+    )
+    return {
+        "n_docs": n_docs,
+        "rows": sum(m["row_count"] for m in manifests),
+        "span_count": sum(m["span_count"] for m in manifests),
+        "partitions": len(manifests),
+        "out_dir": out_dir,
+    }

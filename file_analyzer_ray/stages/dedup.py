@@ -1,0 +1,133 @@
+"""Dedup operators over extracted documents.
+
+- :func:`exact_dedup_clusters` — rdfind analog (reference
+  src/core/analyzer.py:315-364): the content hash IS the shuffle key;
+  only the narrow ``(doc_id, content_hash)`` projection moves through
+  the groupby, never payload bytes (SURVEY.md §4 "shuffle only narrow
+  columns").
+- :func:`phash_near_dup_pairs` — perceptual-hash near-dup (analog of
+  reference pixel/phash/SSIM validators, src/cli/validate/main.py:275-418)
+  via LSH banding: 64-bit robust payload hash → 4×16-bit bands →
+  ``groupby(band)`` → within-bucket Hamming verify. Two docs within
+  Hamming distance 3 are guaranteed to share a band; the verify
+  threshold is configurable.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from ..corpus import parse_frames
+from ..functions.hashing import hamming64, phash64, phash_bands
+
+CLUSTER_SCHEMA = pa.schema(
+    [
+        ("content_hash", pa.string()),
+        ("canonical_doc_id", pa.string()),
+        ("cluster_size", pa.int64()),
+        ("member_ids", pa.list_(pa.string())),
+    ]
+)
+
+
+def _cluster_group(group: pa.Table) -> pa.Table:
+    ids = sorted(group.column("doc_id").to_pylist())
+    h = group.column("content_hash")[0].as_py()
+    return pa.Table.from_pylist(
+        [
+            {
+                "content_hash": h,
+                "canonical_doc_id": ids[0],
+                "cluster_size": len(ids),
+                "member_ids": ids,
+            }
+        ],
+        schema=CLUSTER_SCHEMA,
+    )
+
+
+def exact_dedup_clusters(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, content_hash, …) → one row per content-hash cluster."""
+    narrow = extracted.select_columns(["doc_id", "content_hash"])
+    return narrow.groupby("content_hash").map_groups(
+        _cluster_group, batch_format="pyarrow"
+    )
+
+
+def add_phash(batch: pa.Table) -> pa.Table:
+    """doc-level perceptual hash over concatenated payload bodies
+    (stateless map_batches stage)."""
+    bins = batch.column("binary").to_pylist()
+    hashes = []
+    for b in bins:
+        bodies = parse_frames(b or b"")
+        hashes.append(phash64(b"".join(bodies)) if bodies else 0)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(hashes, pa.uint64())],
+        names=["doc_id", "phash"],
+    )
+
+
+def _explode_bands(batch: pa.Table, n_bands: int = 4, band_bits: int = 16) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    hashes = batch.column("phash").to_pylist()
+    rows = []
+    for d, h in zip(doc_ids, hashes):
+        if not h:
+            continue  # docs with no payload can't be payload-near-dups
+        for bi, bv in enumerate(phash_bands(h, n_bands, band_bits)):
+            rows.append({"band": bi * (1 << band_bits) + bv, "doc_id": d, "phash": h})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("band", pa.int64()), ("doc_id", pa.string()), ("phash", pa.uint64())]
+        ),
+    )
+
+
+_PAIR_SCHEMA = pa.schema(
+    [
+        ("doc_id_a", pa.string()),
+        ("doc_id_b", pa.string()),
+        ("hamming", pa.int32()),
+    ]
+)
+
+
+def _bucket_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
+    items = sorted(
+        zip(group.column("doc_id").to_pylist(), group.column("phash").to_pylist())
+    )
+    rows = []
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            d = hamming64(items[i][1], items[j][1])
+            if d <= max_hamming:
+                rows.append(
+                    {"doc_id_a": items[i][0], "doc_id_b": items[j][0], "hamming": d}
+                )
+    return pa.Table.from_pylist(rows, schema=_PAIR_SCHEMA)
+
+
+def _dedup_pairs(group: pa.Table) -> pa.Table:
+    return group.slice(0, 1)
+
+
+def phash_near_dup_pairs(
+    docs: "ray.data.Dataset", max_hamming: int = 6
+) -> "ray.data.Dataset":
+    """docs(doc_id, binary, …) → (doc_id_a, doc_id_b, hamming) pairs.
+
+    Stages: phash (stateless) → band explode (flat) → groupby(band)
+    candidate pairs → groupby(pair) dedup across bands.
+    """
+    hashed = docs.map_batches(add_phash, batch_format="pyarrow")
+    bands = hashed.map_batches(_explode_bands, batch_format="pyarrow")
+    pairs = bands.groupby("band").map_groups(
+        lambda g: _bucket_pairs(g, max_hamming), batch_format="pyarrow"
+    )
+    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
+        _dedup_pairs, batch_format="pyarrow"
+    )

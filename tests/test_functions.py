@@ -1,0 +1,210 @@
+"""Unit tests for the pure function layer — mirrors the reference's unit
+coverage (tests/test_json_utils.py, tests/test_filename_generation.py,
+golden parsing fixtures of tests/test_fastvlm_json_parsing.py; see
+FIXTURES.md F3/F4)."""
+
+from __future__ import annotations
+
+import json
+
+from file_analyzer_ray.functions.hashing import (
+    MinHasher,
+    hamming64,
+    jaccard,
+    phash64,
+    phash_bands,
+    simhash64,
+)
+from file_analyzer_ray.functions.json_extract import (
+    extract_json_from_text,
+    fallback_response,
+    process_model_output,
+    repair_json,
+    validate_json_structure,
+)
+from file_analyzer_ray.functions.paths import get_path, matches_patterns, sanitize_name
+from file_analyzer_ray.functions.tags import clean_tags, filename_from_description
+from file_analyzer_ray.functions.text import (
+    bpe_token_count,
+    char_shingles,
+    detect_language,
+    normalize_ws,
+    quality_metrics,
+    token_count,
+)
+
+
+# --- F3: model-output parsing fixtures --------------------------------
+class TestJsonExtraction:
+    def test_valid_json_parses_directly(self):
+        raw = '{"description": "A red car", "tags": ["car", "red"]}'
+        assert extract_json_from_text(raw) == {
+            "description": "A red car",
+            "tags": ["car", "red"],
+        }
+
+    def test_embedded_json_found_by_balanced_scan(self):
+        raw = 'Sure! Here you go:\n{"description": "A duck", "tags": ["duck"]}\nBye.'
+        assert extract_json_from_text(raw)["description"] == "A duck"
+
+    def test_nested_braces_inside_strings(self):
+        raw = 'x {"description": "curly } brace { inside", "tags": ["t1"]} y'
+        assert extract_json_from_text(raw)["tags"] == ["t1"]
+
+    def test_prefers_object_with_vision_fields(self):
+        raw = '{"foo": 1} and {"description": "d", "tags": []} and {"bar": 2}'
+        assert "description" in extract_json_from_text(raw)
+
+    def test_plain_text_returns_none(self):
+        assert extract_json_from_text("# Analysis\nJust prose, no JSON here.") is None
+
+    def test_empty_and_none(self):
+        assert extract_json_from_text("") is None
+        assert extract_json_from_text(None) is None
+
+    def test_malformed_truncated_repairs(self):
+        # The 512-token repetition-truncation failure mode (reference
+        # golden: tests/test_fastvlm_json_parsing.py:30-32,69-93).
+        raw = '{"description": "A shark", "tags": [' + ", ".join(['"shark"'] * 50) + ', "sha'
+        assert extract_json_from_text(raw) is None  # not parseable as-is
+        repaired = repair_json(raw)
+        assert repaired is not None and repaired["description"] == "A shark"
+        out = process_model_output(raw, "describe")
+        assert out["extracted"] is True
+        assert out["attempts"] == 2
+        assert out["tags"].count("shark") == 1  # repeats collapsed
+
+    def test_fallback_on_plain_text(self):
+        out = process_model_output("no json at all", "describe")
+        assert out["extracted"] is False
+        assert out["metadata"]["json_parsing_failed"] is True
+        assert fallback_response("  x ")["text"] == "x"
+
+    def test_validate_by_mode(self):
+        assert validate_json_structure({"description": "d", "tags": []}, "describe")
+        assert not validate_json_structure({"description": "d"}, "describe")
+        assert validate_json_structure({"objects": [], "description": "d"}, "detect")
+        assert validate_json_structure({"text": "t", "document_type": "x"}, "document")
+        assert not validate_json_structure("notadict", "describe")
+        assert not validate_json_structure({}, "describe")
+
+
+# --- F4: tag / filename fixtures --------------------------------------
+class TestTagsAndFilenames:
+    def test_clean_tags_reference_fixture(self):
+        tags = ["image", "photo", "shooting", "sh", "duck", "Duck", "DUCK", "wizard", "wizard"]
+        assert clean_tags(tags) == ["duck", "wizard"]
+
+    def test_top10_and_order(self):
+        tags = [f"tag{i:02d}" for i in range(15)] + ["tag03"] * 3
+        out = clean_tags(tags)
+        assert len(out) == 10
+        assert out[0] == "tag03"  # frequency first
+        assert out[1:] == sorted(out[1:])  # then alpha
+
+    def test_filename_letter_number_icon(self):
+        assert filename_from_description("The letter T in red font", ".png") == "letter-t.png"
+        assert filename_from_description("The number 5 written in blue", ".png") == "number-5.png"
+        assert "star" in filename_from_description("An icon of a star", ".png")
+
+    def test_filename_key_objects_and_fallbacks(self):
+        assert filename_from_description("a duck next to a car", ".jpg") == "duck-car.jpg"
+        assert filename_from_description("", ".jpg") == "unknown-content.jpg"
+        assert filename_from_description("   ☃   ", ".jpg") == "unknown-content.jpg"
+        long = "word " * 500
+        assert filename_from_description(long, ".jpg").endswith(".jpg")
+
+
+# --- text analysis -----------------------------------------------------
+class TestText:
+    def test_tokens_and_normalize(self):
+        assert token_count("a b  c, d.") == 4
+        assert normalize_ws("  a \n b\t c ") == "a b c"
+        assert bpe_token_count("hello world's fine") >= 4
+
+    def test_langid(self):
+        assert detect_language("the cat and the dog are in the house") == "en"
+        assert detect_language("der Hund und die Katze sind nicht da") == "de"
+        assert detect_language("1234 9876") == "und"
+        assert detect_language("") == "und"
+
+    def test_quality_metrics(self):
+        m = quality_metrics("The cat, 42!")
+        assert m["n_chars"] == 12.0
+        assert 0 < m["alpha_ratio"] < 1
+        assert m["digit_ratio"] > 0
+        assert quality_metrics("")["n_tokens"] == 0.0
+
+    def test_shingles(self):
+        assert char_shingles("abc def", 5) == ["abc d", "bc de", "c def"]
+        assert char_shingles("ab", 5) == ["ab"]
+        assert char_shingles("", 5) == []
+
+
+# --- hashing / sketches ------------------------------------------------
+class TestHashing:
+    def test_phash_robust_to_small_perturbation(self):
+        import numpy as np
+
+        rng = np.random.default_rng(1)
+        payload = bytearray(rng.integers(0, 256, 2000, dtype=np.uint8).tobytes())
+        h1 = phash64(bytes(payload))
+        payload[-1] = (payload[-1] + 1) % 256
+        payload[-2] = (payload[-2] + 1) % 256
+        h2 = phash64(bytes(payload))
+        assert hamming64(h1, h2) <= 3
+        rng2 = np.random.default_rng(2)
+        other = rng2.integers(0, 256, 2000, dtype=np.uint8).tobytes()
+        assert hamming64(h1, phash64(other)) > 10
+
+    def test_phash_bands_guarantee(self):
+        h1 = phash64(b"x" * 100 + bytes(range(200)))
+        h2 = h1 ^ 0b101  # hamming 2 < n_bands-1? (4 bands → ≤3 guaranteed)
+        assert set(phash_bands(h1)) & set(phash_bands(h2)) or any(
+            a == b for a, b in zip(phash_bands(h1), phash_bands(h2))
+        )
+
+    def test_simhash_similarity(self):
+        a = "the quick brown fox jumps over the lazy dog".split()
+        b = "the quick brown fox jumps over the lazy cat".split()
+        c = "completely different words entirely unrelated stuff".split()
+        assert hamming64(simhash64(a), simhash64(b)) < hamming64(simhash64(a), simhash64(c))
+        assert simhash64([]) == 0
+
+    def test_minhash_estimates_jaccard(self):
+        mh = MinHasher(num_perm=128)
+        a = set(char_shingles("the quick brown fox jumps over the lazy dog", 4))
+        b = set(char_shingles("the quick brown fox jumps over the lazy cat", 4))
+        sa, sb = mh.signature(list(a)), mh.signature(list(b))
+        est = (sa == sb).mean()
+        true = jaccard(a, b)
+        assert abs(est - true) < 0.2
+        assert (mh.signature(list(a)) == sa).all()  # deterministic
+
+
+# --- path helpers ------------------------------------------------------
+class TestPaths:
+    def test_get_path(self):
+        d = {"a": {"b": [{"c": 7}]}}
+        assert get_path(d, "a.b.0.c") == 7
+        assert get_path(d, "a.x", "dflt") == "dflt"
+        assert get_path(d, "a.b.9.c", None) is None
+
+    def test_patterns(self):
+        assert matches_patterns("x.jpg", ["*.jpg"], ["tmp*"])
+        assert not matches_patterns("x.png", ["*.jpg"], [])
+        assert not matches_patterns("tmp1.jpg", ["*.jpg"], ["tmp*"])
+        assert matches_patterns("anything", [], [])
+
+    def test_sanitize(self):
+        assert sanitize_name('a/b\\c:d*e?f"g<h>i|j') == "a_b_c_d_e_f_g_h_i_j"
+
+
+def test_score_doc_deterministic():
+    from file_analyzer_ray.functions.scoring import score_doc
+
+    r1 = score_doc("ab12cd34ef56", ["amber", "basalt"])
+    r2 = score_doc("ab12cd34ef56", ["amber", "basalt"])
+    assert r1 == r2
+    assert r1["mode"] in ("describe", "detect", "document")
+    assert json.dumps(r1)  # serializable
