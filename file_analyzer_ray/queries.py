@@ -1,11 +1,961 @@
-"""Driver-facing query registry (stub — populated operator by operator).
+"""Driver-facing query registry: one entry per implemented operator
+family from SURVEY.md §2, each exercised over the driver's parquet
+tables (TESTDATA.md) with a DuckDB-equivalent oracle where SQL can
+express the semantics.
 
-Each entry: name → callable(sf_dir) returning a Dataset / DataFrame /
-Arrow table; ORACLE_SQL holds the DuckDB-equivalent SQL for the
-SQL-expressible subset (same column names, rounded floats).
+Cross-engine float discipline (so the driver's value-hash matches):
+
+- per-row arithmetic on identical inputs (ratios, products) is left
+  UNROUNDED — both engines produce bit-identical doubles;
+- sums over 2-decimal money columns go through an integer-cents cast
+  (``CAST(round(x*100) AS BIGINT)``) so the aggregate is exact and
+  order-independent, then divide by 100.0 at the end (identical double
+  both sides); integer-valued doubles (quantities) sum exactly as-is;
+- only genuinely order-dependent float aggregates (e.g. mean of
+  irrational norms) are rounded, to 4 decimals.
+
+Every Ray implementation is a streaming Dataset plan: column-pruned
+reads, vectorized batch kernels, partial aggregation before the
+shuffle, broadcast small-side joins (``ray.put`` once, lookup per
+batch).
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE_SQL: dict[str, str] = {}
+import json as _json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _small_pdf(sf_dir: str, table: str, columns: list[str]) -> pd.DataFrame:
+    """Driver-side read of a small dimension table (broadcast side)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
+
+
+def _preagg(ds, keys: list[str], partial, combine):
+    """Partial-aggregate inside map_batches, then a small groupby over
+    the per-batch partials (SURVEY.md §4: pre-aggregate before the
+    shuffle)."""
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return part.groupby(keys if len(keys) > 1 else keys[0]).map_groups(
+        combine, batch_format="pandas"
+    )
+
+
+def _cents(x: pd.Series) -> pd.Series:
+    return np.round(x.to_numpy() * 100).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational operators (filters / projections / aggregates /
+# sorts / joins) — A1-A6, S2, O1-O2, J1-J2 analogs
+
+
+def q_lineitem_pricing_summary(sf_dir: str):
+    """Grouped aggregate with partial pre-aggregation (A1/A5 analog)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        if df.empty:
+            return pd.DataFrame(
+                columns=["l_returnflag", "l_linestatus", "qty", "base_cents",
+                         "disc_cents4", "n"]
+            )
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "qty": df["l_quantity"],
+                "base_cents": _cents(df["l_extendedprice"]),
+                "disc_cents4": np.round(
+                    (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy() * 10000
+                ).astype(np.int64),
+                "n": 1,
+            }
+        )
+        return out.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        qty = g["qty"].sum()
+        base = g["base_cents"].sum()
+        disc = g["disc_cents4"].sum()
+        n = int(g["n"].sum())
+        return pd.DataFrame(
+            [
+                {
+                    "l_returnflag": g["l_returnflag"].iloc[0],
+                    "l_linestatus": g["l_linestatus"].iloc[0],
+                    "sum_qty": float(qty),
+                    "sum_base_price": base / 100.0,
+                    "sum_disc_price": disc / 10000.0,
+                    "avg_qty": float(qty) / n,
+                    "avg_price": base / 100.0 / n,
+                    "count_order": n,
+                }
+            ]
+        )
+
+    return _preagg(ds, ["l_returnflag", "l_linestatus"], partial, combine)
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
+       sum(l_quantity) / count(*) AS avg_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_lineitem_filter_project(sf_dir: str):
+    """Vectorized filter + projection + computed column (S2/M analog):
+    unrounded per-row product is bit-identical across engines."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+                pc.greater(t["l_discount"], pa.scalar(0.05)),
+            ),
+            pc.less(t["l_quantity"], pa.scalar(25.0)),
+        )
+        t = t.filter(mask)
+        revenue = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.Table.from_arrays(
+            [t["l_orderkey"], t["l_linenumber"], revenue],
+            names=["l_orderkey", "l_linenumber", "revenue"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_LINEITEM_FILTER = """
+SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.05 AND l_quantity < 25
+"""
+
+
+def q_orders_topk(sf_dir: str):
+    """Global sort + limit (O1/O2 analog), deterministic tie-break."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_ORDERS_TOPK = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_customer_order_revenue(sf_dir: str):
+    """Broadcast hash join (J2 analog): customer dimension is ray.put
+    once; orders stream through map_batches with a dict lookup."""
+    cust = _small_pdf(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        seg_map = ray.get(ref)
+        seg = df["o_custkey"].map(seg_map)
+        out = pd.DataFrame({"mktsegment": seg, "cents": _cents(df["o_totalprice"]), "n": 1})
+        return out.groupby("mktsegment", as_index=False).sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "mktsegment": g["mktsegment"].iloc[0],
+                    "n_orders": int(g["n"].sum()),
+                    "total_price": g["cents"].sum() / 100.0,
+                }
+            ]
+        )
+
+    return _preagg(ds, ["mktsegment"], partial, combine)
+
+
+SQL_CUSTOMER_ORDER_REVENUE = """
+SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_nation_region_rollup(sf_dir: str):
+    """Two-level broadcast join (customer ⋈ nation ⋈ region) → rollup."""
+    nation = _small_pdf(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _small_pdf(sf_dir, "region", ["r_regionkey", "r_name"])
+    nk_to_region = dict(
+        zip(
+            nation["n_nationkey"],
+            nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"]))),
+        )
+    )
+    ref = ray.put(nk_to_region)
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["c_nationkey"].map(ray.get(ref))
+        out = pd.DataFrame({"region_name": r, "cents": _cents(df["c_acctbal"]), "n": 1})
+        return out.groupby("region_name", as_index=False).sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "region_name": g["region_name"].iloc[0],
+                    "n_customers": int(g["n"].sum()),
+                    "total_acctbal": g["cents"].sum() / 100.0,
+                }
+            ]
+        )
+
+    return _preagg(ds, ["region_name"], partial, combine)
+
+
+SQL_NATION_REGION_ROLLUP = """
+SELECT r.r_name AS region_name, count(*) AS n_customers,
+       CAST(sum(CAST(round(c.c_acctbal*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q_supplier_lineitem_agg(sf_dir: str):
+    """Per-supplier revenue: pre-aggregated groupby on a fact table key."""
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_suppkey": df["l_suppkey"],
+                "qty": df["l_quantity"],
+                "rev4": np.round(
+                    (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy() * 10000
+                ).astype(np.int64),
+                "n": 1,
+            }
+        )
+        return out.groupby("l_suppkey", as_index=False).sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "l_suppkey": int(g["l_suppkey"].iloc[0]),
+                    "n_items": int(g["n"].sum()),
+                    "sum_qty": float(g["qty"].sum()),
+                    "revenue": g["rev4"].sum() / 10000.0,
+                }
+            ]
+        )
+
+    return _preagg(ds, ["l_suppkey"], partial, combine)
+
+
+SQL_SUPPLIER_LINEITEM_AGG = """
+SELECT l_suppkey, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_part_type_breakdown(sf_dir: str):
+    ds = _read(sf_dir, "part", ["p_type", "p_size", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "p_type": df["p_type"],
+                "cents": _cents(df["p_retailprice"]),
+                "max_size": df["p_size"],
+                "n": 1,
+            }
+        )
+        return out.groupby("p_type", as_index=False).agg(
+            cents=("cents", "sum"), max_size=("max_size", "max"), n=("n", "sum")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        return pd.DataFrame(
+            [
+                {
+                    "p_type": g["p_type"].iloc[0],
+                    "n_parts": n,
+                    "avg_retail": g["cents"].sum() / 100.0 / n,
+                    "max_size": int(g["max_size"].max()),
+                }
+            ]
+        )
+
+    return _preagg(ds, ["p_type"], partial, combine)
+
+
+SQL_PART_TYPE_BREAKDOWN = """
+SELECT p_type, count(*) AS n_parts,
+       CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_retail,
+       CAST(max(p_size) AS INTEGER) AS max_size
+FROM part GROUP BY p_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: rollups, distinct, sessionization, JSON extraction
+
+
+def q_events_type_stats(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "cents": _cents(df["value"]),
+                "vmin": df["value"],
+                "vmax": df["value"],
+                "n": 1,
+            }
+        )
+        agg = out.groupby("event_type", as_index=False).agg(
+            cents=("cents", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"), n=("n", "sum")
+        )
+        # distinct users partial: dedup within the batch, carried as rows
+        uniq = df[["event_type", "user_id"]].drop_duplicates()
+        agg["users"] = agg["event_type"].map(
+            uniq.groupby("event_type")["user_id"].agg(lambda s: list(set(s)))
+        )
+        return agg
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        users: set = set()
+        for u in g["users"]:
+            users.update(u)
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": g["event_type"].iloc[0],
+                    "n_events": int(g["n"].sum()),
+                    "sum_value": g["cents"].sum() / 100.0,
+                    "min_value": float(g["vmin"].min()),
+                    "max_value": float(g["vmax"].max()),
+                    "n_users": len(users),
+                }
+            ]
+        )
+
+    return _preagg(ds, ["event_type"], partial, combine)
+
+
+SQL_EVENTS_TYPE_STATS = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value,
+       min(value) AS min_value, max(value) AS max_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_hourly_rollup(sf_dir: str):
+    """Tumbling window as a grouped aggregate on the truncated timestamp
+    (streaming-shaped workload per the Ray guide: windows = groupby)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "hour": df["ts"].dt.floor("h"),
+                "event_type": df["event_type"],
+                "cents": _cents(df["value"]),
+                "n": 1,
+            }
+        )
+        return out.groupby(["hour", "event_type"], as_index=False).sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "hour": g["hour"].iloc[0],
+                    "event_type": g["event_type"].iloc[0],
+                    "n_events": int(g["n"].sum()),
+                    "sum_value": g["cents"].sum() / 100.0,
+                }
+            ]
+        )
+
+    return _preagg(ds, ["hour", "event_type"], partial, combine)
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def q_events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user via
+    groupby(user).map_groups over ts-sorted groups — the engine's
+    session-window operator (new vs reference; SURVEY.md §2.9)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds()
+        new_session = (gap.isna() | (gap > 1800)).astype(int)
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(g["user_id"].iloc[0]),
+                    "n_sessions": int(new_session.sum()),
+                    "n_events": len(g),
+                }
+            ]
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT user_id,
+         CASE WHEN prev IS NULL OR epoch(ts - prev) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM o
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM f GROUP BY user_id
+"""
+
+
+def q_events_props_extract(sf_dir: str):
+    """Per-row JSON extraction (dot-path getter, M15 analog)."""
+    from .functions.paths import get_path
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ks = [get_path(_json.loads(p), "k") if p else None for p in df["props"]]
+        return pd.DataFrame({"event_id": df["event_id"], "k_value": pd.array(ks, dtype="int64")})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_EVENTS_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis, dedup family, signature scan
+
+
+def q_docs_token_stats(sf_dir: str):
+    """Token counting (text-analysis primitive)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["text"].str.count(r"[A-Za-z0-9]+").astype(np.int64),
+                "n_chars_actual": df["text"].str.len().astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_DOCS_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+"""
+
+
+def q_docs_quality(sf_dir: str):
+    """Quality scoring: unrounded ratios are identical doubles on both
+    engines (same int numerator / denominator)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.len().to_numpy().astype(np.float64)
+        alpha = df["text"].str.count(r"[A-Za-z]").to_numpy().astype(np.float64)
+        digit = df["text"].str.count(r"[0-9]").to_numpy().astype(np.float64)
+        ws = df["text"].str.count(r" ").to_numpy().astype(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "alpha_ratio": alpha / n,
+                "digit_ratio": digit / n,
+                "space_ratio": ws / n,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_DOCS_QUALITY = """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) AS alpha_ratio,
+       CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
+       CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS space_ratio
+FROM documents
+"""
+
+
+def q_docs_length_by_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"lang": df["lang"], "chars": df["n_chars"], "n": 1})
+        return out.groupby("lang", as_index=False).agg(
+            chars=("chars", "sum"), mx=("chars", "max"), n=("n", "sum")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        return pd.DataFrame(
+            [
+                {
+                    "lang": g["lang"].iloc[0],
+                    "n_docs": n,
+                    "avg_chars": float(g["chars"].sum()) / n,
+                    "max_chars": int(g["mx"].max()),
+                }
+            ]
+        )
+
+    return _preagg(ds, ["lang"], partial, combine)
+
+
+SQL_DOCS_LENGTH_BY_LANG = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_docs_top_terms(sf_dir: str):
+    """Corpus-level tag/term frequency top-k (A4/O1 analog): explode →
+    pre-count per batch → groupby sum → sort/limit."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for text in df["text"]:
+            for tok in text.lower().split():
+                t = "".join(c for c in tok if c.isalnum())
+                if len(t) > 2:
+                    counts[t] = counts.get(t, 0) + 1
+        return pd.DataFrame({"term": list(counts), "n": list(counts.values())})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"term": g["term"].iloc[0], "n_occurrences": int(g["n"].sum())}])
+
+    agg = _preagg(ds, ["term"], partial, combine)
+    return agg.sort(["n_occurrences", "term"], descending=[True, False]).limit(10)
+
+
+SQL_DOCS_TOP_TERMS = """
+SELECT tok AS term, count(*) AS n_occurrences
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+WHERE length(tok) > 2
+GROUP BY tok ORDER BY n_occurrences DESC, term LIMIT 10
+"""
+
+
+def q_docs_exact_dedup(sf_dir: str):
+    """Exact dedup clusters over document text (D1/rdfind analog):
+    md5 content hash → groupby(hash) → (canonical id, size)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "content_hash": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]
+                ],
+                "doc_id": df["doc_id"],
+            }
+        )
+
+    def cluster(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "content_hash": g["content_hash"].iloc[0],
+                    "canonical_doc_id": int(g["doc_id"].min()),
+                    "cluster_size": len(g),
+                }
+            ]
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    return hashed.groupby("content_hash").map_groups(cluster, batch_format="pandas")
+
+
+SQL_DOCS_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       count(*) AS cluster_size
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_docs_fingerprint(sf_dir: str):
+    """Document fingerprinting: md5 over the whitespace-normalized,
+    lowercased text (explicit [\\t\\n\\f\\r ] class = RE2 \\s, so both
+    engines normalize identically)."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"[\t\n\f\r ]+")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        fps = [
+            hashlib.md5(ws.sub(" ", t).strip().lower().encode("utf-8")).hexdigest()
+            for t in df["text"]
+        ]
+        return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": fps})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_DOCS_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '[\t\n\f\r ]+', ' ', 'g')))) AS fingerprint
+FROM documents
+"""
+
+
+def q_docs_signature_scan(sf_dir: str):
+    """Multi-pattern signature scan over real table text (T7/T8
+    ripgrep/ClamAV analog, SQL-checkable): per-doc hit counts for a
+    fixed pattern set via one compiled automaton per actor."""
+    patterns = ["data", "join", "merge", "window"]
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    class Scanner:
+        def __init__(self):
+            import re
+
+            self.rx = [re.compile(p) for p in patterns]
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = {"doc_id": df["doc_id"]}
+            total = np.zeros(len(df), dtype=np.int64)
+            for p, rx in zip(patterns, self.rx):
+                c = df["text"].str.count(rx).astype(np.int64)
+                out[f"n_{p}"] = c
+                total += c.to_numpy()
+            out["n_total"] = total
+            return pd.DataFrame(out)
+
+    return ds.map_batches(Scanner, batch_format="pandas", concurrency=2)
+
+
+SQL_DOCS_SIGNATURE_SCAN = """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, 'data')) AS BIGINT) AS n_data,
+       CAST(length(regexp_extract_all(text, 'join')) AS BIGINT) AS n_join,
+       CAST(length(regexp_extract_all(text, 'merge')) AS BIGINT) AS n_merge,
+       CAST(length(regexp_extract_all(text, 'window')) AS BIGINT) AS n_window,
+       CAST(length(regexp_extract_all(text, 'data')) + length(regexp_extract_all(text, 'join'))
+          + length(regexp_extract_all(text, 'merge')) + length(regexp_extract_all(text, 'window')) AS BIGINT) AS n_total
+FROM documents
+"""
+
+
+def q_docs_langid(sf_dir: str):
+    """Language ID heuristic (rows-only check: not SQL-expressible)."""
+    from .functions.text import detect_language
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang_actual": df["lang"],
+                "lang_pred": [detect_language(t) for t in df["text"]],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_docs_simhash(sf_dir: str):
+    """SimHash per document (rows-only; deterministic)."""
+    from .functions.hashing import simhash64
+    from .functions.text import tokenize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "simhash": [f"{simhash64(tokenize(t.lower())):016x}" for t in df["text"]],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_docs_minhash_near_dup(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs with verified Jaccard
+    (rows-only): shingle → signature (per batch, vectorized) → band
+    explode → groupby(band) candidates → exact-Jaccard verify."""
+    from .stages.text_dedup import minhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_near_dup_pairs(ds, threshold=0.8)
+
+
+def q_docs_ngram_dedup(sf_dir: str):
+    """Word-3-gram Jaccard dedup clusters (rows-only)."""
+    from .stages.text_dedup import ngram_dedup_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_dedup_clusters(ds, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+
+
+def q_embeddings_knn(sf_dir: str):
+    """Brute-force cosine top-k against a broadcast query vector:
+    numpy matmul per batch, global top-k by (rounded sim, vec_id)."""
+    import pyarrow.parquet as pq
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.array(qtab.filter(pc.equal(qtab["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64)
+    qref = ray.put(qvec / np.linalg.norm(qvec))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        sims = (mat @ q) / np.linalg.norm(mat, axis=1)
+        out = pd.DataFrame({"vec_id": df["vec_id"], "cosine_sim": np.round(sims, 4)})
+        return out[out["vec_id"] != 0]
+
+    scored = ds.map_batches(fn, batch_format="pandas")
+    return scored.sort(["cosine_sim", "vec_id"], descending=[True, False]).limit(10)
+
+
+SQL_EMBEDDINGS_KNN = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding, (SELECT qe FROM q))
+             / sqrt(list_dot_product(e.embedding, e.embedding))
+             / sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q))), 4) AS cosine_sim
+FROM embeddings e WHERE e.vec_id != 0
+ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_embeddings_label_stats(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        out = pd.DataFrame({"label": df["label"], "norm_sum": norms, "n": 1})
+        return out.groupby("label", as_index=False).sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        return pd.DataFrame(
+            [
+                {
+                    "label": int(g["label"].iloc[0]),
+                    "n_vectors": n,
+                    "avg_norm": round(float(g["norm_sum"].sum()) / n, 4),
+                }
+            ]
+        )
+
+    return _preagg(ds, ["label"], partial, combine)
+
+
+SQL_EMBEDDINGS_LABEL_STATS = """
+SELECT CAST(label AS INTEGER) AS label, count(*) AS n_vectors,
+       round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+def q_embeddings_knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate k-NN (rows-only; recall vs brute force
+    is pytest-verified): deterministic k-means coarse quantizer built
+    once on the driver from a sample, broadcast to all scan tasks."""
+    from .stages.ann import knn_ivf
+
+    return knn_ivf(sf_dir, k=10, n_centroids=8, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# flagship extraction surface (rows-only: semantics live in the span
+# oracle, checked by pytest; not expressible in SQL over the sf tables)
+
+
+def _extract_docs_count(sf_dir: str) -> int:
+    # deterministic corpus size proportional to the sf tier (lineitem is
+    # the table that scales linearly: 6k/60k/600k → 1k/10k/20k docs)
+    import pyarrow.parquet as pq
+
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    return max(1000, min(n_li // 6, 20000))
+
+
+def q_extract_spans(sf_dir: str):
+    from .pipelines.extract import corpus_path, extract_pipeline
+
+    src = corpus_path(_extract_docs_count(sf_dir))
+    ds = extract_pipeline(src, score=True)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(
+            ["doc_id", "content_hash", "n_spans", "status", "mode", "model_status",
+             "recommended_filename"]
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_extract_dedup_clusters(sf_dir: str):
+    from .pipelines.extract import corpus_path, extract_pipeline
+    from .stages.dedup import exact_dedup_clusters
+
+    src = corpus_path(_extract_docs_count(sf_dir))
+    return exact_dedup_clusters(extract_pipeline(src, score=False))
+
+
+def q_extract_carve(sf_dir: str):
+    from .pipelines.extract import corpus_path
+    from .stages.skew import carve_exploded
+
+    src = corpus_path(_extract_docs_count(sf_dir))
+    ds = ray.data.read_parquet(src, file_extensions=["parquet"])
+
+    def summarize(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(t["hits"])
+        return pa.Table.from_arrays([t["doc_id"], n.cast(pa.int64())], names=["doc_id", "n_hits"])
+
+    return carve_exploded(ds).map_batches(summarize, batch_format="pyarrow")
+
+
+def q_extract_near_dup(sf_dir: str):
+    from .pipelines.extract import corpus_path
+    from .stages.dedup import phash_near_dup_pairs
+
+    src = corpus_path(_extract_docs_count(sf_dir))
+    return phash_near_dup_pairs(ray.data.read_parquet(src, file_extensions=["parquet"]))
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "lineitem_filter_project": q_lineitem_filter_project,
+    "orders_topk": q_orders_topk,
+    "customer_order_revenue": q_customer_order_revenue,
+    "nation_region_rollup": q_nation_region_rollup,
+    "supplier_lineitem_agg": q_supplier_lineitem_agg,
+    "part_type_breakdown": q_part_type_breakdown,
+    "events_type_stats": q_events_type_stats,
+    "events_hourly_rollup": q_events_hourly_rollup,
+    "events_sessionize": q_events_sessionize,
+    "events_props_extract": q_events_props_extract,
+    "docs_token_stats": q_docs_token_stats,
+    "docs_quality": q_docs_quality,
+    "docs_length_by_lang": q_docs_length_by_lang,
+    "docs_top_terms": q_docs_top_terms,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_signature_scan": q_docs_signature_scan,
+    "docs_langid": q_docs_langid,
+    "docs_simhash": q_docs_simhash,
+    "docs_minhash_near_dup": q_docs_minhash_near_dup,
+    "docs_ngram_dedup": q_docs_ngram_dedup,
+    "embeddings_knn": q_embeddings_knn,
+    "embeddings_label_stats": q_embeddings_label_stats,
+    "embeddings_knn_ivf": q_embeddings_knn_ivf,
+    "extract_spans": q_extract_spans,
+    "extract_dedup_clusters": q_extract_dedup_clusters,
+    "extract_carve": q_extract_carve,
+    "extract_near_dup": q_extract_near_dup,
+}
+
+ORACLE_SQL = {
+    "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
+    "lineitem_filter_project": SQL_LINEITEM_FILTER,
+    "orders_topk": SQL_ORDERS_TOPK,
+    "customer_order_revenue": SQL_CUSTOMER_ORDER_REVENUE,
+    "nation_region_rollup": SQL_NATION_REGION_ROLLUP,
+    "supplier_lineitem_agg": SQL_SUPPLIER_LINEITEM_AGG,
+    "part_type_breakdown": SQL_PART_TYPE_BREAKDOWN,
+    "events_type_stats": SQL_EVENTS_TYPE_STATS,
+    "events_hourly_rollup": SQL_EVENTS_HOURLY,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_props_extract": SQL_EVENTS_PROPS,
+    "docs_token_stats": SQL_DOCS_TOKEN_STATS,
+    "docs_quality": SQL_DOCS_QUALITY,
+    "docs_length_by_lang": SQL_DOCS_LENGTH_BY_LANG,
+    "docs_top_terms": SQL_DOCS_TOP_TERMS,
+    "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
+    "docs_fingerprint": SQL_DOCS_FINGERPRINT,
+    "docs_signature_scan": SQL_DOCS_SIGNATURE_SCAN,
+    "embeddings_knn": SQL_EMBEDDINGS_KNN,
+    "embeddings_label_stats": SQL_EMBEDDINGS_LABEL_STATS,
+}

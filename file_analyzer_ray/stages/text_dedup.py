@@ -1,0 +1,166 @@
+"""Near-duplicate detection over text tables: MinHash+LSH and n-gram
+Jaccard clustering.
+
+Standard public algorithms (Broder '97 MinHash; banding LSH per
+Leskovec/Rajaraman/Ullman) expressed Ray-Data-first:
+
+    map_batches(signatures)            # vectorized minhash per doc
+      → flat band explode              # (band_key, doc_id, …) rows
+      → groupby(band_key) candidates   # the ONE shuffle, narrow rows
+      → exact-Jaccard verify in-group
+      → groupby(pair) dedup
+
+Cluster assembly (connected components) runs union-find on the driver
+over the verified pair set only — provably small after thresholding —
+per the documented guideline; at larger scale swap in iterative
+min-label propagation with groupby rounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..functions.hashing import MinHasher, jaccard, stable_u64
+from ..functions.text import char_shingles, word_ngrams
+
+_N_PERM = 64
+_N_BANDS = 16  # 4 rows/band → recall ≈ 0.9998 at J = 0.8
+
+
+class SignatureStage:
+    """Per-batch minhash signatures (hasher built once per actor)."""
+
+    def __init__(self, shingle_fn):
+        self.mh = MinHasher(num_perm=_N_PERM, seed=42)
+        self.shingle_fn = shingle_fn
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = [self.mh.signature(self.shingle_fn(t)).tobytes() for t in df["text"]]
+        return pd.DataFrame({"doc_id": df["doc_id"], "text": df["text"], "sig": sigs})
+
+
+def _explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+    rows_per_band = _N_PERM // _N_BANDS
+    out_band, out_doc, out_text, out_sig = [], [], [], []
+    for doc_id, text, sig in zip(df["doc_id"], df["text"], df["sig"]):
+        arr = np.frombuffer(sig, dtype=np.uint64)
+        for b in range(_N_BANDS):
+            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
+            key = (b << 48) | (stable_u64(chunk.tobytes(), b"band:") & ((1 << 48) - 1))
+            out_band.append(key)
+            out_doc.append(doc_id)
+            out_text.append(text)
+            out_sig.append(sig)
+    return pd.DataFrame(
+        {"band": out_band, "doc_id": out_doc, "text": out_text, "sig": out_sig}
+    )
+
+
+def _make_pair_verifier(shingle_fn, threshold: float):
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(zip(g["doc_id"], g["text"]))
+        rows = []
+        shingle_cache = {d: set(shingle_fn(t)) for d, t in recs}
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a, b = recs[i][0], recs[j][0]
+                jac = jaccard(shingle_cache[a], shingle_cache[b])
+                if jac >= threshold:
+                    rows.append({"doc_id_a": a, "doc_id_b": b, "jaccard": jac})
+        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "jaccard"])
+
+    return verify
+
+
+def _first_pair(g: pd.DataFrame) -> pd.DataFrame:
+    return g.iloc[:1]
+
+
+def minhash_near_dup_pairs(
+    docs: "ray.data.Dataset", threshold: float = 0.8, shingle_k: int = 5
+) -> "ray.data.Dataset":
+    """(doc_id, text) → verified near-dup pairs (doc_id_a, doc_id_b,
+    jaccard). Exact-Jaccard verification, MinHash-LSH candidate
+    generation."""
+    shingle_fn = lambda t: char_shingles(t, shingle_k)  # noqa: E731
+    sigs = docs.map_batches(
+        SignatureStage, fn_constructor_args=(shingle_fn,), batch_format="pandas",
+        concurrency=2,
+    )
+    bands = sigs.map_batches(_explode_bands, batch_format="pandas")
+    pairs = bands.groupby("band").map_groups(
+        _make_pair_verifier(shingle_fn, threshold), batch_format="pandas"
+    )
+    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
+        _first_pair, batch_format="pandas"
+    )
+
+
+def ngram_dedup_clusters(
+    docs: "ray.data.Dataset", threshold: float = 0.8, n: int = 3
+) -> "ray.data.Dataset":
+    """Word n-gram Jaccard dedup clusters (size ≥ 2): LSH pairs →
+    driver union-find over the (small) verified pair set."""
+    shingle_fn = lambda t: word_ngrams(t, n)  # noqa: E731
+    sigs = docs.map_batches(
+        SignatureStage, fn_constructor_args=(shingle_fn,), batch_format="pandas",
+        concurrency=2,
+    )
+    bands = sigs.map_batches(_explode_bands, batch_format="pandas")
+    pairs = (
+        bands.groupby("band")
+        .map_groups(_make_pair_verifier(shingle_fn, threshold), batch_format="pandas")
+        .groupby(["doc_id_a", "doc_id_b"])
+        .map_groups(_first_pair, batch_format="pandas")
+    )
+    pair_rows = pairs.take_all()  # verified pairs only: provably small
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            ra, rb = sorted((ra, rb))
+            parent[rb] = ra
+
+    for r in pair_rows:
+        union(r["doc_id_a"], r["doc_id_b"])
+    clusters: dict = {}
+    for d in parent:
+        clusters.setdefault(find(d), []).append(d)
+    rows = [
+        {
+            "canonical_doc_id": root,
+            "cluster_size": len(members),
+            "member_ids": sorted(members),
+        }
+        for root, members in sorted(clusters.items())
+        if len(members) >= 2
+    ]
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("canonical_doc_id", pa.int64()),
+            ("cluster_size", pa.int64()),
+            ("member_ids", pa.list_(pa.int64())),
+        ]
+    )
+    if rows and isinstance(rows[0]["canonical_doc_id"], str):
+        schema = pa.schema(
+            [
+                ("canonical_doc_id", pa.string()),
+                ("cluster_size", pa.int64()),
+                ("member_ids", pa.list_(pa.string())),
+            ]
+        )
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))

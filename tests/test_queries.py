@@ -1,0 +1,157 @@
+"""Replica of the driver's correctness gate: run every queries() entry
+at sf0.001 and compare the SQL-checkable ones against their DuckDB
+oracle (row count, column names, values — exact for ints/strings,
+bit-tolerant for floats)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import importlib
+
+    m = importlib.import_module("__ray_entry__")
+    return m.queries(), m.oracle_sql()
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()  # pyarrow.Table
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(got: pd.DataFrame, exp: pd.DataFrame, name: str):
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"
+    )
+    g, e = _normalize(got), _normalize(exp)
+    for c in g.columns:
+        gv, ev = g[c], e[c]
+        if pd.api.types.is_float_dtype(ev):
+            assert np.allclose(
+                gv.astype(float), ev.astype(float), rtol=0, atol=1e-9, equal_nan=True
+            ), f"{name}.{c}: float mismatch (max |Δ|={np.abs(gv.astype(float)-ev.astype(float)).max()})"
+        else:
+            assert gv.astype(str).tolist() == ev.astype(str).tolist(), (
+                f"{name}.{c}: value mismatch"
+            )
+
+
+SQL_CHECKED = [
+    "lineitem_pricing_summary",
+    "lineitem_filter_project",
+    "orders_topk",
+    "customer_order_revenue",
+    "nation_region_rollup",
+    "supplier_lineitem_agg",
+    "part_type_breakdown",
+    "events_type_stats",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "events_props_extract",
+    "docs_token_stats",
+    "docs_quality",
+    "docs_length_by_lang",
+    "docs_top_terms",
+    "docs_exact_dedup",
+    "docs_fingerprint",
+    "docs_signature_scan",
+    "embeddings_knn",
+    "embeddings_label_stats",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_vs_duckdb(name, registry, con):
+    queries, oracles = registry
+    assert name in queries and name in oracles
+    got = _to_pandas(queries[name](SF_DIR))
+    exp = con.execute(oracles[name]).df()
+    _compare(got, exp, name)
+
+
+ROWS_ONLY = [
+    "docs_langid",
+    "docs_simhash",
+    "docs_minhash_near_dup",
+    "docs_ngram_dedup",
+    "embeddings_knn_ivf",
+    "extract_spans",
+    "extract_dedup_clusters",
+    "extract_carve",
+    "extract_near_dup",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, registry):
+    queries, oracles = registry
+    assert name in queries
+    assert name not in oracles  # intentionally weaker check
+    res = queries[name](SF_DIR)
+    df = _to_pandas(res)
+    assert df is not None
+    # deterministic across two invocations
+    df2 = _to_pandas(queries[name](SF_DIR))
+    a = df[sorted(df.columns)].astype(str).sort_values(list(sorted(df.columns))).reset_index(drop=True)
+    b = df2[sorted(df2.columns)].astype(str).sort_values(list(sorted(df2.columns))).reset_index(drop=True)
+    assert a.equals(b), f"{name} not deterministic"
+
+
+def test_ivf_recall_vs_bruteforce(registry):
+    """IVF with n_probe=2/8 cells must recover most of the exact top-10."""
+    queries, _ = registry
+    exact = set(_to_pandas(queries["embeddings_knn"](SF_DIR))["vec_id"])
+    approx = set(_to_pandas(queries["embeddings_knn_ivf"](SF_DIR))["vec_id"])
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+
+
+def test_langid_predictions_sensible(registry):
+    """The testdata's ``lang`` labels are synthetic and uncorrelated with
+    the (English word-soup) text, so accuracy-vs-label is meaningless
+    here; the heuristic itself is accuracy-tested on real per-language
+    text in test_functions.py. Assert the pipeline output is sane: every
+    prediction is a known code and the English-looking corpus maps to
+    en/und."""
+    queries, _ = registry
+    df = _to_pandas(queries["docs_langid"](SF_DIR))
+    assert len(df) > 0
+    assert set(df["lang_pred"]) <= {"en", "de", "fr", "es", "it", "und"}
+    assert (df["lang_pred"].isin(["en", "und"])).mean() > 0.9
