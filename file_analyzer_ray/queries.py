@@ -937,6 +937,15 @@ QUERIES = {
     "extract_near_dup": q_extract_near_dup,
 }
 
+def _merge_registries() -> None:
+    """Fold in the join/window/set-op registry (queries_joins.py) —
+    kept in a sibling module so each file stays reviewable."""
+    from . import queries_joins as qj
+
+    QUERIES.update(qj.JOIN_QUERIES)
+    ORACLE_SQL.update(qj.JOIN_ORACLE_SQL)
+
+
 ORACLE_SQL = {
     "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
     "lineitem_filter_project": SQL_LINEITEM_FILTER,
@@ -959,3 +968,5 @@ ORACLE_SQL = {
     "embeddings_knn": SQL_EMBEDDINGS_KNN,
     "embeddings_label_stats": SQL_EMBEDDINGS_LABEL_STATS,
 }
+
+_merge_registries()

@@ -1,0 +1,500 @@
+"""Distributed joins, window functions, as-of joins, distinct and set
+operations over the driver's parquet tables — widening the operator
+surface beyond what the reference needs (it has no relational joins,
+SURVEY.md §2.4) to what a training-data engine must provide.
+
+Scale notes (each query documents its shuffle strategy):
+
+- large ⋈ large joins use ``Dataset.join`` (hash-partitioned exchange);
+  the FACT side is pre-aggregated per key inside ``map_batches`` first so
+  only narrow (key, partial) rows cross the wire;
+- semi/anti joins use Ray's ``left_semi`` / ``left_anti`` join types with
+  the filter pushed below the exchange and a per-batch dedup so the
+  build side carries distinct keys only;
+- small dimensions broadcast via ``ray.put`` (never shuffled);
+- window functions (rank-per-group, rolling aggregates, as-of matches)
+  are ``groupby(key).map_groups`` with an in-group sort — the
+  partitioning assumption is that one group fits in a worker's heap,
+  which holds for per-user / per-nation groups; a skewed super-user
+  would be salted into sub-windows first (stages/skew.py pattern).
+
+Cross-engine float discipline follows queries.py: money sums through
+integer cents, per-row products left unrounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from .queries import _cents, _preagg, _read, _small_pdf
+
+# ---------------------------------------------------------------------------
+# distributed hash joins (Dataset.join — the real exchange)
+
+
+def q_orders_lineitem_join_agg(sf_dir: str):
+    """Large ⋈ large inner hash join (orders ⋈ lineitem) → revenue per
+    order priority. The lineitem side is pre-aggregated to one narrow
+    row per l_orderkey BEFORE the join, so the exchange moves
+    (key, int64) pairs, not raw lineitems."""
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "rev4": np.round(
+                    (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy() * 10000
+                ).astype(np.int64),
+            }
+        )
+        return out.groupby("l_orderkey", as_index=False).sum()
+
+    def li_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{"l_orderkey": int(g["l_orderkey"].iloc[0]), "rev4": int(g["rev4"].sum())}]
+        )
+
+    per_order = _preagg(li, ["l_orderkey"], li_partial, li_combine)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = orders.join(
+        per_order,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def pr_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"], "rev4": df["rev4"], "n": 1}
+        )
+        return out.groupby("o_orderpriority", as_index=False).sum()
+
+    def pr_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "o_orderpriority": g["o_orderpriority"].iloc[0],
+                    "n_orders": int(g["n"].sum()),
+                    "revenue": g["rev4"].sum() / 10000.0,
+                }
+            ]
+        )
+
+    return _preagg(joined, ["o_orderpriority"], pr_partial, pr_combine)
+
+
+SQL_ORDERS_LINEITEM_JOIN_AGG = """
+SELECT o.o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(l.rev4 AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+FROM orders o
+JOIN (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS rev4
+  FROM lineitem GROUP BY l_orderkey
+) l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_orders_semi_lineitem_returns(sf_dir: str):
+    """Semi-join: orders having at least one returned lineitem
+    (l_returnflag = 'R') → count per priority. Filter is pushed below
+    the exchange; the build side is per-batch deduped to distinct keys
+    before the ``left_semi`` hash join."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def returned_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.loc[df["l_returnflag"] == "R", ["l_orderkey"]]
+            .drop_duplicates()
+            .reset_index(drop=True)
+        )
+
+    keys = li.map_batches(returned_keys, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    semi = orders.join(
+        keys,
+        join_type="left_semi",
+        num_partitions=16,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"o_orderpriority": df["o_orderpriority"], "n": 1})
+        return out.groupby("o_orderpriority", as_index=False).sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "o_orderpriority": g["o_orderpriority"].iloc[0],
+                    "n_orders": int(g["n"].sum()),
+                }
+            ]
+        )
+
+    return _preagg(semi, ["o_orderpriority"], partial, combine)
+
+
+SQL_ORDERS_SEMI_LINEITEM_RETURNS = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join: customers with no finalized ('F') order → count +
+    balance per market segment (``left_anti`` hash join; the status
+    filter is pushed below the exchange and keys are per-batch deduped
+    so only distinct custkeys cross the wire)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.loc[df["o_orderstatus"] == "F", ["o_custkey"]]
+            .drop_duplicates()
+            .reset_index(drop=True)
+        )
+
+    keys = orders.map_batches(dedup, batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    anti = cust.join(
+        keys,
+        join_type="left_anti",
+        num_partitions=16,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"c_mktsegment": df["c_mktsegment"], "cents": _cents(df["c_acctbal"]), "n": 1}
+        )
+        return out.groupby("c_mktsegment", as_index=False).sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "c_mktsegment": g["c_mktsegment"].iloc[0],
+                    "n_customers": int(g["n"].sum()),
+                    "total_acctbal": g["cents"].sum() / 100.0,
+                }
+            ]
+        )
+
+    return _preagg(anti, ["c_mktsegment"], partial, combine)
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+def q_supplier_revenue_named(sf_dir: str):
+    """Broadcast dimension join: lineitem revenue per supplier NAME —
+    the supplier table is ``ray.put`` once and looked up per batch; the
+    fact table is pre-aggregated by s_name before the one small
+    groupby."""
+    supp = _small_pdf(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_name"])))
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        names = df["l_suppkey"].map(ray.get(ref))
+        out = pd.DataFrame(
+            {
+                "s_name": names,
+                "rev4": np.round(
+                    (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy() * 10000
+                ).astype(np.int64),
+                "n": 1,
+            }
+        )
+        return out.groupby("s_name", as_index=False).sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "s_name": g["s_name"].iloc[0],
+                    "n_items": int(g["n"].sum()),
+                    "revenue": g["rev4"].sum() / 10000.0,
+                }
+            ]
+        )
+
+    return _preagg(li, ["s_name"], partial, combine)
+
+
+SQL_SUPPLIER_REVENUE_NAMED = """
+SELECT s.s_name, count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# window functions
+
+
+def q_top_customer_per_nation(sf_dir: str):
+    """Rank-per-group window (row_number = 1): richest customer per
+    nation; groupby(nation).map_groups with an in-group sort and
+    deterministic (−acctbal, custkey) tie-break."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_custkey", "c_name", "c_acctbal"])
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
+        r = g.iloc[0]
+        return pd.DataFrame(
+            [
+                {
+                    "c_nationkey": int(r["c_nationkey"]),
+                    "c_custkey": int(r["c_custkey"]),
+                    "c_name": r["c_name"],
+                    "c_acctbal": float(r["c_acctbal"]),
+                }
+            ]
+        )
+
+    return cust.groupby("c_nationkey").map_groups(top1, batch_format="pandas")
+
+
+SQL_TOP_CUSTOMER_PER_NATION = """
+SELECT c_nationkey, c_custkey, c_name, c_acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn = 1
+"""
+
+
+def q_events_user_rolling_1h(sf_dir: str):
+    """Rolling window aggregate: per user, events and value-sum in the
+    trailing 1-hour window [ts−1h, ts] (RANGE semantics incl. ts
+    peers). Vectorized per group: prefix sums + searchsorted, no
+    per-row Python loop."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "n_1h": (hi - lo).astype(np.int64),
+                "sum_1h": (csum[hi] - csum[lo]) / 100.0,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(rolling, batch_format="pandas")
+
+
+SQL_EVENTS_USER_ROLLING_1H = """
+SELECT event_id,
+       count(*) OVER w AS n_1h,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) / 100.0 AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_events_asof_purchase(sf_dir: str):
+    """As-of join: each click matched to the user's most recent
+    purchase at-or-before it. Composition per SURVEY §custom-operators:
+    groupby(user_id).map_groups + in-group ``merge_asof`` — the
+    partitioning assumption is both sides co-partition on user_id.
+    Purchases are pre-deduped to one row per (user, ts) (max event_id)
+    so tie-handling is engine-independent."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    ds = ds.filter(
+        expr="event_type == 'click' or event_type == 'purchase'"
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        buys = (
+            g[g["event_type"] == "purchase"]
+            .sort_values(["ts", "event_id"])
+            .groupby("ts", as_index=False)
+            .last()  # one purchase per ts: max event_id
+        )
+        if clicks.empty or buys.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "purchase_event_id": pd.Series([], dtype="int64"),
+                    "gap_us": pd.Series([], dtype="int64"),
+                }
+            )
+        m = pd.merge_asof(
+            clicks[["event_id", "ts"]],
+            buys[["event_id", "ts"]].rename(
+                columns={"event_id": "purchase_event_id", "ts": "p_ts"}
+            ),
+            left_on="ts",
+            right_on="p_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["purchase_event_id"])
+        # exact integer microseconds: bit-identical on both engines
+        gap = (m["ts"].values.astype("datetime64[us]").astype(np.int64)
+               - m["p_ts"].values.astype("datetime64[us]").astype(np.int64))
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "purchase_event_id": m["purchase_event_id"].astype("int64"),
+                "gap_us": gap,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+SQL_EVENTS_ASOF_PURCHASE = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), buys AS (
+  SELECT user_id, max(event_id) AS purchase_event_id, ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, b.purchase_event_id,
+       CAST(epoch_us(c.ts) - epoch_us(b.ts) AS BIGINT) AS gap_us
+FROM clicks c ASOF JOIN buys b ON c.user_id = b.user_id AND c.ts >= b.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct / set ops
+
+
+def q_events_distinct_users(sf_dir: str):
+    """Global exact distinct count: per-batch dedup (the partial
+    combiner) → groupby(user_id) → count — only distinct keys cross
+    the shuffle."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().reset_index(drop=True)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    distinct = ds.map_batches(dedup, batch_format="pandas").groupby("user_id").map_groups(
+        first, batch_format="pandas"
+    )
+    n = distinct.count()
+    return pd.DataFrame([{"n_users": int(n)}])
+
+
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT count(DISTINCT user_id) AS n_users FROM events
+"""
+
+
+def q_orders_status_distinct(sf_dir: str):
+    """DISTINCT over a categorical column (D4 analog)."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().reset_index(drop=True)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    return (
+        ds.map_batches(dedup, batch_format="pandas")
+        .groupby("o_orderstatus")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+SQL_ORDERS_STATUS_DISTINCT = """
+SELECT DISTINCT o_orderstatus FROM orders
+"""
+
+
+def q_events_union_split(sf_dir: str):
+    """Set op: union of two filtered streams (high-value purchases ∪
+    error events) → count per type (``Dataset.union`` keeps both sides
+    streaming; no shuffle until the final small groupby)."""
+    purchases = _read(sf_dir, "events", ["event_type", "value"]).filter(
+        expr="event_type == 'purchase' and value > 50.0"
+    )
+    errors = _read(sf_dir, "events", ["event_type", "value"]).filter(
+        expr="event_type == 'error'"
+    )
+    ds = purchases.union(errors)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"event_type": df["event_type"], "n": 1})
+        return out.groupby("event_type", as_index=False).sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{"event_type": g["event_type"].iloc[0], "n_events": int(g["n"].sum())}]
+        )
+
+    return _preagg(ds, ["event_type"], partial, combine)
+
+
+SQL_EVENTS_UNION_SPLIT = """
+SELECT event_type, count(*) AS n_events FROM (
+  SELECT event_type FROM events WHERE event_type = 'purchase' AND value > 50.0
+  UNION ALL
+  SELECT event_type FROM events WHERE event_type = 'error'
+) GROUP BY event_type
+"""
+
+
+JOIN_QUERIES = {
+    "orders_lineitem_join_agg": q_orders_lineitem_join_agg,
+    "orders_semi_lineitem_returns": q_orders_semi_lineitem_returns,
+    "customers_without_orders": q_customers_without_orders,
+    "supplier_revenue_named": q_supplier_revenue_named,
+    "top_customer_per_nation": q_top_customer_per_nation,
+    "events_user_rolling_1h": q_events_user_rolling_1h,
+    "events_asof_purchase": q_events_asof_purchase,
+    "events_distinct_users": q_events_distinct_users,
+    "orders_status_distinct": q_orders_status_distinct,
+    "events_union_split": q_events_union_split,
+}
+
+JOIN_ORACLE_SQL = {
+    "orders_lineitem_join_agg": SQL_ORDERS_LINEITEM_JOIN_AGG,
+    "orders_semi_lineitem_returns": SQL_ORDERS_SEMI_LINEITEM_RETURNS,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "supplier_revenue_named": SQL_SUPPLIER_REVENUE_NAMED,
+    "top_customer_per_nation": SQL_TOP_CUSTOMER_PER_NATION,
+    "events_user_rolling_1h": SQL_EVENTS_USER_ROLLING_1H,
+    "events_asof_purchase": SQL_EVENTS_ASOF_PURCHASE,
+    "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
+    "orders_status_distinct": SQL_ORDERS_STATUS_DISTINCT,
+    "events_union_split": SQL_EVENTS_UNION_SPLIT,
+}

@@ -94,6 +94,16 @@ SQL_CHECKED = [
     "docs_signature_scan",
     "embeddings_knn",
     "embeddings_label_stats",
+    "orders_lineitem_join_agg",
+    "orders_semi_lineitem_returns",
+    "customers_without_orders",
+    "supplier_revenue_named",
+    "top_customer_per_nation",
+    "events_user_rolling_1h",
+    "events_asof_purchase",
+    "events_distinct_users",
+    "orders_status_distinct",
+    "events_union_split",
 ]
 
 
