@@ -834,6 +834,64 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_embeddings_cosine_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs, exact baseline (broadcast
+    normalized matrix, per-batch matmul; SQL-checkable)."""
+    from .stages.ann import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(sf_dir, threshold=0.35)
+
+
+SQL_EMBEDDINGS_COSINE_NEAR_DUP = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_dot_product(a.embedding, b.embedding)
+             / sqrt(list_dot_product(a.embedding, a.embedding))
+             / sqrt(list_dot_product(b.embedding, b.embedding)), 4) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding, b.embedding)
+            / sqrt(list_dot_product(a.embedding, a.embedding))
+            / sqrt(list_dot_product(b.embedding, b.embedding)), 4) >= 0.35
+"""
+
+
+def q_embeddings_lsh_near_dup(sf_dir: str):
+    """Random-hyperplane LSH near-dup (scale path; rows-only — recall
+    vs the exact baseline is pytest-verified, precision is 1.0 by
+    exact in-bucket verification)."""
+    from .stages.ann import lsh_near_dup_pairs
+
+    return lsh_near_dup_pairs(sf_dir, threshold=0.35)
+
+
+def q_docs_simhash_near_dup(sf_dir: str):
+    """SimHash hamming≤3 near-dup pairs via 4×16-bit pigeonhole
+    banding (rows-only; equality vs brute force pytest-verified)."""
+    from .stages.text_dedup import simhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=3)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal chain on the interleaved corpus: explode media spans
+    → actor-pool decode/resize/feature stage (decode is the documented
+    deterministic stub; plumbing is real). Rows-only."""
+    from .pipelines.extract import corpus_path
+    from .stages.multimodal import media_features
+
+    src = corpus_path(_extract_docs_count(sf_dir))
+    docs = ray.data.read_parquet(src, file_extensions=["parquet"])
+    feats = media_features(docs)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(
+            ["doc_id", "media_ref", "media_type", "height", "width",
+             "n_frames_sampled", "status"]
+        )
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def q_embeddings_knn_ivf(sf_dir: str):
     """IVF-bucketed approximate k-NN (rows-only; recall vs brute force
     is pytest-verified): deterministic k-means coarse quantizer built
@@ -931,6 +989,10 @@ QUERIES = {
     "embeddings_knn": q_embeddings_knn,
     "embeddings_label_stats": q_embeddings_label_stats,
     "embeddings_knn_ivf": q_embeddings_knn_ivf,
+    "embeddings_cosine_near_dup": q_embeddings_cosine_near_dup,
+    "embeddings_lsh_near_dup": q_embeddings_lsh_near_dup,
+    "docs_simhash_near_dup": q_docs_simhash_near_dup,
+    "media_features": q_media_features,
     "extract_spans": q_extract_spans,
     "extract_dedup_clusters": q_extract_dedup_clusters,
     "extract_carve": q_extract_carve,
@@ -967,6 +1029,7 @@ ORACLE_SQL = {
     "docs_signature_scan": SQL_DOCS_SIGNATURE_SCAN,
     "embeddings_knn": SQL_EMBEDDINGS_KNN,
     "embeddings_label_stats": SQL_EMBEDDINGS_LABEL_STATS,
+    "embeddings_cosine_near_dup": SQL_EMBEDDINGS_COSINE_NEAR_DUP,
 }
 
 _merge_registries()

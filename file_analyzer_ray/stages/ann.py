@@ -82,3 +82,99 @@ def knn_ivf(
 
     scored = ds.map_batches(score, batch_format="pandas")
     return scored.sort(["cosine_sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+def cosine_near_dup_pairs(sf_dir: str, threshold: float = 0.35) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b,
+    rounded sim ≥ threshold): the exact baseline. The normalized matrix
+    is broadcast ONCE (``ray.put``) and every scan batch does one numpy
+    matmul against it — O(N²/B) flops spread across tasks, no shuffle.
+    At 10^12 scale the broadcast side becomes the IVF-bucketed layout
+    (same cells compared only, see ``lsh_near_dup_pairs`` for the
+    hash-bucket variant)."""
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(tab["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack(tab["embedding"].to_pylist()).astype(np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, matn))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_mat = ray.get(ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        my_ids = df["vec_id"].to_numpy().astype(np.int64)
+        sims = np.round(m @ all_mat.T, 4)
+        keep = (sims >= threshold) & (my_ids[:, None] < all_ids[None, :])
+        r, c = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "vec_id_a": my_ids[r],
+                "vec_id_b": all_ids[c],
+                "cosine_sim": sims[r, c],
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pandas")
+
+
+def lsh_near_dup_pairs(
+    sf_dir: str, threshold: float = 0.35, n_tables: int = 8, n_bits: int = 6
+) -> "ray.data.Dataset":
+    """Random-hyperplane LSH near-dup (the scale path): ``n_tables``
+    sign-hash keys per vector (Charikar '02), candidates co-grouped by
+    (table, bucket) through ONE narrow shuffle, verified with exact
+    cosine in-group, then pair-deduped. Precision is 1.0 by
+    construction (exact verify); recall grows with n_tables."""
+    rng = np.random.default_rng(42)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    pref = ray.put(planes)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(pref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        out_bucket, out_id, out_vec = [], [], []
+        weights = 1 << np.arange(n_bits)
+        for t in range(n_tables):
+            signs = (mn @ pl[t].T) > 0  # (rows, n_bits)
+            buckets = (signs * weights).sum(axis=1).astype(np.int64) | (t << 32)
+            out_bucket.extend(buckets.tolist())
+            out_id.extend(ids.tolist())
+            out_vec.extend(list(mn))
+        return pd.DataFrame({"bucket": out_bucket, "vec_id": out_id, "vec": out_vec})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id_a": pd.Series([], dtype="int64"),
+                    "vec_id_b": pd.Series([], dtype="int64"),
+                    "cosine_sim": pd.Series([], dtype="float64"),
+                }
+            )
+        order = np.argsort(g["vec_id"].to_numpy())
+        ids = g["vec_id"].to_numpy()[order]
+        m = np.stack(g["vec"].to_numpy()[order])
+        sims = np.round(m @ m.T, 4)
+        keep = np.triu(sims >= threshold, k=1)
+        r, c = np.nonzero(keep)
+        return pd.DataFrame(
+            {"vec_id_a": ids[r], "vec_id_b": ids[c], "cosine_sim": sims[r, c]}
+        )
+
+    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    cands = ds.map_batches(explode, batch_format="pandas")
+    pairs = cands.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
+        first_pair, batch_format="pandas"
+    )

@@ -1,0 +1,215 @@
+"""Multimodal (image/audio/video-shaped) columns as opaque binary +
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+Mirrors the reference's vision preprocessing semantics (resize +
+letterbox onto a square canvas, src/core/vision.py:211-304) and its
+frame/batch handling, re-expressed Ray-Data-first:
+
+- media payloads are exploded to ONE ROW PER SPAN first (skew.py
+  pattern) so a many-media document never serializes one task;
+- decode / resize / feature-extract run in a callable CLASS passed to
+  ``map_batches(DecodeStage, concurrency=N, batch_size=B)`` — setup
+  (codec tables, plane buffers) happens once per actor in ``__init__``;
+- batch_size stays SMALL (default 64) because rows carry KB..MB binary
+  payloads — batch × concurrency must fit the worker heap (SURVEY §4).
+
+The image/audio codec libraries are not in this container, so the
+actual byte→pixels decode is a clearly-marked deterministic fake
+(content-hash-seeded PCG64 pixels, same pattern as the reference's
+mock adapter src/models/mock_adapter.py:31-305 but seeded, per
+src/cli/benchmark/samples.py:131-200). The real path is gated behind
+an import-try: with PIL installed, ``DecodeStage`` uses it unchanged —
+the Ray-side plumbing (schema, explode, actor signature, letterbox
+math, output layout) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..corpus import parse_frames
+from ..functions.hashing import stable_u64
+
+try:  # real decode path (not available in this sandbox)
+    from PIL import Image  # type: ignore
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+MEDIA_ROW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("media_type", pa.string()),
+        ("payload", pa.large_binary()),
+    ]
+)
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("media_type", pa.string()),
+        ("height", pa.int32()),
+        ("width", pa.int32()),
+        ("n_frames_sampled", pa.int32()),
+        ("features", pa.list_(pa.float32())),
+        ("status", pa.string()),
+    ]
+)
+
+
+def explode_media(batch: pa.Table) -> pa.Table:
+    """docs(doc_id, spans, binary) → one row per media/binary span.
+    Payload bytes are row-local after this point; Ray's dynamic block
+    splitting plus the small decode batch_size bound worker memory."""
+    rows = []
+    for doc_id, spans, binary in zip(
+        batch.column("doc_id").to_pylist(),
+        batch.column("spans").to_pylist(),
+        batch.column("binary").to_pylist(),
+    ):
+        payloads = parse_frames(binary or b"")
+        k = 0
+        for s in spans or []:
+            if s["kind"] in ("media", "binary"):
+                payload = payloads[k] if k < len(payloads) else b""
+                k += 1
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_ref": s["media_ref"],
+                        "media_type": s["kind"],
+                        "payload": payload,
+                    }
+                )
+    return pa.Table.from_pylist(rows, schema=MEDIA_ROW_SCHEMA)
+
+
+def resize_letterbox(img: np.ndarray, target: int) -> np.ndarray:
+    """Aspect-preserving nearest-neighbor resize pasted onto a black
+    target×target canvas — the reference's letterbox semantics
+    (src/core/vision.py:271-293) in pure numpy."""
+    h, w = img.shape[:2]
+    scale = min(target / h, target / w)
+    nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    ri = np.minimum((np.arange(nh) / scale).astype(np.int64), h - 1)
+    ci = np.minimum((np.arange(nw) / scale).astype(np.int64), w - 1)
+    resized = img[ri][:, ci]
+    canvas = np.zeros((target, target, img.shape[2]), dtype=img.dtype)
+    y0, x0 = (target - nh) // 2, (target - nw) // 2
+    canvas[y0 : y0 + nh, x0 : x0 + nw] = resized
+    return canvas
+
+
+def frame_sample(payload: bytes, frame_bytes: int = 4096, stride: int = 4) -> list[bytes]:
+    """Video-analog frame sampling: treat the payload as consecutive
+    fixed-size frames and keep every ``stride``-th one (bounded output
+    regardless of payload size)."""
+    n = max(1, (len(payload) + frame_bytes - 1) // frame_bytes)
+    return [
+        payload[i * frame_bytes : (i + 1) * frame_bytes] for i in range(0, n, stride)
+    ]
+
+
+class DecodeStage:
+    """Actor-pool decode → letterbox-resize → feature-extract.
+
+    One instance per actor: ``__init__`` holds the (stub) codec state;
+    ``__call__`` processes an Arrow batch of exploded media rows and
+    emits fixed-width feature rows. Per-row try/except keeps poisoned
+    payloads in the error channel instead of failing the block."""
+
+    N_BINS = 16
+
+    def __init__(self, target: int = 64, frame_bytes: int = 4096, stride: int = 4):
+        self.target = target
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+        self.bin_edges = np.linspace(0, 256, self.N_BINS + 1)
+
+    # -- decode (STUB in this sandbox; real path behind import-try) ---
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if _HAVE_PIL:  # pragma: no cover - codec libs absent in sandbox
+            import io
+
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        # Deterministic fake decode: dims and pixels are pure functions
+        # of the payload bytes (content-hash-seeded PCG64).
+        h64 = stable_u64(payload, b"decode:")
+        h = 32 + (h64 & 0x3F)          # 32..95
+        w = 32 + ((h64 >> 6) & 0x7F)   # 32..159
+        rng = np.random.default_rng(h64)
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def _features(self, img: np.ndarray) -> np.ndarray:
+        gray = img.astype(np.float32).mean(axis=2)
+        hist, _ = np.histogram(gray, bins=self.bin_edges)
+        hist = hist.astype(np.float32) / max(1, gray.size)
+        return np.concatenate(
+            [hist, [gray.mean() / 255.0, gray.std() / 255.0]]
+        ).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, ref, mtype, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("media_ref").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            try:
+                frames = frame_sample(payload or b"", self.frame_bytes, self.stride)
+                img = self._decode(frames[0] if frames else b"")
+                boxed = resize_letterbox(img, self.target)
+                feats = self._features(boxed)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_ref": ref,
+                        "media_type": mtype,
+                        "height": int(img.shape[0]),
+                        "width": int(img.shape[1]),
+                        "n_frames_sampled": len(frames),
+                        "features": feats.tolist(),
+                        "status": "success",
+                    }
+                )
+            except Exception as exc:  # error channel, never a failed block
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_ref": ref,
+                        "media_type": mtype,
+                        "height": 0,
+                        "width": 0,
+                        "n_frames_sampled": 0,
+                        "features": [],
+                        "status": f"error: {type(exc).__name__}"[:100],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=FEATURE_SCHEMA)
+
+
+def media_features(
+    docs: "ray.data.Dataset",
+    target: int = 64,
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Full multimodal chain: explode media spans → actor-pool
+    decode/resize/feature stage. Small batch_size because rows carry
+    binary payloads."""
+    media = docs.map_batches(explode_media, batch_format="pyarrow")
+    return media.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -99,6 +99,58 @@ def minhash_near_dup_pairs(
     )
 
 
+def simhash_near_dup_pairs(
+    docs: "ray.data.Dataset", max_hamming: int = 3
+) -> "ray.data.Dataset":
+    """SimHash near-duplicate pairs (hamming ≤ ``max_hamming`` over the
+    64-bit Charikar fingerprint). Pigeonhole banding: with 4 bands of
+    16 bits, any pair within hamming 3 shares at least one identical
+    band, so the band key is the ONE shuffle and recall is exactly 1.0;
+    in-group pairs are verified with the true hamming distance."""
+    from ..functions.hashing import hamming64, simhash64
+    from ..functions.text import tokenize
+
+    def add_simhash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "simhash": [simhash64(tokenize(t.lower())) for t in df["text"]],
+            }
+        )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out_band, out_doc, out_hash = [], [], []
+        for doc_id, h in zip(df["doc_id"], df["simhash"]):
+            h = int(h)
+            for b in range(4):
+                out_band.append((b << 16) | ((h >> (16 * b)) & 0xFFFF))
+                out_doc.append(doc_id)
+                out_hash.append(h)
+        return pd.DataFrame({"band": out_band, "doc_id": out_doc, "simhash": out_hash})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(zip(g["doc_id"], g["simhash"]))
+        rows = []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                d = hamming64(int(recs[i][1]), int(recs[j][1]))
+                if d <= max_hamming:
+                    rows.append(
+                        {"doc_id_a": recs[i][0], "doc_id_b": recs[j][0], "hamming": d}
+                    )
+        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"])
+
+    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    sigs = docs.map_batches(add_simhash, batch_format="pandas")
+    bands = sigs.map_batches(explode, batch_format="pandas")
+    pairs = bands.groupby("band").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
+        first_pair, batch_format="pandas"
+    )
+
+
 def ngram_dedup_clusters(
     docs: "ray.data.Dataset", threshold: float = 0.8, n: int = 3
 ) -> "ray.data.Dataset":

@@ -1,0 +1,139 @@
+"""Near-dup family + multimodal stage tests: banding recall proofs
+against brute force, LSH precision/recall, letterbox geometry,
+deterministic decode stub."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# simhash banding == brute force (recall 1.0 guaranteed by pigeonhole)
+
+
+def test_simhash_near_dup_matches_brute_force(ray_session):
+    import ray.data
+
+    from file_analyzer_ray.functions.hashing import hamming64, simhash64
+    from file_analyzer_ray.functions.text import tokenize
+    from file_analyzer_ray.stages.text_dedup import simhash_near_dup_pairs
+
+    tab = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ids = tab["doc_id"].to_pylist()
+    hashes = [simhash64(tokenize(t.lower())) for t in tab["text"].to_pylist()]
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if hamming64(hashes[i], hashes[j]) <= 3:
+                a, b = sorted((ids[i], ids[j]))
+                expected.add((a, b))
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    got_df = simhash_near_dup_pairs(ds, max_hamming=3).to_pandas()
+    got = set(zip(got_df["doc_id_a"], got_df["doc_id_b"]))
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# LSH near-dup: precision 1.0, recall bounded below vs exact baseline
+
+
+def test_lsh_near_dup_precision_and_recall(ray_session):
+    from file_analyzer_ray.stages.ann import cosine_near_dup_pairs, lsh_near_dup_pairs
+
+    exact = cosine_near_dup_pairs(SF_DIR, threshold=0.35).to_pandas()
+    approx = lsh_near_dup_pairs(SF_DIR, threshold=0.35).to_pandas()
+    exact_pairs = set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+    approx_pairs = set(zip(approx["vec_id_a"], approx["vec_id_b"]))
+    assert len(exact_pairs) > 0
+    # precision 1.0: every LSH pair is verified with exact cosine
+    assert approx_pairs <= exact_pairs
+    recall = len(approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"LSH recall {recall} too low"
+
+
+def test_cosine_near_dup_symmetric_ids(ray_session):
+    from file_analyzer_ray.stages.ann import cosine_near_dup_pairs
+
+    df = cosine_near_dup_pairs(SF_DIR, threshold=0.35).to_pandas()
+    assert (df["vec_id_a"] < df["vec_id_b"]).all()
+    assert (df["cosine_sim"] >= 0.35).all()
+    # no duplicate pairs
+    assert not df.duplicated(["vec_id_a", "vec_id_b"]).any()
+
+
+# ---------------------------------------------------------------------------
+# multimodal stages
+
+
+def test_resize_letterbox_geometry():
+    from file_analyzer_ray.stages.multimodal import resize_letterbox
+
+    img = np.full((40, 80, 3), 200, dtype=np.uint8)  # 1:2 aspect
+    out = resize_letterbox(img, 64)
+    assert out.shape == (64, 64, 3)
+    # content occupies 32 rows (scaled by 64/80), letterboxed top+bottom
+    filled_rows = (out.sum(axis=(1, 2)) > 0).sum()
+    assert 30 <= filled_rows <= 34
+    # letterbox bands are black
+    assert out[0].sum() == 0 and out[-1].sum() == 0
+    # full-width content where filled
+    mid = out[32]
+    assert (mid > 0).all()
+
+
+def test_frame_sample_bounds():
+    from file_analyzer_ray.stages.multimodal import frame_sample
+
+    payload = bytes(range(256)) * 64  # 16 KiB
+    frames = frame_sample(payload, frame_bytes=4096, stride=2)
+    assert len(frames) == 2  # frames 0 and 2 of 4
+    assert frames[0] == payload[:4096]
+    assert frame_sample(b"", frame_bytes=4096, stride=4) == [b""]
+
+
+def test_decode_stage_deterministic_and_error_channel(ray_session):
+    import pyarrow as pa
+
+    from file_analyzer_ray.stages.multimodal import MEDIA_ROW_SCHEMA, DecodeStage
+
+    batch = pa.Table.from_pylist(
+        [
+            {"doc_id": "d1", "media_ref": "m/1", "media_type": "media",
+             "payload": b"payload-bytes-abc" * 100},
+            {"doc_id": "d2", "media_ref": "m/2", "media_type": "binary",
+             "payload": b""},
+        ],
+        schema=MEDIA_ROW_SCHEMA,
+    )
+    stage = DecodeStage(target=64)
+    out1 = stage(batch).to_pylist()
+    out2 = DecodeStage(target=64)(batch).to_pylist()
+    assert out1 == out2  # pure function of payload bytes
+    assert out1[0]["status"] == "success"
+    assert len(out1[0]["features"]) == DecodeStage.N_BINS + 2
+    hist = np.array(out1[0]["features"][: DecodeStage.N_BINS])
+    assert abs(hist.sum() - 1.0) < 1e-5  # normalized histogram
+    assert out1[0]["height"] >= 32 and out1[0]["width"] >= 32
+
+
+def test_media_features_pipeline_covers_all_media_spans(ray_session):
+    import ray.data
+
+    from file_analyzer_ray.pipelines.extract import corpus_path
+    from file_analyzer_ray.stages.multimodal import media_features
+
+    src = corpus_path(200)
+    docs = ray.data.read_parquet(src, file_extensions=["parquet"])
+    n_media = 0
+    for row in docs.take_all():
+        n_media += sum(1 for s in row["spans"] if s["kind"] in ("media", "binary"))
+    feats = media_features(docs).to_pandas()
+    assert len(feats) == n_media
+    assert (feats["status"] == "success").all()
+    assert feats["media_ref"].is_unique

@@ -104,6 +104,7 @@ SQL_CHECKED = [
     "events_distinct_users",
     "orders_status_distinct",
     "events_union_split",
+    "embeddings_cosine_near_dup",
 ]
 
 
@@ -122,6 +123,9 @@ ROWS_ONLY = [
     "docs_minhash_near_dup",
     "docs_ngram_dedup",
     "embeddings_knn_ivf",
+    "embeddings_lsh_near_dup",
+    "docs_simhash_near_dup",
+    "media_features",
     "extract_spans",
     "extract_dedup_clusters",
     "extract_carve",
