@@ -122,6 +122,15 @@ class MinHasher:
             (stable_u64(s.encode(), b"minhash:") % _MERSENNE31 for s in set(shingles)),
             dtype=np.uint64,
         )
+        return self.signature_from_hashes(base)
+
+    def signature_from_hashes(self, base: np.ndarray) -> np.ndarray:
+        """Signature from pre-hashed (31-bit) shingle values — the hot
+        path: shingle hashing is vectorized upstream
+        (:func:`char_shingle_hashes`), no per-shingle Python."""
+        if len(base) == 0:
+            return np.full(self.num_perm, _U64, dtype=np.uint64)
+        base = np.unique(base.astype(np.uint64))
         # (num_perm, n): 31-bit * 31-bit + 31-bit fits in uint64.
         vals = (self.a[:, None] * base[None, :] + self.b[:, None]) % np.uint64(_MERSENNE31)
         return vals.min(axis=1)
@@ -134,6 +143,61 @@ class MinHasher:
             chunk = sig[b * rows : (b + 1) * rows]
             keys.append((b, stable_u64(chunk.tobytes(), b"band:")))
         return keys
+
+
+_POLY_BASE = 1_000_003
+
+
+def _poly_window_hashes(vals: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial hash of every length-``k`` sliding window of ``vals``
+    (Karp–Rabin, mod 2^31−1), fully vectorized. Each val must be
+    < 2^31; per-term products stay < 2^62 so the windowed dot fits in
+    uint64 when reduced mod p after each power-multiply."""
+    if len(vals) < k:
+        if len(vals) == 0:
+            return np.empty(0, dtype=np.uint64)
+        k = len(vals)
+    powers = np.empty(k, dtype=np.uint64)
+    p = np.uint64(_MERSENNE31)
+    acc = np.uint64(1)
+    for i in range(k - 1, -1, -1):
+        powers[i] = acc
+        acc = (acc * np.uint64(_POLY_BASE)) % p
+    win = np.lib.stride_tricks.sliding_window_view(vals.astype(np.uint64), k)
+    out = np.zeros(len(win), dtype=np.uint64)
+    for j in range(k):  # k tiny (5 for shingles, 3 for n-grams)
+        out = (out + (win[:, j] % p) * powers[j]) % p
+    return out
+
+
+def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """31-bit hashes of the character k-shingles of the normalized
+    lowercased text — equivalent candidate universe to
+    ``char_shingles`` but with NO per-shingle Python strings or sha256
+    calls (the MinHash hot path)."""
+    from .text import normalize_ws
+
+    s = normalize_ws(text).lower()
+    if not s:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    return _poly_window_hashes(arr, min(k, len(arr)))
+
+
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """31-bit hashes of word n-grams: per-token 31-bit hashes (few per
+    doc) combined by a vectorized window polynomial."""
+    from .text import tokenize
+
+    toks = [t.lower() for t in tokenize(text)]
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    tok_h = np.fromiter(
+        (stable_u64(t.encode(), b"tok:") % _MERSENNE31 for t in toks),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    return _poly_window_hashes(tok_h, min(n, len(tok_h)))
 
 
 def jaccard(a: set, b: set) -> float:

@@ -50,11 +50,45 @@ def _small_pdf(sf_dir: str, table: str, columns: list[str]) -> pd.DataFrame:
 def _preagg(ds, keys: list[str], partial, combine):
     """Partial-aggregate inside map_batches, then a small groupby over
     the per-batch partials (SURVEY.md §4: pre-aggregate before the
-    shuffle)."""
+    shuffle). ``combine`` runs per group — use only when the final
+    merge is not expressible as native aggregates (e.g. set unions);
+    otherwise prefer :func:`_preagg_native`."""
     part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     return part.groupby(keys if len(keys) > 1 else keys[0]).map_groups(
         combine, batch_format="pandas"
     )
+
+
+def _preagg_native(ds, keys: list[str], partial, aggs, finalize):
+    """Two-level aggregation with NO per-group Python: partial-aggregate
+    inside map_batches (the combiner — each batch reduces to ≤ one row
+    per key), then merge the small partials in ONE task with a single
+    vectorized pandas groupby, then finalize vectorized.
+
+    The final merge is deliberately a single task, not a shuffle: after
+    the combiner, data volume is O(num_batches × num_groups) narrow
+    rows, so one reducer is faster than an all-to-all exchange up to
+    millions of groups. For extreme group cardinality (e.g. per-doc
+    keys at 10^12 scale) switch the merge to
+    ``groupby(keys).aggregate(*aggs)`` — same ``aggs`` spec.
+
+    ``aggs`` are ``ray.data.aggregate`` objects (Sum/Min/Max); output
+    columns follow Ray's naming (``sum(col)``) so the two merge paths
+    are drop-in interchangeable."""
+    spec: dict[str, str] = {}
+    renames: dict[str, str] = {}
+    for a in aggs:
+        col = a.get_target_column()
+        op = type(a).__name__.lower()
+        spec[col] = op
+        renames[col] = a.name  # e.g. cents -> sum(cents)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False).agg(spec).rename(columns=renames)
+        return finalize(g)
+
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return part.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
 
 
 def _cents(x: pd.Series) -> pd.Series:
@@ -97,27 +131,30 @@ def q_lineitem_pricing_summary(sf_dir: str):
         )
         return out.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        qty = g["qty"].sum()
-        base = g["base_cents"].sum()
-        disc = g["disc_cents4"].sum()
-        n = int(g["n"].sum())
+    from ray.data.aggregate import Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["sum(n)"]
         return pd.DataFrame(
-            [
-                {
-                    "l_returnflag": g["l_returnflag"].iloc[0],
-                    "l_linestatus": g["l_linestatus"].iloc[0],
-                    "sum_qty": float(qty),
-                    "sum_base_price": base / 100.0,
-                    "sum_disc_price": disc / 10000.0,
-                    "avg_qty": float(qty) / n,
-                    "avg_price": base / 100.0 / n,
-                    "count_order": n,
-                }
-            ]
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["sum(qty)"].astype(float),
+                "sum_base_price": df["sum(base_cents)"] / 100.0,
+                "sum_disc_price": df["sum(disc_cents4)"] / 10000.0,
+                "avg_qty": df["sum(qty)"].astype(float) / n,
+                "avg_price": df["sum(base_cents)"] / 100.0 / n,
+                "count_order": n.astype("int64"),
+            }
         )
 
-    return _preagg(ds, ["l_returnflag", "l_linestatus"], partial, combine)
+    return _preagg_native(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        partial,
+        [Sum("qty"), Sum("base_cents"), Sum("disc_cents4"), Sum("n")],
+        finalize,
+    )
 
 
 SQL_LINEITEM_PRICING = """
@@ -194,18 +231,18 @@ def q_customer_order_revenue(sf_dir: str):
         out = pd.DataFrame({"mktsegment": seg, "cents": _cents(df["o_totalprice"]), "n": 1})
         return out.groupby("mktsegment", as_index=False).sum()
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            [
-                {
-                    "mktsegment": g["mktsegment"].iloc[0],
-                    "n_orders": int(g["n"].sum()),
-                    "total_price": g["cents"].sum() / 100.0,
-                }
-            ]
+            {
+                "mktsegment": df["mktsegment"],
+                "n_orders": df["sum(n)"].astype("int64"),
+                "total_price": df["sum(cents)"] / 100.0,
+            }
         )
 
-    return _preagg(ds, ["mktsegment"], partial, combine)
+    return _preagg_native(ds, ["mktsegment"], partial, [Sum("cents"), Sum("n")], finalize)
 
 
 SQL_CUSTOMER_ORDER_REVENUE = """
@@ -234,18 +271,18 @@ def q_nation_region_rollup(sf_dir: str):
         out = pd.DataFrame({"region_name": r, "cents": _cents(df["c_acctbal"]), "n": 1})
         return out.groupby("region_name", as_index=False).sum()
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            [
-                {
-                    "region_name": g["region_name"].iloc[0],
-                    "n_customers": int(g["n"].sum()),
-                    "total_acctbal": g["cents"].sum() / 100.0,
-                }
-            ]
+            {
+                "region_name": df["region_name"],
+                "n_customers": df["sum(n)"].astype("int64"),
+                "total_acctbal": df["sum(cents)"] / 100.0,
+            }
         )
 
-    return _preagg(ds, ["region_name"], partial, combine)
+    return _preagg_native(ds, ["region_name"], partial, [Sum("cents"), Sum("n")], finalize)
 
 
 SQL_NATION_REGION_ROLLUP = """
@@ -275,19 +312,21 @@ def q_supplier_lineitem_agg(sf_dir: str):
         )
         return out.groupby("l_suppkey", as_index=False).sum()
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            [
-                {
-                    "l_suppkey": int(g["l_suppkey"].iloc[0]),
-                    "n_items": int(g["n"].sum()),
-                    "sum_qty": float(g["qty"].sum()),
-                    "revenue": g["rev4"].sum() / 10000.0,
-                }
-            ]
+            {
+                "l_suppkey": df["l_suppkey"].astype("int64"),
+                "n_items": df["sum(n)"].astype("int64"),
+                "sum_qty": df["sum(qty)"].astype(float),
+                "revenue": df["sum(rev4)"] / 10000.0,
+            }
         )
 
-    return _preagg(ds, ["l_suppkey"], partial, combine)
+    return _preagg_native(
+        ds, ["l_suppkey"], partial, [Sum("qty"), Sum("rev4"), Sum("n")], finalize
+    )
 
 
 SQL_SUPPLIER_LINEITEM_AGG = """
@@ -313,20 +352,21 @@ def q_part_type_breakdown(sf_dir: str):
             cents=("cents", "sum"), max_size=("max_size", "max"), n=("n", "sum")
         )
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        n = int(g["n"].sum())
+    from ray.data.aggregate import Max, Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            [
-                {
-                    "p_type": g["p_type"].iloc[0],
-                    "n_parts": n,
-                    "avg_retail": g["cents"].sum() / 100.0 / n,
-                    "max_size": int(g["max_size"].max()),
-                }
-            ]
+            {
+                "p_type": df["p_type"],
+                "n_parts": df["sum(n)"].astype("int64"),
+                "avg_retail": df["sum(cents)"] / 100.0 / df["sum(n)"],
+                "max_size": df["max(max_size)"].astype("int64"),
+            }
         )
 
-    return _preagg(ds, ["p_type"], partial, combine)
+    return _preagg_native(
+        ds, ["p_type"], partial, [Sum("cents"), Max("max_size"), Sum("n")], finalize
+    )
 
 
 SQL_PART_TYPE_BREAKDOWN = """
@@ -409,19 +449,21 @@ def q_events_hourly_rollup(sf_dir: str):
         )
         return out.groupby(["hour", "event_type"], as_index=False).sum()
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            [
-                {
-                    "hour": g["hour"].iloc[0],
-                    "event_type": g["event_type"].iloc[0],
-                    "n_events": int(g["n"].sum()),
-                    "sum_value": g["cents"].sum() / 100.0,
-                }
-            ]
+            {
+                "hour": df["hour"],
+                "event_type": df["event_type"],
+                "n_events": df["sum(n)"].astype("int64"),
+                "sum_value": df["sum(cents)"] / 100.0,
+            }
         )
 
-    return _preagg(ds, ["hour", "event_type"], partial, combine)
+    return _preagg_native(
+        ds, ["hour", "event_type"], partial, [Sum("cents"), Sum("n")], finalize
+    )
 
 
 SQL_EVENTS_HOURLY = """
@@ -556,20 +598,21 @@ def q_docs_length_by_lang(sf_dir: str):
             chars=("chars", "sum"), mx=("chars", "max"), n=("n", "sum")
         )
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        n = int(g["n"].sum())
+    from ray.data.aggregate import Max, Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            [
-                {
-                    "lang": g["lang"].iloc[0],
-                    "n_docs": n,
-                    "avg_chars": float(g["chars"].sum()) / n,
-                    "max_chars": int(g["mx"].max()),
-                }
-            ]
+            {
+                "lang": df["lang"],
+                "n_docs": df["sum(n)"].astype("int64"),
+                "avg_chars": df["sum(chars)"].astype(float) / df["sum(n)"],
+                "max_chars": df["max(mx)"].astype("int64"),
+            }
         )
 
-    return _preagg(ds, ["lang"], partial, combine)
+    return _preagg_native(
+        ds, ["lang"], partial, [Sum("chars"), Max("mx"), Sum("n")], finalize
+    )
 
 
 SQL_DOCS_LENGTH_BY_LANG = """
@@ -594,10 +637,14 @@ def q_docs_top_terms(sf_dir: str):
                     counts[t] = counts.get(t, 0) + 1
         return pd.DataFrame({"term": list(counts), "n": list(counts.values())})
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame([{"term": g["term"].iloc[0], "n_occurrences": int(g["n"].sum())}])
+    from ray.data.aggregate import Sum
 
-    agg = _preagg(ds, ["term"], partial, combine)
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"term": df["term"], "n_occurrences": df["sum(n)"].astype("int64")}
+        )
+
+    agg = _preagg_native(ds, ["term"], partial, [Sum("n")], finalize)
     return agg.sort(["n_occurrences", "term"], descending=[True, False]).limit(10)
 
 
@@ -812,19 +859,18 @@ def q_embeddings_label_stats(sf_dir: str):
         out = pd.DataFrame({"label": df["label"], "norm_sum": norms, "n": 1})
         return out.groupby("label", as_index=False).sum()
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        n = int(g["n"].sum())
+    from ray.data.aggregate import Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            [
-                {
-                    "label": int(g["label"].iloc[0]),
-                    "n_vectors": n,
-                    "avg_norm": round(float(g["norm_sum"].sum()) / n, 4),
-                }
-            ]
+            {
+                "label": df["label"].astype("int64"),
+                "n_vectors": df["sum(n)"].astype("int64"),
+                "avg_norm": np.round(df["sum(norm_sum)"] / df["sum(n)"], 4),
+            }
         )
 
-    return _preagg(ds, ["label"], partial, combine)
+    return _preagg_native(ds, ["label"], partial, [Sum("norm_sum"), Sum("n")], finalize)
 
 
 SQL_EMBEDDINGS_LABEL_STATS = """

@@ -30,7 +30,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from .queries import _cents, _preagg, _read, _small_pdf
+from .queries import _cents, _preagg_native, _read, _small_pdf
 
 # ---------------------------------------------------------------------------
 # distributed hash joins (Dataset.join — the real exchange)
@@ -55,12 +55,14 @@ def q_orders_lineitem_join_agg(sf_dir: str):
         )
         return out.groupby("l_orderkey", as_index=False).sum()
 
-    def li_combine(g: pd.DataFrame) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    def li_finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            [{"l_orderkey": int(g["l_orderkey"].iloc[0]), "rev4": int(g["rev4"].sum())}]
+            {"l_orderkey": df["l_orderkey"], "rev4": df["sum(rev4)"].astype("int64")}
         )
 
-    per_order = _preagg(li, ["l_orderkey"], li_partial, li_combine)
+    per_order = _preagg_native(li, ["l_orderkey"], li_partial, [Sum("rev4")], li_finalize)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = orders.join(
         per_order,
@@ -76,18 +78,18 @@ def q_orders_lineitem_join_agg(sf_dir: str):
         )
         return out.groupby("o_orderpriority", as_index=False).sum()
 
-    def pr_combine(g: pd.DataFrame) -> pd.DataFrame:
+    def pr_finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            [
-                {
-                    "o_orderpriority": g["o_orderpriority"].iloc[0],
-                    "n_orders": int(g["n"].sum()),
-                    "revenue": g["rev4"].sum() / 10000.0,
-                }
-            ]
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "n_orders": df["sum(n)"].astype("int64"),
+                "revenue": df["sum(rev4)"] / 10000.0,
+            }
         )
 
-    return _preagg(joined, ["o_orderpriority"], pr_partial, pr_combine)
+    return _preagg_native(
+        joined, ["o_orderpriority"], pr_partial, [Sum("rev4"), Sum("n")], pr_finalize
+    )
 
 
 SQL_ORDERS_LINEITEM_JOIN_AGG = """
@@ -131,17 +133,17 @@ def q_orders_semi_lineitem_returns(sf_dir: str):
         out = pd.DataFrame({"o_orderpriority": df["o_orderpriority"], "n": 1})
         return out.groupby("o_orderpriority", as_index=False).sum()
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            [
-                {
-                    "o_orderpriority": g["o_orderpriority"].iloc[0],
-                    "n_orders": int(g["n"].sum()),
-                }
-            ]
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "n_orders": df["sum(n)"].astype("int64"),
+            }
         )
 
-    return _preagg(semi, ["o_orderpriority"], partial, combine)
+    return _preagg_native(semi, ["o_orderpriority"], partial, [Sum("n")], finalize)
 
 
 SQL_ORDERS_SEMI_LINEITEM_RETURNS = """
@@ -183,18 +185,18 @@ def q_customers_without_orders(sf_dir: str):
         )
         return out.groupby("c_mktsegment", as_index=False).sum()
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            [
-                {
-                    "c_mktsegment": g["c_mktsegment"].iloc[0],
-                    "n_customers": int(g["n"].sum()),
-                    "total_acctbal": g["cents"].sum() / 100.0,
-                }
-            ]
+            {
+                "c_mktsegment": df["c_mktsegment"],
+                "n_customers": df["sum(n)"].astype("int64"),
+                "total_acctbal": df["sum(cents)"] / 100.0,
+            }
         )
 
-    return _preagg(anti, ["c_mktsegment"], partial, combine)
+    return _preagg_native(anti, ["c_mktsegment"], partial, [Sum("cents"), Sum("n")], finalize)
 
 
 SQL_CUSTOMERS_WITHOUT_ORDERS = """
@@ -229,18 +231,18 @@ def q_supplier_revenue_named(sf_dir: str):
         )
         return out.groupby("s_name", as_index=False).sum()
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            [
-                {
-                    "s_name": g["s_name"].iloc[0],
-                    "n_items": int(g["n"].sum()),
-                    "revenue": g["rev4"].sum() / 10000.0,
-                }
-            ]
+            {
+                "s_name": df["s_name"],
+                "n_items": df["sum(n)"].astype("int64"),
+                "revenue": df["sum(rev4)"] / 10000.0,
+            }
         )
 
-    return _preagg(li, ["s_name"], partial, combine)
+    return _preagg_native(li, ["s_name"], partial, [Sum("rev4"), Sum("n")], finalize)
 
 
 SQL_SUPPLIER_REVENUE_NAMED = """
@@ -456,12 +458,14 @@ def q_events_union_split(sf_dir: str):
         out = pd.DataFrame({"event_type": df["event_type"], "n": 1})
         return out.groupby("event_type", as_index=False).sum()
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            [{"event_type": g["event_type"].iloc[0], "n_events": int(g["n"].sum())}]
+            {"event_type": df["event_type"], "n_events": df["sum(n)"].astype("int64")}
         )
 
-    return _preagg(ds, ["event_type"], partial, combine)
+    return _preagg_native(ds, ["event_type"], partial, [Sum("n")], finalize)
 
 
 SQL_EVENTS_UNION_SPLIT = """

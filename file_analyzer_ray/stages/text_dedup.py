@@ -23,7 +23,13 @@ import pandas as pd
 
 import ray.data
 
-from ..functions.hashing import MinHasher, jaccard, stable_u64
+from ..functions.hashing import (
+    MinHasher,
+    char_shingle_hashes,
+    jaccard,
+    stable_u64,
+    word_ngram_hashes,
+)
 from ..functions.text import char_shingles, word_ngrams
 
 _N_PERM = 64
@@ -31,72 +37,142 @@ _N_BANDS = 16  # 4 rows/band → recall ≈ 0.9998 at J = 0.8
 
 
 class SignatureStage:
-    """Per-batch minhash signatures (hasher built once per actor)."""
+    """Per-batch minhash signatures (hasher built once per actor).
+    Shingle hashing is fully vectorized (``hash_fn`` returns a uint64
+    array per doc — no per-shingle Python objects in the hot path)."""
 
-    def __init__(self, shingle_fn):
+    def __init__(self, hash_fn):
         self.mh = MinHasher(num_perm=_N_PERM, seed=42)
-        self.shingle_fn = shingle_fn
+        self.hash_fn = hash_fn
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.mh.signature(self.shingle_fn(t)).tobytes() for t in df["text"]]
+        sigs = [
+            self.mh.signature_from_hashes(self.hash_fn(t)).tobytes()
+            for t in df["text"]
+        ]
         return pd.DataFrame({"doc_id": df["doc_id"], "text": df["text"], "sig": sigs})
 
 
 def _explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+    """Band rows (band, doc_id, sig): text never crosses the candidate
+    shuffle; the signature (512 B) rides along so buckets can prefilter
+    pairs by estimated Jaccard before the exact verify."""
     rows_per_band = _N_PERM // _N_BANDS
-    out_band, out_doc, out_text, out_sig = [], [], [], []
-    for doc_id, text, sig in zip(df["doc_id"], df["text"], df["sig"]):
+    out_band, out_doc, out_sig = [], [], []
+    for doc_id, sig in zip(df["doc_id"], df["sig"]):
         arr = np.frombuffer(sig, dtype=np.uint64)
         for b in range(_N_BANDS):
             chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
             key = (b << 48) | (stable_u64(chunk.tobytes(), b"band:") & ((1 << 48) - 1))
             out_band.append(key)
             out_doc.append(doc_id)
-            out_text.append(text)
             out_sig.append(sig)
-    return pd.DataFrame(
-        {"band": out_band, "doc_id": out_doc, "text": out_text, "sig": out_sig}
-    )
+    return pd.DataFrame({"band": out_band, "doc_id": out_doc, "sig": out_sig})
 
 
-def _make_pair_verifier(shingle_fn, threshold: float):
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(zip(g["doc_id"], g["text"]))
-        rows = []
-        shingle_cache = {d: set(shingle_fn(t)) for d, t in recs}
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                a, b = recs[i][0], recs[j][0]
-                jac = jaccard(shingle_cache[a], shingle_cache[b])
-                if jac >= threshold:
-                    rows.append({"doc_id_a": a, "doc_id_b": b, "jaccard": jac})
-        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "jaccard"])
+def _make_bucket_candidates(threshold: float, est_margin: float = 0.15):
+    """In-bucket pair generation with a vectorized signature-estimate
+    prefilter: pairs whose estimated Jaccard (fraction of agreeing
+    minhash components) is below threshold−margin never reach the
+    exact verify — this is what keeps mega-buckets (a 600-clone
+    cluster is C(600,2) raw pairs) from exploding the pair shuffle."""
+    cutoff = threshold - est_margin
 
-    return verify
+    def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"doc_id_a": g["doc_id"].iloc[:0], "doc_id_b": g["doc_id"].iloc[:0]}
+            )
+        order = np.argsort(g["doc_id"].to_numpy())
+        ids = g["doc_id"].to_numpy()[order]
+        sigs = np.stack(
+            [np.frombuffer(s, dtype=np.uint64) for s in g["sig"].to_numpy()[order]]
+        )
+        est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        keep = np.triu(est >= cutoff, k=1)
+        r, c = np.nonzero(keep)
+        return pd.DataFrame({"doc_id_a": ids[r], "doc_id_b": ids[c]})
+
+    return bucket_candidates
 
 
 def _first_pair(g: pd.DataFrame) -> pd.DataFrame:
     return g.iloc[:1]
 
 
+def _lsh_candidate_pairs(docs, hash_fn, threshold: float) -> "ray.data.Dataset":
+    """(doc_id, text) → deduped candidate pair dataset via MinHash-LSH:
+    vectorized signatures → (band, doc_id, sig) explode → one shuffle →
+    in-bucket estimate-prefiltered pairs → pair dedup."""
+    # Autoscaling pool (min 1): a fixed pool equal to the CPU count
+    # would starve the downstream shuffle on small clusters.
+    sigs = docs.map_batches(
+        SignatureStage, fn_constructor_args=(hash_fn,), batch_format="pandas",
+        batch_size=1024, concurrency=(1, 4),
+    )
+    bands = sigs.map_batches(_explode_bands, batch_format="pandas")
+    cands = bands.groupby("band").map_groups(
+        _make_bucket_candidates(threshold), batch_format="pandas"
+    )
+    return cands.groupby(["doc_id_a", "doc_id_b"]).map_groups(
+        _first_pair, batch_format="pandas"
+    )
+
+
+def _verify_pairs_exact(pairs, docs, shingle_fn, threshold: float) -> "ray.data.Dataset":
+    """Exact-Jaccard verify for the LSH candidates. The candidate pair
+    set is small by construction (post-banding, post-dedup), so it is
+    collected, the texts of ONLY the referenced docs are fetched with
+    one broadcast semi-filter pass over the corpus, and the verify runs
+    distributed over the pair dataset with the text map broadcast via
+    ``ray.put``. (If candidates ever outgrow the driver, swap this for
+    the two-hash-join formulation — same semantics, all-streaming.)"""
+    import pyarrow as pa
+
+    empty = pa.Table.from_pylist(
+        [], schema=pa.schema([("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()),
+                              ("jaccard", pa.float64())])
+    )
+    pair_df = pairs.to_pandas()
+    if pair_df.empty:
+        return ray.data.from_arrow(empty)
+    need = set(pair_df["doc_id_a"]) | set(pair_df["doc_id_b"])
+    need_ref = ray.put(need)
+    texts = docs.map_batches(
+        lambda df: df.loc[df["doc_id"].isin(ray.get(need_ref)), ["doc_id", "text"]],
+        batch_format="pandas",
+    ).to_pandas()
+    text_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        text_of = ray.get(text_ref)
+        cache: dict = {}
+
+        def sh(doc_id):
+            if doc_id not in cache:
+                cache[doc_id] = set(shingle_fn(text_of[doc_id]))
+            return cache[doc_id]
+
+        rows = []
+        for a, b in zip(df["doc_id_a"], df["doc_id_b"]):
+            jac = jaccard(sh(a), sh(b))
+            if jac >= threshold:
+                rows.append({"doc_id_a": a, "doc_id_b": b, "jaccard": jac})
+        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "jaccard"])
+
+    return ray.data.from_pandas(pair_df).map_batches(verify, batch_format="pandas")
+
+
 def minhash_near_dup_pairs(
     docs: "ray.data.Dataset", threshold: float = 0.8, shingle_k: int = 5
 ) -> "ray.data.Dataset":
     """(doc_id, text) → verified near-dup pairs (doc_id_a, doc_id_b,
-    jaccard). Exact-Jaccard verification, MinHash-LSH candidate
-    generation."""
+    jaccard). MinHash-LSH candidate generation (narrow shuffle),
+    exact-Jaccard verification on the joined-back texts."""
     shingle_fn = lambda t: char_shingles(t, shingle_k)  # noqa: E731
-    sigs = docs.map_batches(
-        SignatureStage, fn_constructor_args=(shingle_fn,), batch_format="pandas",
-        concurrency=2,
-    )
-    bands = sigs.map_batches(_explode_bands, batch_format="pandas")
-    pairs = bands.groupby("band").map_groups(
-        _make_pair_verifier(shingle_fn, threshold), batch_format="pandas"
-    )
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        _first_pair, batch_format="pandas"
-    )
+    hash_fn = lambda t: char_shingle_hashes(t, shingle_k)  # noqa: E731
+    pairs = _lsh_candidate_pairs(docs, hash_fn, threshold)
+    return _verify_pairs_exact(pairs, docs, shingle_fn, threshold)
 
 
 def simhash_near_dup_pairs(
@@ -157,17 +233,9 @@ def ngram_dedup_clusters(
     """Word n-gram Jaccard dedup clusters (size ≥ 2): LSH pairs →
     driver union-find over the (small) verified pair set."""
     shingle_fn = lambda t: word_ngrams(t, n)  # noqa: E731
-    sigs = docs.map_batches(
-        SignatureStage, fn_constructor_args=(shingle_fn,), batch_format="pandas",
-        concurrency=2,
-    )
-    bands = sigs.map_batches(_explode_bands, batch_format="pandas")
-    pairs = (
-        bands.groupby("band")
-        .map_groups(_make_pair_verifier(shingle_fn, threshold), batch_format="pandas")
-        .groupby(["doc_id_a", "doc_id_b"])
-        .map_groups(_first_pair, batch_format="pandas")
-    )
+    hash_fn = lambda t: word_ngram_hashes(t, n)  # noqa: E731
+    cands = _lsh_candidate_pairs(docs, hash_fn, threshold)
+    pairs = _verify_pairs_exact(cands, docs, shingle_fn, threshold)
     pair_rows = pairs.take_all()  # verified pairs only: provably small
 
     parent: dict = {}
