@@ -64,11 +64,41 @@ EXTRACTED_SCHEMA = pa.schema(
     ]
 )
 
+SCORED_SCHEMA = pa.schema(
+    list(EXTRACTED_SCHEMA)
+    + [
+        ("mode", pa.string()),
+        ("description", pa.string()),
+        ("tags", pa.list_(pa.string())),
+        ("recommended_filename", pa.string()),
+        ("model_status", pa.string()),
+        ("attempts", pa.int32()),
+    ]
+)
+
+_EMPTY_SCORE = {
+    "mode": "",
+    "description": "",
+    "tags": [],
+    "recommended_filename": "",
+    "model_status": "skipped",
+    "attempts": 0,
+}
+
 
 class ExtractStage:
-    """Actor-pool batch extractor (pyarrow Table in → pyarrow Table out)."""
+    """Actor-pool batch extractor (pyarrow Table in → pyarrow Table out).
 
-    def __init__(self, chunk_size: int = 1 << 20):
+    With ``score=True`` the mock-VLM scoring chain (stages/scorer.py
+    semantics) runs FUSED in the same pass: the span lists are already
+    Python objects here, so fusing avoids a second actor pool and a
+    full object-store round trip of the heavy ``spans`` column — the
+    dominant inter-stage cost at 100k+ docs."""
+
+    def __init__(self, chunk_size: int = 1 << 20, score: bool = False,
+                 max_words: int = 16):
+        self.score = score
+        self.max_words = max_words
         # Multi-pattern text automaton: one alternation regex (prefix-free
         # pattern set ⇒ equivalent to per-pattern scans); hit order is
         # recovered as (position, pattern priority).
@@ -174,16 +204,29 @@ class ExtractStage:
             for pos, _si, name in self._magic_hits(body):
                 out_k.append("embedded"); out_t.append(f"{name}@{pos}"); out_r.append(ref)
         n = len(out_k)
-        return {
+        chash = _content_hash(norm_pairs, hash_payloads)
+        row = {
             "doc_id": doc_id,
             "spans": [
                 {"kind": out_k[j], "text": out_t[j], "media_ref": out_r[j], "offset": j}
                 for j in range(n)
             ],
-            "content_hash": _content_hash(norm_pairs, hash_payloads),
+            "content_hash": chash,
             "n_spans": n,
             "status": "success",
         }
+        if self.score:
+            from ..functions.scoring import score_doc
+            from ..functions.text import TOKEN_RE
+
+            words: list[str] = []
+            for j in range(n):
+                if out_k[j] in ("text", "ocr"):
+                    words.extend(TOKEN_RE.findall(out_t[j]))
+                    if len(words) >= self.max_words:
+                        break
+            row.update(score_doc(chash or "0" * 12, words[: self.max_words]))
+        return row
 
     # -- batch entry ------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -195,13 +238,16 @@ class ExtractStage:
             try:
                 rows.append(self._extract_one(doc_id, spans or [], binary))
             except Exception as exc:  # error-channel row, never a failed block
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "spans": [],
-                        "content_hash": "",
-                        "n_spans": 0,
-                        "status": f"error: {type(exc).__name__}: {exc}"[:200],
-                    }
-                )
-        return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+                err = {
+                    "doc_id": doc_id,
+                    "spans": [],
+                    "content_hash": "",
+                    "n_spans": 0,
+                    "status": f"error: {type(exc).__name__}: {exc}"[:200],
+                }
+                if self.score:
+                    err.update(_EMPTY_SCORE)
+                rows.append(err)
+        return pa.Table.from_pylist(
+            rows, schema=SCORED_SCHEMA if self.score else EXTRACTED_SCHEMA
+        )
