@@ -511,6 +511,46 @@ FROM f GROUP BY user_id
 """
 
 
+def q_events_value_percentiles(sf_dir: str):
+    """Median / p90 per event type (A5 benchmark-statistics analog).
+    Exact percentiles need the full value set per group co-located, so
+    this is a real ``groupby.map_groups`` (few groups, each bounded);
+    at extreme group sizes swap in a t-digest sketch."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy().astype(np.float64))
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": g["event_type"].iloc[0],
+                    "median_value": float(np.quantile(v, 0.5)),
+                    "p90_value": float(np.quantile(v, 0.9)),
+                }
+            ]
+        )
+
+    return ds.groupby("event_type").map_groups(pct, batch_format="pandas")
+
+
+SQL_EVENTS_VALUE_PERCENTILES = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS median_value,
+       quantile_cont(value, 0.9) AS p90_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_approx_users(sf_dir: str):
+    """HyperLogLog approximate distinct users (rows-only; error bound
+    vs the exact count is pytest-verified). Registers merge by max —
+    no exchange of raw keys."""
+    from .stages.sketches import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return approx_distinct(ds, "user_id", p=12)
+
+
 def q_events_props_extract(sf_dir: str):
     """Per-row JSON extraction (dot-path getter, M15 analog)."""
     from .functions.paths import get_path
@@ -1021,6 +1061,8 @@ QUERIES = {
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_sessionize": q_events_sessionize,
     "events_props_extract": q_events_props_extract,
+    "events_value_percentiles": q_events_value_percentiles,
+    "events_approx_users": q_events_approx_users,
     "docs_token_stats": q_docs_token_stats,
     "docs_quality": q_docs_quality,
     "docs_length_by_lang": q_docs_length_by_lang,
@@ -1066,6 +1108,7 @@ ORACLE_SQL = {
     "events_hourly_rollup": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_props_extract": SQL_EVENTS_PROPS,
+    "events_value_percentiles": SQL_EVENTS_VALUE_PERCENTILES,
     "docs_token_stats": SQL_DOCS_TOKEN_STATS,
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_length_by_lang": SQL_DOCS_LENGTH_BY_LANG,

@@ -1,0 +1,95 @@
+"""Approximate aggregation sketches for corpus-scale diagnostics.
+
+HyperLogLog distinct-count (Flajolet et al. 2007, with the standard
+small-range correction): mergeable register arrays make it the right
+shape for Ray two-level aggregation — each batch reduces to one 2^p
+register array (vectorized numpy), registers merge by elementwise max,
+and the estimate is computed once at the end. No exact-distinct
+shuffle: at 10^12 docs an exact ``count(DISTINCT)`` is a full exchange
+of every key; the sketch crosses the wire in 2^p bytes per batch.
+
+New capability vs the reference (SURVEY.md §2.5 notes it has no
+sketches); flagged rows-only for the driver (pytest bounds the error
+vs the exact count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..functions.hashing import stable_u64
+
+
+def _hll_params(p: int) -> tuple[int, float]:
+    m = 1 << p
+    if m >= 128:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    return m, alpha
+
+
+def _leading_zeros64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count of leading zeros of uint64 values (0 → 64),
+    via binary descent on shifted comparisons — exact for all 64 bits
+    (no float log2 precision traps)."""
+    lz = np.zeros(len(x), dtype=np.int64)
+    cur = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        low = cur < (np.uint64(1) << np.uint64(64 - shift))
+        lz += np.where(low, shift, 0)
+        cur = np.where(low, cur << np.uint64(shift), cur)
+    return np.where(x == 0, 64, lz)
+
+
+def hll_registers(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """Vectorized register array for a batch of uint64 hashes: index =
+    top p bits, rank = leading zeros of the remaining bits + 1."""
+    m, _ = _hll_params(p)
+    idx = (values >> np.uint64(64 - p)).astype(np.int64)
+    rest = values << np.uint64(p)
+    rank = np.minimum(_leading_zeros64(rest) + 1, 64 - p + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray, p: int = 12) -> float:
+    m, alpha = _hll_params(p)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return float(est)
+
+
+def approx_distinct(
+    ds: "ray.data.Dataset", column: str, p: int = 12
+) -> pd.DataFrame:
+    """Approximate global distinct count of ``column``: per-batch
+    register arrays → elementwise-max merge → one estimate. Returns a
+    1-row DataFrame {n_distinct_approx, precision_p}."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = np.fromiter(
+            (stable_u64(str(v).encode(), b"hll:") for v in df[column]),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        regs = hll_registers(vals, p)
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).take_all()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for r in parts:
+        merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
+    return pd.DataFrame(
+        [{"n_distinct_approx": round(hll_estimate(merged, p)), "precision_p": p}]
+    )

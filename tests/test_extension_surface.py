@@ -1,0 +1,152 @@
+"""Sources (format dispatch, glob filters), stage registry / pipeline
+builder, HLL sketch accuracy, percentile query."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# sources
+
+
+def test_detect_format():
+    from file_analyzer_ray.sources import detect_format
+
+    assert detect_format("/x/y.parquet") == "parquet"
+    assert detect_format("/x/tbl.lance") == "lance"
+    assert detect_format("/x/a.jsonl") == "json"
+    assert detect_format("/x/a.csv") == "csv"
+    assert detect_format("/x/dir") == "parquet"  # default
+
+
+def test_read_docs_parquet_prunes_columns(ray_session):
+    from file_analyzer_ray.sources import read_docs
+
+    ds = read_docs(f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"])
+    assert set(ds.schema().names) == {"doc_id", "lang"}
+    assert ds.count() == 500
+
+
+def test_read_docs_lance_gated(ray_session):
+    from file_analyzer_ray.sources import HAVE_LANCE, read_docs
+
+    if not HAVE_LANCE:
+        with pytest.raises(NotImplementedError):
+            read_docs("/tmp/x.lance", format="lance")
+
+
+def test_json_csv_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from file_analyzer_ray.sources import read_docs, write_docs
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    ds = ray.data.from_pandas(df)
+    write_docs(ds, str(tmp_path / "out_json"), format="json")
+    back = read_docs(str(tmp_path / "out_json"), format="json").to_pandas()
+    assert sorted(back["a"].tolist()) == [1, 2, 3]
+    write_docs(ds, str(tmp_path / "out_csv"), format="csv")
+    back2 = read_docs(str(tmp_path / "out_csv"), format="csv").to_pandas()
+    assert sorted(back2["b"].tolist()) == ["x", "y", "z"]
+
+
+def test_glob_filter_include_exclude(ray_session):
+    import ray.data
+
+    from file_analyzer_ray.sources import glob_filter
+
+    df = pd.DataFrame(
+        {"path": ["a/img.png", "a/img.jpg", "b/doc.txt", "a/tmp/img.png"]}
+    )
+    ds = ray.data.from_pandas(df)
+    out = glob_filter(ds, "path", include=["*.png", "*.jpg"], exclude=["*tmp*"])
+    got = sorted(out.to_pandas()["path"])
+    assert got == ["a/img.jpg", "a/img.png"]
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def test_registry_builtin_stages_listed():
+    from file_analyzer_ray.registry import list_stages
+
+    names = list_stages()
+    for expected in ["extract", "extract_scored", "score", "explode_media",
+                     "decode_media"]:
+        assert expected in names
+
+
+def test_registry_unknown_stage_raises():
+    from file_analyzer_ray.registry import get_stage
+
+    with pytest.raises(KeyError):
+        get_stage("no_such_stage")
+
+
+def test_build_pipeline_with_custom_stage(ray_session):
+    import ray.data
+
+    from file_analyzer_ray.registry import build_pipeline, register_stage
+
+    def double(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(0, "v", pc.multiply(t["v"], 2))
+
+    register_stage("test_double", double)
+    ds = ray.data.from_arrow(pa.table({"v": [1, 2, 3]}))
+    out = build_pipeline(ds, ["test_double", "test_double"]).to_pandas()
+    assert sorted(out["v"].tolist()) == [4, 8, 12]
+
+
+def test_build_pipeline_actor_stage(ray_session):
+    import ray.data
+
+    from file_analyzer_ray.pipelines.extract import corpus_path
+    from file_analyzer_ray.registry import build_pipeline
+
+    src = corpus_path(200)
+    docs = ray.data.read_parquet(src, file_extensions=["parquet"])
+    out = build_pipeline(docs, [("extract_scored", {"batch_size": 64})])
+    df = out.to_pandas()
+    assert len(df) == 200
+    assert "recommended_filename" in df.columns
+
+
+# ---------------------------------------------------------------------------
+# sketches + percentiles
+
+
+def test_hll_error_bound(ray_session):
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    approx = qs["events_approx_users"](SF_DIR)["n_distinct_approx"].iloc[0]
+    import duckdb
+
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    err = abs(approx - exact) / exact
+    assert err < 0.05, f"HLL error {err:.3f} (approx={approx}, exact={exact})"
+
+
+def test_hll_merge_associative():
+    from file_analyzer_ray.functions.hashing import stable_u64
+    from file_analyzer_ray.stages.sketches import hll_estimate, hll_registers
+
+    vals = np.fromiter(
+        (stable_u64(str(i).encode(), b"hll:") for i in range(10000)),
+        dtype=np.uint64,
+    )
+    whole = hll_registers(vals, 12)
+    merged = np.maximum(hll_registers(vals[:5000], 12), hll_registers(vals[5000:], 12))
+    assert (whole == merged).all()
+    assert abs(hll_estimate(whole, 12) - 10000) / 10000 < 0.05

@@ -105,6 +105,7 @@ SQL_CHECKED = [
     "orders_status_distinct",
     "events_union_split",
     "embeddings_cosine_near_dup",
+    "events_value_percentiles",
 ]
 
 
@@ -123,6 +124,7 @@ ROWS_ONLY = [
     "docs_minhash_near_dup",
     "docs_ngram_dedup",
     "embeddings_knn_ivf",
+    "events_approx_users",
     "embeddings_lsh_near_dup",
     "docs_simhash_near_dup",
     "media_features",
