@@ -231,7 +231,7 @@ def docs_table(indices) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
 
 
-def generate_parquet(n_docs: int, out_dir: str, docs_per_file: int = 4000) -> str:
+def generate_parquet(n_docs: int, out_dir: str, docs_per_file: int = 2000) -> str:
     """Write the corpus as partitioned parquet via a Ray pipeline
     (generation itself scales out: range → map_batches → write)."""
     import ray.data

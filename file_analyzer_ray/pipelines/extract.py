@@ -36,7 +36,8 @@ _CORPUS_CACHE_ROOT = "/tmp/fa_ray_corpus"
 
 def corpus_path(n_docs: int) -> str:
     """Deterministic on-disk corpus cache (generated once per size)."""
-    path = os.path.join(_CORPUS_CACHE_ROOT, f"v1_{n_docs}")
+    # v2: 2000-doc shards (finer units for shard-level checkpointing)
+    path = os.path.join(_CORPUS_CACHE_ROOT, f"v2_{n_docs}")
     marker = os.path.join(path, "_COMPLETE")
     if not os.path.exists(marker):
         tmp = path + ".building"

@@ -1,0 +1,220 @@
+"""Shard-level checkpointed extraction: the shuffle-free scale path.
+
+At 10^12-document scale the natural resume unit is the INPUT SHARD
+(one storage fragment / parquet file): shards are stable across runs
+and cluster sizes, every row of a shard is processed by exactly one
+task, so a shard's output can be written and FENCED the moment it
+finishes — mid-run crashes lose only in-flight shards, and nothing
+about the plan requires an all-to-all exchange. This complements the
+key-partitioned sink (state/lineage.py), which co-locates output by
+``hash(doc_id)`` for downstream keyed consumption at the cost of one
+shuffle; pipelines that only need resumable bulk extraction use this.
+
+Layout:
+    out_dir/shard-<stem>.parquet            (atomic tmp+rename)
+    out_dir/shard-<stem>.manifest.json      (the fence, written last)
+manifest = {shard, input_fingerprint (file size+mtime-free: sha256 of
+the shard's (doc_id, content_hash) set, order-independent), row_count,
+span_count, engine_version, run_meta}.
+
+Ray shape: ``from_items(shard_paths) → map_batches(ShardWorker,
+batch_size=1, actor pool)`` — the worker holds the fused ExtractStage
+(automata compiled once per actor) and streams one shard per call.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from .. import __version__
+
+MANIFEST_SUFFIX = ".manifest.json"
+
+
+def _shard_stem(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def completed_shards(out_dir: str) -> dict[str, dict]:
+    """shard stem → manifest for every fenced shard."""
+    done: dict[str, dict] = {}
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if name.startswith("shard-") and name.endswith(MANIFEST_SUFFIX):
+            try:
+                with open(os.path.join(out_dir, name)) as f:
+                    m = json.load(f)
+                if os.path.exists(os.path.join(out_dir, m["data_file"])):
+                    done[m["shard"]] = m
+            except (json.JSONDecodeError, KeyError, OSError):
+                continue  # torn manifest == not fenced
+    return done
+
+
+def content_fingerprint(doc_ids: list[str], hashes: list[str]) -> str:
+    """Order-independent fingerprint of a (doc_id, content_hash) set:
+    sum of per-row sha256 values mod 2^128. Stable across parallelism
+    levels, batch boundaries and row order."""
+    acc = 0
+    mod = 1 << 128
+    for d, h in zip(doc_ids, hashes):
+        row = hashlib.sha256(d.encode() + b"\x00" + h.encode()).digest()[:16]
+        acc = (acc + int.from_bytes(row, "little")) % mod
+    return f"{acc:032x}"
+
+
+class ShardWorker:
+    """Actor: one input shard per call → extracted+scored output shard,
+    atomically published and fenced. Returns the manifest row."""
+
+    def __init__(self, out_dir: str, score: bool = True,
+                 run_meta: dict | None = None,
+                 fail_shards: frozenset[str] = frozenset()):
+        from ..stages.extract import ExtractStage
+
+        self.out_dir = out_dir
+        self.stage = ExtractStage(score=score)
+        self.run_meta = run_meta or {}
+        self.fail_shards = fail_shards
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: dict) -> pa.Table:
+        rows = []
+        for path in batch["item"]:
+            stem = _shard_stem(path)
+            if stem in self.fail_shards:
+                raise RuntimeError(f"injected failure for shard {stem}")
+            table = pq.read_table(path)
+            out = self.stage(table)
+            data_file = f"shard-{stem}.parquet"
+            final = os.path.join(self.out_dir, data_file)
+            tmp = final + f".tmp{os.getpid()}"
+            pq.write_table(out, tmp)
+            os.replace(tmp, final)
+            manifest = {
+                "shard": stem,
+                "data_file": data_file,
+                "input_fingerprint": content_fingerprint(
+                    out.column("doc_id").to_pylist(),
+                    out.column("content_hash").to_pylist(),
+                ),
+                "row_count": out.num_rows,
+                "span_count": int(
+                    sum(out.column("n_spans").to_pylist())
+                ),
+                "engine_version": __version__,
+                "run_meta": self.run_meta,
+            }
+            mfinal = os.path.join(self.out_dir, f"shard-{stem}{MANIFEST_SUFFIX}")
+            mtmp = mfinal + f".tmp{os.getpid()}"
+            with open(mtmp, "w") as f:
+                json.dump(manifest, f, sort_keys=True)
+            os.replace(mtmp, mfinal)  # the fence
+            rows.append(
+                {
+                    "shard": stem,
+                    "row_count": out.num_rows,
+                    "span_count": manifest["span_count"],
+                    "input_fingerprint": manifest["input_fingerprint"],
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+
+def run_sharded(
+    src_dir: str,
+    out_dir: str,
+    *,
+    score: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
+    resume: bool = True,
+    run_meta: dict | None = None,
+    fail_shards: frozenset[str] = frozenset(),
+    dispatch: str = "actor_pool",
+) -> dict:
+    """Extract every parquet shard under ``src_dir`` into fenced output
+    shards. Resume skips fenced shards BEFORE any read is scheduled
+    (input pruning, not row filtering). Returns run metrics.
+
+    ``dispatch='actor_pool'`` (default) drives the same ``ShardWorker``
+    actors through ``ray.util.ActorPool.map_unordered`` — dynamic
+    work-stealing balancing with none of the Dataset streaming
+    executor's per-task scheduling cost, which measures ~40% of wall
+    time for these sub-second shard tasks (81k vs 43k docs/s at 32
+    CPUs on the 800k-doc corpus). ``dispatch='dataset'`` keeps the
+    ``from_items → map_batches`` formulation for composing the shard
+    map into a larger Dataset plan."""
+    import glob as _glob
+
+    import ray
+
+    shards = sorted(_glob.glob(os.path.join(src_dir, "*.parquet")))
+    done = completed_shards(out_dir) if resume else {}
+    todo = [p for p in shards if _shard_stem(p) not in done]
+    if not todo:
+        return {"shards": 0, "rows": 0, "span_count": 0, "skipped": len(done)}
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (min(8, max(2, cpus - 2)), max(2, cpus - 2))
+    ctor_kwargs = {
+        "out_dir": out_dir,
+        "score": score,
+        "run_meta": run_meta,
+        "fail_shards": fail_shards,
+    }
+    if dispatch == "actor_pool":
+        from ray.util import ActorPool
+
+        n_actors = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+        n_actors = min(n_actors, len(todo))
+        worker_cls = ray.remote(num_cpus=1)(_PooledShardWorker)
+        actors = [worker_cls.remote(ctor_kwargs) for _ in range(n_actors)]
+        try:
+            pool = ActorPool(actors)
+            results = [
+                row
+                for rows in pool.map_unordered(
+                    lambda a, p: a.run.remote(p), todo
+                )
+                for row in rows
+            ]
+        finally:
+            for a in actors:
+                ray.kill(a)
+    else:
+        results = (
+            ray.data.from_items(todo)
+            .map_batches(
+                ShardWorker,
+                fn_constructor_kwargs=ctor_kwargs,
+                batch_size=1,
+                concurrency=concurrency,
+                num_cpus=1,
+            )
+            .take_all()
+        )
+    return {
+        "shards": len(results),
+        "rows": sum(r["row_count"] for r in results),
+        "span_count": sum(r["span_count"] for r in results),
+        "skipped": len(done),
+    }
+
+
+class _PooledShardWorker:
+    """ActorPool wrapper around :class:`ShardWorker` (one shard per
+    call, returns manifest rows as plain dicts)."""
+
+    def __init__(self, ctor_kwargs: dict):
+        self.worker = ShardWorker(**ctor_kwargs)
+
+    def run(self, path: str) -> list[dict]:
+        return self.worker({"item": [path]}).to_pylist()
