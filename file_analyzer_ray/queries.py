@@ -713,19 +713,24 @@ def q_docs_exact_dedup(sf_dir: str):
             }
         )
 
-    def cluster(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            [
-                {
-                    "content_hash": g["content_hash"].iloc[0],
-                    "canonical_doc_id": int(g["doc_id"].min()),
-                    "cluster_size": len(g),
-                }
-            ]
+    from ray.data.aggregate import Min, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = add_hash(df)
+        return out.groupby("content_hash", as_index=False).agg(
+            doc_min=("doc_id", "min"), n=("doc_id", "count")
         )
 
-    hashed = ds.map_batches(add_hash, batch_format="pandas")
-    return hashed.groupby("content_hash").map_groups(cluster, batch_format="pandas")
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "content_hash": df["content_hash"],
+                "canonical_doc_id": df["min(doc_min)"].astype("int64"),
+                "cluster_size": df["sum(n)"].astype("int64"),
+            }
+        )
+
+    return _preagg_native(ds, ["content_hash"], partial, [Min("doc_min"), Sum("n")], finalize)
 
 
 SQL_DOCS_EXACT_DEDUP = """

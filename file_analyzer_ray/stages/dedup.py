@@ -32,28 +32,45 @@ CLUSTER_SCHEMA = pa.schema(
 )
 
 
-def _cluster_group(group: pa.Table) -> pa.Table:
-    ids = sorted(group.column("doc_id").to_pylist())
-    h = group.column("content_hash")[0].as_py()
-    return pa.Table.from_pylist(
-        [
-            {
-                "content_hash": h,
-                "canonical_doc_id": ids[0],
-                "cluster_size": len(ids),
-                "member_ids": ids,
-            }
-        ],
-        schema=CLUSTER_SCHEMA,
-    )
-
-
 def exact_dedup_clusters(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
-    """(doc_id, content_hash, …) → one row per content-hash cluster."""
+    """(doc_id, content_hash, …) → one row per content-hash cluster.
+
+    Two-level aggregation with no per-group Python in the merge loop:
+    per-batch partial clusters (one vectorized pandas groupby each),
+    then one merge task concatenating member lists — partials are
+    O(distinct hashes per batch) narrow rows, so a single reducer
+    holds them comfortably; at extreme cluster-count scale swap the
+    merge for ``groupby(content_hash).aggregate`` on the counts and
+    drop member lists."""
+    import pandas as pd
+
     narrow = extracted.select_columns(["doc_id", "content_hash"])
-    return narrow.groupby("content_hash").map_groups(
-        _cluster_group, batch_format="pyarrow"
-    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("content_hash", as_index=False).agg(
+            canonical_doc_id=("doc_id", "min"),
+            cluster_size=("doc_id", "count"),
+            member_ids=("doc_id", list),
+        )
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("content_hash", as_index=False).agg(
+            canonical_doc_id=("canonical_doc_id", "min"),
+            cluster_size=("cluster_size", "sum"),
+            member_ids=("member_ids", lambda s: sorted(sum(s, []))),
+        )
+        return pa.Table.from_pydict(
+            {
+                "content_hash": g["content_hash"],
+                "canonical_doc_id": g["canonical_doc_id"],
+                "cluster_size": g["cluster_size"].astype("int64"),
+                "member_ids": g["member_ids"],
+            },
+            schema=CLUSTER_SCHEMA,
+        )
+
+    part = narrow.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return part.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
 
 
 def add_phash(batch: pa.Table) -> pa.Table:

@@ -101,9 +101,12 @@ def _first_pair(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def _lsh_candidate_pairs(docs, hash_fn, threshold: float) -> "ray.data.Dataset":
-    """(doc_id, text) → deduped candidate pair dataset via MinHash-LSH:
-    vectorized signatures → (band, doc_id, sig) explode → one shuffle →
-    in-bucket estimate-prefiltered pairs → pair dedup."""
+    """(doc_id, text) → candidate pair dataset via MinHash-LSH:
+    vectorized signatures → (band, doc_id, sig) explode → ONE shuffle →
+    in-bucket estimate-prefiltered pairs. Pairs surfacing from several
+    bands appear multiply; the verify step dedups them in one pandas
+    pass on the collected (small) candidate set — cheaper than a
+    second groupby exchange."""
     # Autoscaling pool (min 1): a fixed pool equal to the CPU count
     # would starve the downstream shuffle on small clusters.
     sigs = docs.map_batches(
@@ -111,11 +114,8 @@ def _lsh_candidate_pairs(docs, hash_fn, threshold: float) -> "ray.data.Dataset":
         batch_size=1024, concurrency=(1, 4),
     )
     bands = sigs.map_batches(_explode_bands, batch_format="pandas")
-    cands = bands.groupby("band").map_groups(
+    return bands.groupby("band").map_groups(
         _make_bucket_candidates(threshold), batch_format="pandas"
-    )
-    return cands.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        _first_pair, batch_format="pandas"
     )
 
 
@@ -133,7 +133,7 @@ def _verify_pairs_exact(pairs, docs, shingle_fn, threshold: float) -> "ray.data.
         [], schema=pa.schema([("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()),
                               ("jaccard", pa.float64())])
     )
-    pair_df = pairs.to_pandas()
+    pair_df = pairs.to_pandas().drop_duplicates(["doc_id_a", "doc_id_b"])
     if pair_df.empty:
         return ray.data.from_arrow(empty)
     need = set(pair_df["doc_id_a"]) | set(pair_df["doc_id_b"])
