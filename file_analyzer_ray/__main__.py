@@ -1,0 +1,126 @@
+"""CLI entry point: ``python -m file_analyzer_ray <command>``.
+
+Ray-native replacement for the reference's ``fa`` CLI surface
+(src/cli/main.py:285-368): the analyze-everything flow is the sharded
+extraction run; analyses map to registered stages / queries.
+
+The CLI owns its Ray session (guarded init — the only places allowed
+to init Ray are here, bench.py and the pytest fixture; library code
+and the driver contract never do).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+class _RaySession:
+    """Init Ray only if nobody else owns it; shut down only what we
+    started (an embedding host — tests, a driver — keeps its session)."""
+
+    def __enter__(self):
+        import ray
+
+        self._owned = not ray.is_initialized()
+        if self._owned:
+            ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        self._ray = ray
+        return ray
+
+    def __exit__(self, *exc):
+        if self._owned:
+            self._ray.shutdown()
+        return False
+
+
+def cmd_extract(args) -> int:
+    with _RaySession():
+        from .pipelines.extract import corpus_path
+        from .state.shards import run_sharded
+
+        src = args.src or corpus_path(args.docs)
+        metrics = run_sharded(
+            src,
+            args.out,
+            score=not args.no_score,
+            resume=not args.no_resume,
+            run_meta={"cli": True},
+        )
+        print(json.dumps(metrics))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .queries import ORACLE_SQL, QUERIES
+
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; see `queries`", file=sys.stderr)
+        return 2
+    with _RaySession():
+        res = QUERIES[args.name](args.sf_dir)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if args.limit:
+            df = df.head(args.limit)
+        print(df.to_string(index=False))
+    if args.show_sql and args.name in ORACLE_SQL:
+        print("\n-- DuckDB oracle --" + ORACLE_SQL[args.name])
+    return 0
+
+
+def cmd_queries(args) -> int:
+    from .queries import ORACLE_SQL, QUERIES
+
+    for name in sorted(QUERIES):
+        mark = "sql-oracle" if name in ORACLE_SQL else "rows-only"
+        print(f"{name:32s} {mark}")
+    return 0
+
+
+def cmd_stages(args) -> int:
+    from .registry import list_stages
+
+    for name in list_stages():
+        print(name)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="file_analyzer_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="shard-checkpointed extraction run")
+    pe.add_argument("--src", help="input parquet dir (default: synthetic corpus)")
+    pe.add_argument("--docs", type=int, default=1000,
+                    help="synthetic corpus size when --src omitted")
+    pe.add_argument("--out", required=True, help="output dir (fenced shards)")
+    pe.add_argument("--no-score", action="store_true")
+    pe.add_argument("--no-resume", action="store_true")
+    pe.set_defaults(fn=cmd_extract)
+
+    pq_ = sub.add_parser("query", help="run a registered query")
+    pq_.add_argument("name")
+    pq_.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pq_.add_argument("--limit", type=int, default=20)
+    pq_.add_argument("--show-sql", action="store_true")
+    pq_.set_defaults(fn=cmd_query)
+
+    pl = sub.add_parser("queries", help="list registered queries")
+    pl.set_defaults(fn=cmd_queries)
+
+    ps = sub.add_parser("stages", help="list registered pipeline stages")
+    ps.set_defaults(fn=cmd_stages)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    except BrokenPipeError:  # downstream `head` closed the pipe
+        return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -150,3 +150,36 @@ def test_hll_merge_associative():
     merged = np.maximum(hll_registers(vals[:5000], 12), hll_registers(vals[5000:], 12))
     assert (whole == merged).all()
     assert abs(hll_estimate(whole, 12) - 10000) / 10000 < 0.05
+
+
+# ---------------------------------------------------------------------------
+# CLI
+
+
+def test_cli_listing_commands(capsys):
+    from file_analyzer_ray.__main__ import main
+
+    assert main(["queries"]) == 0
+    out = capsys.readouterr().out
+    assert "orders_topk" in out and "sql-oracle" in out
+    assert main(["stages"]) == 0
+    assert "extract_scored" in capsys.readouterr().out
+
+
+def test_cli_extract_and_query(ray_session, tmp_path, capsys):
+    from file_analyzer_ray.__main__ import main
+
+    out_dir = str(tmp_path / "cli_out")
+    assert main(["extract", "--docs", "200", "--out", out_dir]) == 0
+    import json
+
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["rows"] == 200
+    # resume: fully fenced -> nothing to do
+    assert main(["extract", "--docs", "200", "--out", out_dir]) == 0
+    metrics2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics2["shards"] == 0
+
+    assert main(["query", "orders_topk", "--limit", "3"]) == 0
+    assert "o_orderkey" in capsys.readouterr().out
+    assert main(["query", "nope_nope"]) == 2
