@@ -199,12 +199,18 @@ class DecodeStage:
 def media_features(
     docs: "ray.data.Dataset",
     target: int = 64,
-    concurrency: int = 2,
+    concurrency: "int | tuple[int, int] | None" = None,
     batch_size: int = 64,
 ) -> "ray.data.Dataset":
     """Full multimodal chain: explode media spans → actor-pool
     decode/resize/feature stage. Small batch_size because rows carry
-    binary payloads."""
+    binary payloads; the pool autoscales to the cluster minus headroom
+    for the explode/read stages."""
+    import ray
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (2, max(2, cpus - 4))
     media = docs.map_batches(explode_media, batch_format="pyarrow")
     return media.map_batches(
         DecodeStage,
