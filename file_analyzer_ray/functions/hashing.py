@@ -180,7 +180,10 @@ def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     s = normalize_ws(text).lower()
     if not s:
         return np.empty(0, dtype=np.uint64)
-    arr = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    # utf-32-le → exactly one uint32 per CHARACTER (codepoints < 2^31),
+    # so hash shingles correspond 1:1 to the char_shingles string
+    # universe even for non-ASCII text.
+    arr = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
     return _poly_window_hashes(arr, min(k, len(arr)))
 
 

@@ -87,10 +87,13 @@ def extract_json_from_text(text: str | None) -> dict | None:
     """Extract the most relevant JSON object from free-form model text."""
     if not text:
         return None
-    # Strategy 1: the whole text is JSON.
+    # Strategy 1: the whole text is a JSON object. A bare scalar/array
+    # parse is NOT a result — fall through to the object scan (contract
+    # is dict-or-None, mirroring the reference's expected-fields flow).
     try:
         obj = json.loads(text)
-        return obj
+        if isinstance(obj, dict):
+            return obj
     except json.JSONDecodeError:
         pass
     # Strategy 2: balanced-brace scan.

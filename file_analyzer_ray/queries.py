@@ -983,6 +983,24 @@ def q_media_features(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def q_media_frame_features(sf_dir: str):
+    """Per-frame multimodal features (video analog; rows-only)."""
+    from .pipelines.extract import corpus_path
+    from .stages.multimodal import frame_features
+
+    src = corpus_path(_extract_docs_count(sf_dir))
+    docs = ray.data.read_parquet(src, file_extensions=["parquet"])
+
+    def project(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(t["features"])
+        return pa.Table.from_arrays(
+            [t["doc_id"], t["media_ref"], t["frame_idx"], n.cast(pa.int64())],
+            names=["doc_id", "media_ref", "frame_idx", "n_features"],
+        )
+
+    return frame_features(docs).map_batches(project, batch_format="pyarrow")
+
+
 def q_embeddings_knn_ivf(sf_dir: str):
     """IVF-bucketed approximate k-NN (rows-only; recall vs brute force
     is pytest-verified): deterministic k-means coarse quantizer built
@@ -1086,6 +1104,7 @@ QUERIES = {
     "embeddings_lsh_near_dup": q_embeddings_lsh_near_dup,
     "docs_simhash_near_dup": q_docs_simhash_near_dup,
     "media_features": q_media_features,
+    "media_frame_features": q_media_frame_features,
     "extract_spans": q_extract_spans,
     "extract_dedup_clusters": q_extract_dedup_clusters,
     "extract_carve": q_extract_carve,

@@ -477,6 +477,100 @@ SELECT event_type, count(*) AS n_events FROM (
 """
 
 
+def q_segment_top_orders(sf_dir: str):
+    """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) →
+    top-10 orders by revenue within one market segment. Broadcast the
+    filtered customer keys (small side), hash-join the two large
+    tables with the fact side pre-aggregated, then global sort+limit."""
+    cust = _small_pdf(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = frozenset(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    kref = ray.put(keys)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(kref)
+        return df.loc[df["o_custkey"].isin(ks), ["o_orderkey", "o_orderdate"]]
+
+    bld_orders = orders.map_batches(filter_orders, batch_format="pandas")
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "rev4": np.round(
+                    (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy() * 10000
+                ).astype(np.int64),
+            }
+        )
+        return out.groupby("l_orderkey", as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    def li_finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"], "revenue": df["sum(rev4)"] / 10000.0}
+        )
+
+    per_order = _preagg_native(li, ["l_orderkey"], li_partial, [Sum("rev4")], li_finalize)
+    joined = bld_orders.join(
+        per_order,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["o_orderkey", "o_orderdate", "revenue"]]
+
+    return (
+        joined.map_batches(project, batch_format="pandas")
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_SEGMENT_TOP_ORDERS = """
+SELECT o.o_orderkey, o.o_orderdate,
+       CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+"""
+
+
+def q_docs_deterministic_sample(sf_dir: str):
+    """Content-addressed deterministic sampling (~25%): keep a doc iff
+    the first byte of md5(doc_id) < 64. Unlike seeded random_sample,
+    the decision is a pure function of the KEY — identical across
+    cluster sizes, resumes and engines (SQL-expressible), which is
+    what reproducible corpus subsampling at 10^12 scale needs."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        keep = [
+            hashlib.md5(str(d).encode()).digest()[0] < 64 for d in df["doc_id"]
+        ]
+        return df.loc[keep]
+
+    return ds.map_batches(sample, batch_format="pandas")
+
+
+SQL_DOCS_DETERMINISTIC_SAMPLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 64
+"""
+
+
 JOIN_QUERIES = {
     "orders_lineitem_join_agg": q_orders_lineitem_join_agg,
     "orders_semi_lineitem_returns": q_orders_semi_lineitem_returns,
@@ -488,6 +582,8 @@ JOIN_QUERIES = {
     "events_distinct_users": q_events_distinct_users,
     "orders_status_distinct": q_orders_status_distinct,
     "events_union_split": q_events_union_split,
+    "segment_top_orders": q_segment_top_orders,
+    "docs_deterministic_sample": q_docs_deterministic_sample,
 }
 
 JOIN_ORACLE_SQL = {
@@ -501,4 +597,6 @@ JOIN_ORACLE_SQL = {
     "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
     "orders_status_distinct": SQL_ORDERS_STATUS_DISTINCT,
     "events_union_split": SQL_EVENTS_UNION_SPLIT,
+    "segment_top_orders": SQL_SEGMENT_TOP_ORDERS,
+    "docs_deterministic_sample": SQL_DOCS_DETERMINISTIC_SAMPLE,
 }

@@ -196,6 +196,69 @@ class DecodeStage:
         return pa.Table.from_pylist(rows, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("features", pa.list_(pa.float32())),
+    ]
+)
+
+
+class FrameFeatureStage(DecodeStage):
+    """Video-analog variant: one output ROW PER SAMPLED FRAME (frame
+    sampling → per-frame decode → letterbox → features). Same actor
+    signature as DecodeStage; bounded output per payload regardless of
+    payload size (stride sampling)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        rows = []
+        for doc_id, ref, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("media_ref").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            frames = frame_sample(payload or b"", self.frame_bytes, self.stride)
+            for fi, frame in enumerate(frames):
+                try:
+                    img = resize_letterbox(self._decode(frame), self.target)
+                    feats = self._features(img).tolist()
+                except Exception:
+                    feats = []
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_ref": ref,
+                        "frame_idx": fi,
+                        "features": feats,
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=FRAME_SCHEMA)
+
+
+def frame_features(
+    docs: "ray.data.Dataset",
+    target: int = 64,
+    concurrency: "int | tuple[int, int] | None" = None,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Per-frame feature extraction over media spans (video analog)."""
+    import ray
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (2, max(2, cpus - 4))
+    media = docs.map_batches(explode_media, batch_format="pyarrow")
+    return media.map_batches(
+        FrameFeatureStage,
+        fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def media_features(
     docs: "ray.data.Dataset",
     target: int = 64,

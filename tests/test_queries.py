@@ -106,6 +106,8 @@ SQL_CHECKED = [
     "events_union_split",
     "embeddings_cosine_near_dup",
     "events_value_percentiles",
+    "segment_top_orders",
+    "docs_deterministic_sample",
 ]
 
 
@@ -128,6 +130,7 @@ ROWS_ONLY = [
     "embeddings_lsh_near_dup",
     "docs_simhash_near_dup",
     "media_features",
+    "media_frame_features",
     "extract_spans",
     "extract_dedup_clusters",
     "extract_carve",
