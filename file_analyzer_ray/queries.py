@@ -841,22 +841,31 @@ def q_docs_simhash(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _read_docs_coalesced(sf_dir: str):
+    """documents is a small dimension-sized table at every sf tier;
+    Ray's default split would shred it into 64 sub-100-row blocks and
+    the LSH band sort would pay per-block overhead 64x. Blocks sized
+    ~1k rows; at real corpus scale the default splitting applies."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=8,
+    )
+
+
 def q_docs_minhash_near_dup(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs with verified Jaccard
     (rows-only): shingle → signature (per batch, vectorized) → band
     explode → groupby(band) candidates → exact-Jaccard verify."""
     from .stages.text_dedup import minhash_near_dup_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_near_dup_pairs(ds, threshold=0.8)
+    return minhash_near_dup_pairs(_read_docs_coalesced(sf_dir), threshold=0.8)
 
 
 def q_docs_ngram_dedup(sf_dir: str):
     """Word-3-gram Jaccard dedup clusters (rows-only)."""
     from .stages.text_dedup import ngram_dedup_clusters
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ngram_dedup_clusters(ds, threshold=0.8)
+    return ngram_dedup_clusters(_read_docs_coalesced(sf_dir), threshold=0.8)
 
 
 # ---------------------------------------------------------------------------
