@@ -36,18 +36,32 @@ _N_PERM = 64
 _N_BANDS = 16  # 4 rows/band → recall ≈ 0.9998 at J = 0.8
 
 
+_HASHER: MinHasher | None = None
+
+
+def _hasher() -> MinHasher:
+    """Module-level MinHasher (deterministic seed): constructing it is
+    two tiny numpy draws, so signature computation runs as plain TASKS
+    — an actor pool here would only add ~2 s of spin-up latency."""
+    global _HASHER
+    if _HASHER is None:
+        _HASHER = MinHasher(num_perm=_N_PERM, seed=42)
+    return _HASHER
+
+
 class SignatureStage:
-    """Per-batch minhash signatures (hasher built once per actor).
-    Shingle hashing is fully vectorized (``hash_fn`` returns a uint64
-    array per doc — no per-shingle Python objects in the hot path)."""
+    """Per-batch minhash signatures. Shingle hashing is fully
+    vectorized (``hash_fn`` returns a uint64 array per doc — no
+    per-shingle Python objects in the hot path). Plain callable usable
+    as a task fn (see :func:`_hasher`)."""
 
     def __init__(self, hash_fn):
-        self.mh = MinHasher(num_perm=_N_PERM, seed=42)
         self.hash_fn = hash_fn
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        mh = _hasher()
         sigs = [
-            self.mh.signature_from_hashes(self.hash_fn(t)).tobytes()
+            mh.signature_from_hashes(self.hash_fn(t)).tobytes()
             for t in df["text"]
         ]
         return pd.DataFrame({"doc_id": df["doc_id"], "text": df["text"], "sig": sigs})
@@ -107,11 +121,8 @@ def _lsh_candidate_pairs(docs, hash_fn, threshold: float) -> "ray.data.Dataset":
     bands appear multiply; the verify step dedups them in one pandas
     pass on the collected (small) candidate set — cheaper than a
     second groupby exchange."""
-    # Autoscaling pool (min 1): a fixed pool equal to the CPU count
-    # would starve the downstream shuffle on small clusters.
     sigs = docs.map_batches(
-        SignatureStage, fn_constructor_args=(hash_fn,), batch_format="pandas",
-        batch_size=1024, concurrency=(1, 4),
+        SignatureStage(hash_fn), batch_format="pandas", batch_size=1024,
     )
     bands = sigs.map_batches(_explode_bands, batch_format="pandas")
     return bands.groupby("band").map_groups(
