@@ -57,6 +57,38 @@ def test_lsh_near_dup_precision_and_recall(ray_session):
     assert recall >= 0.3, f"LSH recall {recall} too low"
 
 
+def test_cosine_sims_match_duckdb_within_tolerance(ray_session):
+    """Pair set must match DuckDB exactly; similarity values to 2e-4
+    (last-ulp summation-order differences flip the 4th decimal)."""
+    import duckdb
+
+    from file_analyzer_ray.stages.ann import cosine_near_dup_pairs
+
+    rdf = cosine_near_dup_pairs(SF_DIR, threshold=0.35).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    sdf = con.execute(
+        """
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               list_dot_product(a.embedding, b.embedding)
+               / sqrt(list_dot_product(a.embedding, a.embedding))
+               / sqrt(list_dot_product(b.embedding, b.embedding)) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.embedding, b.embedding)
+              / sqrt(list_dot_product(a.embedding, a.embedding))
+              / sqrt(list_dot_product(b.embedding, b.embedding)), 4) >= 0.35
+        """
+    ).df()
+    rset = set(zip(rdf["vec_id_a"], rdf["vec_id_b"]))
+    sset = set(zip(sdf["vec_id_a"], sdf["vec_id_b"]))
+    assert rset == sset
+    sm = {(a, b): s for a, b, s in zip(sdf["vec_id_a"], sdf["vec_id_b"], sdf["sim"])}
+    for a, b, s in zip(rdf["vec_id_a"], rdf["vec_id_b"], rdf["cosine_sim"]):
+        assert abs(s - sm[(a, b)]) < 2e-4
+
+
 def test_cosine_near_dup_symmetric_ids(ray_session):
     from file_analyzer_ray.stages.ann import cosine_near_dup_pairs
 
