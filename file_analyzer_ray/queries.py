@@ -381,6 +381,72 @@ FROM part GROUP BY p_type
 # events: rollups, distinct, sessionization, JSON extraction
 
 
+def q_customer_name_format(sf_dir: str):
+    """String scalar functions over a projection (§2.8 family): case
+    fold, substring, concatenation, length — all pyarrow.compute
+    kernels, zero-copy Arrow in/out."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        upper = pc.utf8_upper(t["c_name"])
+        prefix = pc.utf8_slice_codeunits(t["c_name"], 0, 8)
+        label = pc.binary_join_element_wise(
+            pc.utf8_lower(t["c_mktsegment"]), pc.cast(t["c_custkey"], pa.string()), ":"
+        )
+        return pa.Table.from_arrays(
+            [t["c_custkey"], upper, prefix,
+             pc.utf8_length(t["c_name"]).cast(pa.int64()), label],
+            names=["c_custkey", "name_upper", "name_prefix", "name_len", "seg_label"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_NAME_FORMAT = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substr(c_name, 1, 8) AS name_prefix,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       lower(c_mktsegment) || ':' || CAST(c_custkey AS VARCHAR) AS seg_label
+FROM customer
+"""
+
+
+def q_events_dow_rollup(sf_dir: str):
+    """Date-part scalar functions + rollup: events per ISO weekday
+    (Mon=1..Sun=7) and type."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "isodow": (df["ts"].dt.dayofweek + 1).astype("int64"),
+                "event_type": df["event_type"],
+                "n": 1,
+            }
+        )
+        return out.groupby(["isodow", "event_type"], as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "isodow": df["isodow"].astype("int64"),
+                "event_type": df["event_type"],
+                "n_events": df["sum(n)"].astype("int64"),
+            }
+        )
+
+    return _preagg_native(ds, ["isodow", "event_type"], partial, [Sum("n")], finalize)
+
+
+SQL_EVENTS_DOW_ROLLUP = """
+SELECT CAST(isodow(ts) AS BIGINT) AS isodow, event_type, count(*) AS n_events
+FROM events GROUP BY isodow(ts), event_type
+"""
+
+
 def q_events_type_stats(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
 
@@ -1095,6 +1161,8 @@ QUERIES = {
     "nation_region_rollup": q_nation_region_rollup,
     "supplier_lineitem_agg": q_supplier_lineitem_agg,
     "part_type_breakdown": q_part_type_breakdown,
+    "customer_name_format": q_customer_name_format,
+    "events_dow_rollup": q_events_dow_rollup,
     "events_type_stats": q_events_type_stats,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_sessionize": q_events_sessionize,
@@ -1143,6 +1211,8 @@ ORACLE_SQL = {
     "nation_region_rollup": SQL_NATION_REGION_ROLLUP,
     "supplier_lineitem_agg": SQL_SUPPLIER_LINEITEM_AGG,
     "part_type_breakdown": SQL_PART_TYPE_BREAKDOWN,
+    "customer_name_format": SQL_CUSTOMER_NAME_FORMAT,
+    "events_dow_rollup": SQL_EVENTS_DOW_ROLLUP,
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_hourly_rollup": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

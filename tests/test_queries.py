@@ -108,6 +108,8 @@ SQL_CHECKED = [
     "events_value_percentiles",
     "segment_top_orders",
     "docs_deterministic_sample",
+    "customer_name_format",
+    "events_dow_rollup",
 ]
 
 
