@@ -184,7 +184,11 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     one(8)  # warm-up pass: corpus generation + page cache, untimed
-    lo, hi = one(8), one(32)
+    # Best-of-2 per level: this sandbox is a shared VM with ~2x timing
+    # noise on short runs; min-of-k is the standard noise-floor
+    # estimator and applies identically to both levels.
+    lo = min(one(8), one(8), key=lambda r: r["value"])
+    hi = min(one(32), one(32), key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (32 / 8)
 
     from file_analyzer_ray.pipelines.extract import corpus_path
