@@ -6,17 +6,18 @@ Shape (one streaming plan, no disk IR between stages, no full
 materialization):
 
     read_parquet(docs)
-      → map_batches(ExtractStage, concurrency=N)      # actor pool:
-            normalize+sniff+meta+OCR+carve+match fused, automata in
-            __init__, bounded-window scan for pathological payloads
-      → map_batches(ScorerStage, concurrency=M)       # actor pool:
-            deterministic mock-VLM + JSON parse/repair chain
-      → write_partitioned(...)                        # atomic per-
-            partition parquet + lineage manifests (resume)
+      -> map_batches(ExtractStage(score=True), concurrency=(8,N))
+            # ONE fused actor pool: normalize+sniff+meta+OCR+carve+
+            # match + deterministic mock-VLM scoring with the JSON
+            # parse/repair chain; automata compiled in __init__,
+            # bounded-window scan for pathological payloads
+      -> write_partitioned(...)  # atomic per-partition parquet +
+            # lineage manifests (keyed resume), OR state/shards.py
+            # run_sharded for the shuffle-free shard-fenced path
 
 The seven sequential per-file analyses + per-call subprocess reloads of
-the reference collapse into two actor-pool batch stages; dedup is the
-single shuffle and runs on the narrow (doc_id, content_hash) projection
+the reference collapse into one actor-pool batch stage; dedup is a
+separate keyed query over the narrow (doc_id, content_hash) projection
 (see stages/dedup.py).
 """
 
@@ -29,7 +30,6 @@ import ray.data
 
 from ..corpus import generate_parquet
 from ..stages.extract import ExtractStage
-from ..stages.scorer import ScorerStage
 
 _CORPUS_CACHE_ROOT = "/tmp/fa_ray_corpus"
 

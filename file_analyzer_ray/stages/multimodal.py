@@ -26,7 +26,6 @@ math, output layout) is real and tested either way.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
