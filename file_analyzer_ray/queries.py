@@ -448,7 +448,13 @@ FROM events GROUP BY isodow(ts), event_type
 
 
 def q_events_type_stats(sf_dir: str):
+    """Grouped sums/min/max plus exact distinct users per type. The
+    distinct side stays NARROW end-to-end: per-batch (event_type,
+    user_id) dedup rows → one vectorized drop_duplicates+nunique merge
+    — no ID lists ride inside aggregate rows."""
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    from ray.data.aggregate import Max, Min, Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -460,34 +466,44 @@ def q_events_type_stats(sf_dir: str):
                 "n": 1,
             }
         )
-        agg = out.groupby("event_type", as_index=False).agg(
+        return out.groupby("event_type", as_index=False).agg(
             cents=("cents", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"), n=("n", "sum")
         )
-        # distinct users partial: dedup within the batch, carried as rows
-        uniq = df[["event_type", "user_id"]].drop_duplicates()
-        agg["users"] = agg["event_type"].map(
-            uniq.groupby("event_type")["user_id"].agg(lambda s: list(set(s)))
-        )
-        return agg
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        users: set = set()
-        for u in g["users"]:
-            users.update(u)
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            [
-                {
-                    "event_type": g["event_type"].iloc[0],
-                    "n_events": int(g["n"].sum()),
-                    "sum_value": g["cents"].sum() / 100.0,
-                    "min_value": float(g["vmin"].min()),
-                    "max_value": float(g["vmax"].max()),
-                    "n_users": len(users),
-                }
-            ]
+            {
+                "event_type": df["event_type"],
+                "n_events": df["sum(n)"].astype("int64"),
+                "sum_value": df["sum(cents)"] / 100.0,
+                "min_value": df["min(vmin)"].astype("float64"),
+                "max_value": df["max(vmax)"].astype("float64"),
+            }
         )
 
-    return _preagg(ds, ["event_type"], partial, combine)
+    stats = _preagg_native(
+        ds, ["event_type"], partial,
+        [Sum("cents"), Min("vmin"), Max("vmax"), Sum("n")], finalize,
+    ).to_pandas()
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_type", "user_id"]].drop_duplicates()
+
+    def count_users(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "nunique")
+        )
+        return g
+
+    users = (
+        ds.map_batches(dedup, batch_format="pandas", batch_size=65536)
+        .repartition(1)
+        .map_batches(count_users, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    out = stats.merge(users, on="event_type", how="left")
+    out["n_users"] = out["n_users"].fillna(0).astype("int64")
+    return out
 
 
 SQL_EVENTS_TYPE_STATS = """
