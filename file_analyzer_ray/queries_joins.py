@@ -571,6 +571,90 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 64
 """
 
 
+def q_events_rollup_total(sf_dir: str):
+    """ROLLUP-style aggregate: per-type counts plus an ALL grand-total
+    row (computed from the same partials, no second pass)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"event_type": df["event_type"], "cents": _cents(df["value"]), "n": 1}
+        )
+        return out.groupby("event_type", as_index=False).sum()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).sum()
+        rows = pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "n_events": g["n"].astype("int64"),
+                "sum_value": g["cents"] / 100.0,
+            }
+        )
+        total = pd.DataFrame(
+            [
+                {
+                    "event_type": "ALL",
+                    "n_events": int(g["n"].sum()),
+                    "sum_value": g["cents"].sum() / 100.0,
+                }
+            ]
+        )
+        return pd.concat([rows, total], ignore_index=True)
+
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return part.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+SQL_EVENTS_ROLLUP_TOTAL = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events GROUP BY ROLLUP(event_type)
+"""
+
+
+def q_orders_status_pivot(sf_dir: str):
+    """Conditional aggregation (pivot shape): one row of per-status
+    order counts + totals, built from vectorized per-batch
+    value_counts partials."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"s": df["o_orderstatus"], "cents": _cents(df["o_totalprice"]), "n": 1}
+        )
+        return out.groupby("s", as_index=False).sum()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("s").sum()
+        n = {s: int(g.loc[s, "n"]) if s in g.index else 0 for s in ("F", "O", "P")}
+        return pd.DataFrame(
+            [
+                {
+                    "n_f": n["F"],
+                    "n_o": n["O"],
+                    "n_p": n["P"],
+                    "n_total": int(g["n"].sum()),
+                    "total_price": g["cents"].sum() / 100.0,
+                }
+            ]
+        )
+
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return part.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+SQL_ORDERS_STATUS_PIVOT = """
+SELECT CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       count(*) AS n_total,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+FROM orders
+"""
+
+
 JOIN_QUERIES = {
     "orders_lineitem_join_agg": q_orders_lineitem_join_agg,
     "orders_semi_lineitem_returns": q_orders_semi_lineitem_returns,
@@ -584,6 +668,8 @@ JOIN_QUERIES = {
     "events_union_split": q_events_union_split,
     "segment_top_orders": q_segment_top_orders,
     "docs_deterministic_sample": q_docs_deterministic_sample,
+    "events_rollup_total": q_events_rollup_total,
+    "orders_status_pivot": q_orders_status_pivot,
 }
 
 JOIN_ORACLE_SQL = {
@@ -599,4 +685,6 @@ JOIN_ORACLE_SQL = {
     "events_union_split": SQL_EVENTS_UNION_SPLIT,
     "segment_top_orders": SQL_SEGMENT_TOP_ORDERS,
     "docs_deterministic_sample": SQL_DOCS_DETERMINISTIC_SAMPLE,
+    "events_rollup_total": SQL_EVENTS_ROLLUP_TOTAL,
+    "orders_status_pivot": SQL_ORDERS_STATUS_PIVOT,
 }

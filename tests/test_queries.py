@@ -110,6 +110,8 @@ SQL_CHECKED = [
     "docs_deterministic_sample",
     "customer_name_format",
     "events_dow_rollup",
+    "events_rollup_total",
+    "orders_status_pivot",
 ]
 
 
