@@ -32,67 +32,10 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .query_utils import _cents, _preagg, _preagg_native, _read, _small_pdf  # noqa: F401
+
 # ---------------------------------------------------------------------------
 # helpers
-
-
-def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
-
-
-def _small_pdf(sf_dir: str, table: str, columns: list[str]) -> pd.DataFrame:
-    """Driver-side read of a small dimension table (broadcast side)."""
-    import pyarrow.parquet as pq
-
-    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
-
-
-def _preagg(ds, keys: list[str], partial, combine):
-    """Partial-aggregate inside map_batches, then a small groupby over
-    the per-batch partials (SURVEY.md §4: pre-aggregate before the
-    shuffle). ``combine`` runs per group — use only when the final
-    merge is not expressible as native aggregates (e.g. set unions);
-    otherwise prefer :func:`_preagg_native`."""
-    part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    return part.groupby(keys if len(keys) > 1 else keys[0]).map_groups(
-        combine, batch_format="pandas"
-    )
-
-
-def _preagg_native(ds, keys: list[str], partial, aggs, finalize):
-    """Two-level aggregation with NO per-group Python: partial-aggregate
-    inside map_batches (the combiner — each batch reduces to ≤ one row
-    per key), then merge the small partials in ONE task with a single
-    vectorized pandas groupby, then finalize vectorized.
-
-    The final merge is deliberately a single task, not a shuffle: after
-    the combiner, data volume is O(num_batches × num_groups) narrow
-    rows, so one reducer is faster than an all-to-all exchange up to
-    millions of groups. For extreme group cardinality (e.g. per-doc
-    keys at 10^12 scale) switch the merge to
-    ``groupby(keys).aggregate(*aggs)`` — same ``aggs`` spec.
-
-    ``aggs`` are ``ray.data.aggregate`` objects (Sum/Min/Max); output
-    columns follow Ray's naming (``sum(col)``) so the two merge paths
-    are drop-in interchangeable."""
-    spec: dict[str, str] = {}
-    renames: dict[str, str] = {}
-    for a in aggs:
-        col = a.get_target_column()
-        op = type(a).__name__.lower()
-        spec[col] = op
-        renames[col] = a.name  # e.g. cents -> sum(cents)
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, as_index=False).agg(spec).rename(columns=renames)
-        return finalize(g)
-
-    part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    return part.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
-
-
-def _cents(x: pd.Series) -> pd.Series:
-    return np.round(x.to_numpy() * 100).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

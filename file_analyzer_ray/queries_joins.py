@@ -30,10 +30,23 @@ import pandas as pd
 import ray
 import ray.data
 
-from .queries import _cents, _preagg_native, _read, _small_pdf
+from .query_utils import _cents, _preagg_native, _read, _small_pdf
 
 # ---------------------------------------------------------------------------
 # distributed hash joins (Dataset.join — the real exchange)
+
+def _typed_key_table(values, col: str, dtype=None) -> "pa.Table":
+    """Schema-stable single-key-column Arrow table. Key-producing
+    map_batches stages must NOT return pandas: an empty pandas frame
+    converts to a schema-less Arrow block and the downstream hash join
+    then fails to resolve the key column ("No match ... on right side
+    of the join")."""
+    import pyarrow as pa
+
+    dtype = dtype or pa.int64()
+    return pa.Table.from_arrays([pa.array(list(values), dtype)], names=[col])
+
+
 
 
 def q_orders_lineitem_join_agg(sf_dir: str):
@@ -112,12 +125,9 @@ def q_orders_semi_lineitem_returns(sf_dir: str):
     before the ``left_semi`` hash join."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
 
-    def returned_keys(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.loc[df["l_returnflag"] == "R", ["l_orderkey"]]
-            .drop_duplicates()
-            .reset_index(drop=True)
-        )
+    def returned_keys(df: pd.DataFrame):
+        keys = df.loc[df["l_returnflag"] == "R", "l_orderkey"].drop_duplicates()
+        return _typed_key_table(keys, "l_orderkey")
 
     keys = li.map_batches(returned_keys, batch_format="pandas")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
@@ -162,12 +172,9 @@ def q_customers_without_orders(sf_dir: str):
     so only distinct custkeys cross the wire)."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
 
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.loc[df["o_orderstatus"] == "F", ["o_custkey"]]
-            .drop_duplicates()
-            .reset_index(drop=True)
-        )
+    def dedup(df: pd.DataFrame):
+        keys = df.loc[df["o_orderstatus"] == "F", "o_custkey"].drop_duplicates()
+        return _typed_key_table(keys, "o_custkey")
 
     keys = orders.map_batches(dedup, batch_format="pandas")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
@@ -571,6 +578,68 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 64
 """
 
 
+def q_users_click_and_purchase(sf_dir: str):
+    """INTERSECT: users who both clicked and purchased. The purchase
+    side is a DISTINCT-KEY set, small by construction, so it broadcasts
+    (``ray.put`` once) and the click stream filters per batch — no
+    shuffle at all. (For large-both-sides set intersection use the
+    ``left_semi`` hash join as in orders_semi_lineitem_returns; Ray
+    2.49's hash join mis-handles empty partitions on sparse keys, so
+    prefer broadcast whenever one side is genuinely small.)"""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    buys = _small_pdf(sf_dir, "events", ["user_id", "event_type"])
+    buy_set = frozenset(buys.loc[buys["event_type"] == "purchase", "user_id"])
+    ref = ray.put(buy_set)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["event_type"] == "click"
+        out = df.loc[keep & df["user_id"].isin(ray.get(ref)), ["user_id"]]
+        return out.drop_duplicates().reset_index(drop=True)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    ds = ev.map_batches(fn, batch_format="pandas")
+    return ds.groupby("user_id").map_groups(first, batch_format="pandas")
+
+
+SQL_USERS_CLICK_AND_PURCHASE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_users_click_no_purchase(sf_dir: str):
+    """EXCEPT: users who clicked but never made a high-value (>80)
+    purchase. Same broadcast-set shape as the INTERSECT, negated
+    membership; predicate chosen to be non-empty at every sf tier."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    buys = _small_pdf(sf_dir, "events", ["user_id", "event_type", "value"])
+    buy_set = frozenset(
+        buys.loc[(buys["event_type"] == "purchase") & (buys["value"] > 80), "user_id"]
+    )
+    ref = ray.put(buy_set)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["event_type"] == "click"
+        out = df.loc[keep & ~df["user_id"].isin(ray.get(ref)), ["user_id"]]
+        return out.drop_duplicates().reset_index(drop=True)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    ds = ev.map_batches(fn, batch_format="pandas")
+    return ds.groupby("user_id").map_groups(first, batch_format="pandas")
+
+
+SQL_USERS_CLICK_NO_PURCHASE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 80
+"""
+
+
 def q_events_rollup_total(sf_dir: str):
     """ROLLUP-style aggregate: per-type counts plus an ALL grand-total
     row (computed from the same partials, no second pass)."""
@@ -670,6 +739,8 @@ JOIN_QUERIES = {
     "docs_deterministic_sample": q_docs_deterministic_sample,
     "events_rollup_total": q_events_rollup_total,
     "orders_status_pivot": q_orders_status_pivot,
+    "users_click_and_purchase": q_users_click_and_purchase,
+    "users_click_no_purchase": q_users_click_no_purchase,
 }
 
 JOIN_ORACLE_SQL = {
@@ -687,4 +758,6 @@ JOIN_ORACLE_SQL = {
     "docs_deterministic_sample": SQL_DOCS_DETERMINISTIC_SAMPLE,
     "events_rollup_total": SQL_EVENTS_ROLLUP_TOTAL,
     "orders_status_pivot": SQL_ORDERS_STATUS_PIVOT,
+    "users_click_and_purchase": SQL_USERS_CLICK_AND_PURCHASE,
+    "users_click_no_purchase": SQL_USERS_CLICK_NO_PURCHASE,
 }

@@ -112,6 +112,8 @@ SQL_CHECKED = [
     "events_dow_rollup",
     "events_rollup_total",
     "orders_status_pivot",
+    "users_click_and_purchase",
+    "users_click_no_purchase",
 ]
 
 
