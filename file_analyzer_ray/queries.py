@@ -392,9 +392,12 @@ FROM events GROUP BY isodow(ts), event_type
 
 def q_events_type_stats(sf_dir: str):
     """Grouped sums/min/max plus exact distinct users per type. The
-    distinct side stays NARROW end-to-end: per-batch (event_type,
-    user_id) dedup rows → one vectorized drop_duplicates+nunique merge
-    — no ID lists ride inside aggregate rows."""
+    distinct side stays NARROW end-to-end and never converges on one
+    task: per-batch (event_type, user_id) dedup → native
+    groupby([event_type, user_id]).count() (the vectorized exchange —
+    global distinct pairs) → per-block partial counts per type → tiny
+    bounded-cardinality merge. No ID lists ride inside aggregate rows
+    and no single task ever holds all distinct pairs."""
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
 
     from ray.data.aggregate import Max, Min, Sum
@@ -429,24 +432,25 @@ def q_events_type_stats(sf_dir: str):
         [Sum("cents"), Min("vmin"), Max("vmax"), Sum("n")], finalize,
     ).to_pandas()
 
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["event_type", "user_id"]].drop_duplicates()
+    from .query_utils import _distinct_native
 
-    def count_users(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.drop_duplicates().groupby("event_type", as_index=False).agg(
-            n_users=("user_id", "nunique")
-        )
-        return g
+    pairs = _distinct_native(ds, ["event_type", "user_id"])
+
+    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(n_users=("user_id", "count"))
+
+    def merge_count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(n_users=("n_users", "sum"))
 
     users = (
-        ds.map_batches(dedup, batch_format="pandas", batch_size=65536)
+        pairs.map_batches(partial_count, batch_format="pandas")
         .repartition(1)
-        .map_batches(count_users, batch_format="pandas", batch_size=None)
+        .map_batches(merge_count, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
     out = stats.merge(users, on="event_type", how="left")
     out["n_users"] = out["n_users"].fillna(0).astype("int64")
-    return out
+    return ray.data.from_pandas(out)
 
 
 SQL_EVENTS_TYPE_STATS = """

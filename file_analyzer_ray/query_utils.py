@@ -43,22 +43,33 @@ def _preagg(ds, keys: list[str], partial, combine):
     )
 
 
-def _preagg_native(ds, keys: list[str], partial, aggs, finalize):
+_MERGE_SHUFFLE_THRESHOLD = 2_000_000
+
+
+def _preagg_native(ds, keys: list[str], partial, aggs, finalize,
+                   merge_threshold: int = _MERGE_SHUFFLE_THRESHOLD):
     """Two-level aggregation with NO per-group Python: partial-aggregate
     inside map_batches (the combiner — each batch reduces to ≤ one row
-    per key), then merge the small partials in ONE task with a single
-    vectorized pandas groupby, then finalize vectorized.
+    per key), then merge the partials, then finalize vectorized.
 
-    The final merge is deliberately a single task, not a shuffle: after
-    the combiner, data volume is O(num_batches × num_groups) narrow
-    rows, so one reducer is faster than an all-to-all exchange up to
-    millions of groups. For extreme group cardinality (e.g. per-doc
-    keys at 10^12 scale) switch the merge to
-    ``groupby(keys).aggregate(*aggs)`` — same ``aggs`` spec.
+    The merge strategy is chosen AUTOMATICALLY from the measured partial
+    row count (the partials are materialized — they are the post-combine
+    reduced data, narrow by construction, and the object store spills
+    them if large):
+
+    - ≤ ``merge_threshold`` partial rows: ONE merge task with a single
+      vectorized pandas groupby — after the combiner, data volume is
+      O(num_batches × num_groups) narrow rows, so one reducer beats an
+      all-to-all exchange up to millions of groups;
+    - above it (unbounded key cardinality — per-doc / per-term keys at
+      10^12 scale): native ``groupby(keys).aggregate(*aggs)`` — a real
+      hash exchange with vectorized per-block aggregation, no single
+      task ever holds the full key space.
 
     ``aggs`` are ``ray.data.aggregate`` objects (Sum/Min/Max); output
     columns follow Ray's naming (``sum(col)``) so the two merge paths
-    are drop-in interchangeable."""
+    are drop-in interchangeable and ``finalize`` sees identical input
+    either way."""
     spec: dict[str, str] = {}
     renames: dict[str, str] = {}
     for a in aggs:
@@ -71,5 +82,29 @@ def _preagg_native(ds, keys: list[str], partial, aggs, finalize):
         g = df.groupby(keys, as_index=False).agg(spec).rename(columns=renames)
         return finalize(g)
 
-    part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    part = ds.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).materialize()
+    if part.count() > merge_threshold:
+        merged = part.groupby(keys if len(keys) > 1 else keys[0]).aggregate(*aggs)
+        return merged.map_batches(finalize, batch_format="pandas")
     return part.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def _distinct_native(ds, keys: list[str]):
+    """Global exact DISTINCT over ``keys`` with NO per-group Python:
+    per-batch ``drop_duplicates`` (the combiner — only batch-distinct
+    rows reach the exchange) → native ``groupby(keys).count()`` (one
+    vectorized shuffle) → project the keys back out. Scales to
+    unbounded key cardinality: no single task ever holds the full
+    distinct set."""
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df[keys].drop_duplicates().reset_index(drop=True)
+
+    g = (
+        ds.map_batches(dedup, batch_format="pandas", batch_size=65536)
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .count()
+    )
+    return g.select_columns(keys)
