@@ -79,11 +79,24 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & _U64).count("1")
 
 
-def phash_bands(h: int, n_bands: int = 4, band_bits: int = 16) -> list[int]:
-    """Split a 64-bit hash into LSH bands. Two hashes within Hamming
-    distance ``n_bands - 1`` are guaranteed to share at least one band."""
-    mask = (1 << band_bits) - 1
-    return [(h >> (i * band_bits)) & mask for i in range(n_bands)]
+def phash_bands(h: int, n_bands: int = 4, band_bits: int | None = None) -> list[int]:
+    """Split a 64-bit hash into ``n_bands`` contiguous LSH bands (sizes
+    differing by ≤1 bit when 64 doesn't divide evenly). Pigeonhole: two
+    hashes within Hamming distance ``n_bands - 1`` are guaranteed to
+    share at least one identical band — so candidate recall is exactly
+    1.0 when ``n_bands = max_hamming + 1``. ``band_bits`` forces a
+    fixed width (legacy 4×16 layout) and is otherwise derived."""
+    if band_bits is not None:
+        mask = (1 << band_bits) - 1
+        return [(h >> (i * band_bits)) & mask for i in range(n_bands)]
+    base, extra = divmod(64, n_bands)
+    out = []
+    shift = 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        out.append((h >> shift) & ((1 << width) - 1))
+        shift += width
+    return out
 
 
 def simhash64(tokens: list[str]) -> int:

@@ -1113,6 +1113,20 @@ def q_extract_near_dup(sf_dir: str):
     return phash_near_dup_pairs(ray.data.read_parquet(src, file_extensions=["parquet"]))
 
 
+def q_extract_pairwise_compare(sf_dir: str):
+    """SSIM + pixel-diff pairwise comparison over phash candidate pairs
+    (reference ``fa validate images``, src/cli/validate/main.py:275-418;
+    rows-only — the metric kernels are pytest-verified against a naive
+    serial implementation and the identical/perturbed invariants)."""
+    from .pipelines.extract import corpus_path
+    from .stages.compare import pairwise_image_compare
+    from .stages.dedup import phash_near_dup_pairs
+
+    src = corpus_path(_extract_docs_count(sf_dir))
+    docs = ray.data.read_parquet(src, file_extensions=["parquet"])
+    return pairwise_image_compare(docs, phash_near_dup_pairs(docs))
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1155,6 +1169,7 @@ QUERIES = {
     "extract_dedup_clusters": q_extract_dedup_clusters,
     "extract_carve": q_extract_carve,
     "extract_near_dup": q_extract_near_dup,
+    "extract_pairwise_compare": q_extract_pairwise_compare,
 }
 
 def _merge_registries() -> None:

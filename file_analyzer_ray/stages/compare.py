@@ -1,0 +1,249 @@
+"""Pairwise image comparison: SSIM + pixel-diff over decoded media.
+
+Re-expresses the reference's ``fa validate images`` pairwise modes
+(src/cli/validate/main.py:275-324 pixelmatch, :369-418 SSIM with
+grayscale conversion :375-392) as a distributed Ray Data operator:
+
+    docs → decoded letterboxed images (one row per doc, fixed shape)
+    candidate pairs (e.g. phash banding) ⋈ images on doc_id_a
+                                         ⋈ images on doc_id_b
+    → map_batches computing SSIM + pixel-mismatch per pair
+
+Both metrics are clean-room implementations of the PUBLIC formulas the
+reference's dependencies implement:
+
+- :func:`ssim` — structural similarity (Wang et al. 2004), matching
+  scikit-image's ``structural_similarity`` defaults: 7×7 uniform
+  windows, unbiased covariance (N/(N-1)), K1=0.01/K2=0.03,
+  data_range=255, border crop of (win-1)//2, mean over the valid grid.
+- :func:`pixel_mismatch_count` — pixelmatch's YIQ color-distance test:
+  per-pixel squared YIQ delta vs ``threshold² × 35215`` (the maximum
+  possible delta), default threshold 0.1. Anti-aliasing detection is
+  intentionally omitted (documented divergence; it only reclassifies
+  borderline pixels on rendered text).
+
+Scale shape: images are decoded ONCE per doc (actor-pool stage,
+fixed-size letterboxed output so every pair is shape-compatible), and
+the pair table is hash-joined against the image table twice — no
+driver-side collection of payloads; the pair metric kernel is
+vectorized numpy per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .multimodal import DecodeStage, explode_media, frame_sample, resize_letterbox
+
+# -- metric kernels (pure numpy, public formulas) -------------------------
+
+
+def _box_mean(x: np.ndarray, w: int) -> np.ndarray:
+    """Mean over every fully-inside w×w window (valid grid) via a 2-D
+    summed-area table — O(HW) regardless of window size."""
+    c = np.cumsum(np.cumsum(x, axis=0, dtype=np.float64), axis=1)
+    c = np.pad(c, ((1, 0), (1, 0)))
+    s = c[w:, w:] - c[:-w, w:] - c[w:, :-w] + c[:-w, :-w]
+    return s / (w * w)
+
+
+def ssim(
+    img1: np.ndarray,
+    img2: np.ndarray,
+    data_range: float = 255.0,
+    win_size: int = 7,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> float:
+    """Mean structural similarity of two equal-shape 2-D grayscale
+    arrays (Wang et al. 2004; scikit-image-default parameterization:
+    uniform 7×7 window, unbiased covariance, border crop)."""
+    if img1.shape != img2.shape:
+        raise ValueError(f"shape mismatch {img1.shape} vs {img2.shape}")
+    x = img1.astype(np.float64)
+    y = img2.astype(np.float64)
+    np_win = win_size * win_size
+    cov_norm = np_win / (np_win - 1)  # unbiased (sample) covariance
+    ux = _box_mean(x, win_size)
+    uy = _box_mean(y, win_size)
+    uxx = _box_mean(x * x, win_size)
+    uyy = _box_mean(y * y, win_size)
+    uxy = _box_mean(x * y, win_size)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux * ux + uy * uy + c1) * (vx + vy + c2)
+    )
+    return float(s.mean())
+
+
+# pixelmatch YIQ transform rows (Y, I, Q) — public constants.
+_YIQ = np.array(
+    [
+        [0.29889531, 0.58662247, 0.11448223],
+        [0.59597799, -0.27417610, -0.32180189],
+        [0.21147017, -0.52261711, 0.31114694],
+    ]
+)
+_YIQ_WEIGHTS = np.array([0.5053, 0.299, 0.1957])
+_MAX_YIQ_DELTA = 35215.0
+
+
+def pixel_mismatch_count(
+    img1: np.ndarray, img2: np.ndarray, threshold: float = 0.1
+) -> int:
+    """Number of mismatching pixels between two equal-shape H×W×3 RGB
+    arrays under pixelmatch's YIQ color-distance test."""
+    if img1.shape != img2.shape:
+        raise ValueError(f"shape mismatch {img1.shape} vs {img2.shape}")
+    d = img1.astype(np.float64) - img2.astype(np.float64)
+    yiq = d @ _YIQ.T
+    delta = (yiq * yiq) @ _YIQ_WEIGHTS
+    return int((delta > threshold * threshold * _MAX_YIQ_DELTA).sum())
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """ITU-R 601 luma — PIL's ``convert("L")`` weights (the reference's
+    grayscale step, src/cli/validate/main.py:375-379), without the
+    uint8 truncation so SSIM sees full precision."""
+    return img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+
+
+# -- distributed operator --------------------------------------------------
+
+_IMG_SCHEMA = pa.schema([("doc_id", pa.string()), ("img", pa.large_binary())])
+
+COMPARE_SCHEMA = pa.schema(
+    [
+        ("doc_id_a", pa.string()),
+        ("doc_id_b", pa.string()),
+        ("ssim", pa.float64()),
+        ("mismatch_pct", pa.float64()),
+        ("identical", pa.bool_()),
+    ]
+)
+
+
+class ImageEncodeStage(DecodeStage):
+    """Actor-pool stage: doc → first media payload → (stub) decode →
+    letterbox to a fixed square → raw RGB bytes. Fixed output shape
+    makes every pair comparable without a resize at compare time
+    (the reference warns-and-resizes on mismatch; the engine
+    normalizes up front)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        doc_ids, imgs = [], []
+        for doc_id, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            try:
+                frames = frame_sample(payload or b"", self.frame_bytes, self.stride)
+                img = self._decode(frames[0] if frames else b"")
+                boxed = resize_letterbox(img, self.target)
+                doc_ids.append(doc_id)
+                imgs.append(boxed.astype(np.uint8).tobytes())
+            except Exception:
+                continue  # undecodable docs can't be compared
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids, pa.string()), pa.array(imgs, pa.large_binary())],
+            schema=_IMG_SCHEMA,
+        )
+
+
+def _first_media_images(
+    docs: "ray.data.Dataset", target: int, concurrency
+) -> "ray.data.Dataset":
+    """One letterboxed image per doc (first media span only — the
+    reference compares file-level images 1:1)."""
+    media = docs.map_batches(explode_media, batch_format="pyarrow")
+
+    def first_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("doc_id", keep="first")[["doc_id", "payload"]]
+
+    firsts = media.map_batches(first_only, batch_format="pandas")
+    return firsts.map_batches(
+        ImageEncodeStage,
+        fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+def pairwise_image_compare(
+    docs: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    target: int = 64,
+    pixel_threshold: float = 0.1,
+    concurrency: "int | tuple[int, int] | None" = None,
+) -> "ray.data.Dataset":
+    """(docs, candidate pairs) → per-pair (ssim, mismatch_pct,
+    identical). Pairs hash-join the per-doc image table twice (no
+    driver collection; the image side is decoded once per doc)."""
+    import ray
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (1, max(2, cpus - 2))
+    # Decode ONCE and pin: the image table feeds BOTH join sides — left
+    # lazy, each join branch would re-run the decode pool and the
+    # combined minimum actor demand deadlocks small clusters. The table
+    # is (doc_id, target²×3 bytes) narrow; the object store spills it
+    # at scale (at 10^12 docs, checkpoint it to parquet instead and
+    # read twice).
+    imgs = _first_media_images(docs, target, concurrency).materialize()
+
+    def rename_a(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["id_a", "img_a"])
+
+    def rename_b(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["id_b", "img_b"])
+
+    pair_keys = pairs.select_columns(["doc_id_a", "doc_id_b"])
+    ja = pair_keys.join(
+        imgs.map_batches(rename_a, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("doc_id_a",),
+        right_on=("id_a",),
+    )
+    jb = ja.join(
+        imgs.map_batches(rename_b, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("doc_id_b",),
+        right_on=("id_b",),
+    )
+
+    side = target * target * 3
+
+    def compare(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("doc_id_a", "doc_id_b", "ssim", "mismatch_pct", "identical")}
+        for a, b, ba, bb in zip(
+            batch.column("doc_id_a").to_pylist(),
+            batch.column("doc_id_b").to_pylist(),
+            batch.column("img_a").to_pylist(),
+            batch.column("img_b").to_pylist(),
+        ):
+            if len(ba) != side or len(bb) != side:
+                continue
+            ia = np.frombuffer(ba, dtype=np.uint8).reshape(target, target, 3)
+            ib = np.frombuffer(bb, dtype=np.uint8).reshape(target, target, 3)
+            s = ssim(to_grayscale(ia), to_grayscale(ib))
+            mm = pixel_mismatch_count(ia, ib, pixel_threshold)
+            out["doc_id_a"].append(a)
+            out["doc_id_b"].append(b)
+            out["ssim"].append(round(s, 6))
+            out["mismatch_pct"].append(round(100.0 * mm / (target * target), 4))
+            out["identical"].append(mm == 0)
+        return pa.Table.from_pydict(out, schema=COMPARE_SCHEMA)
+
+    return jb.map_batches(compare, batch_format="pyarrow")

@@ -7,10 +7,10 @@
   columns").
 - :func:`phash_near_dup_pairs` — perceptual-hash near-dup (analog of
   reference pixel/phash/SSIM validators, src/cli/validate/main.py:275-418)
-  via LSH banding: 64-bit robust payload hash → 4×16-bit bands →
-  ``groupby(band)`` → within-bucket Hamming verify. Two docs within
-  Hamming distance 3 are guaranteed to share a band; the verify
-  threshold is configurable.
+  via LSH banding: 64-bit robust payload hash → ``max_hamming + 1``
+  bands → ``groupby(band)`` → within-bucket Hamming verify. Pigeonhole
+  guarantees every pair within the verify threshold shares a band
+  (recall 1.0 vs brute force, pinned by pytest).
 """
 
 from __future__ import annotations
@@ -87,15 +87,18 @@ def add_phash(batch: pa.Table) -> pa.Table:
     )
 
 
-def _explode_bands(batch: pa.Table, n_bands: int = 4, band_bits: int = 16) -> pa.Table:
+def _explode_bands(batch: pa.Table, n_bands: int = 4) -> pa.Table:
+    """Band rows: key = (band index, band value) packed into int64.
+    Band widths ≤ 16 bits for any n_bands ≥ 4, so ``bi << 16 | bv`` is
+    collision-free across band positions."""
     doc_ids = batch.column("doc_id").to_pylist()
     hashes = batch.column("phash").to_pylist()
     rows = []
     for d, h in zip(doc_ids, hashes):
         if not h:
             continue  # docs with no payload can't be payload-near-dups
-        for bi, bv in enumerate(phash_bands(h, n_bands, band_bits)):
-            rows.append({"band": bi * (1 << band_bits) + bv, "doc_id": d, "phash": h})
+        for bi, bv in enumerate(phash_bands(h, n_bands)):
+            rows.append({"band": (bi << 16) | bv, "doc_id": d, "phash": h})
     return pa.Table.from_pylist(
         rows,
         schema=pa.schema(
@@ -139,9 +142,18 @@ def phash_near_dup_pairs(
 
     Stages: phash (stateless) → band explode (flat) → groupby(band)
     candidate pairs → groupby(pair) dedup across bands.
+
+    Band count = ``max_hamming + 1`` (pigeonhole): every pair within
+    the verify threshold shares at least one band, so recall vs brute
+    force is exactly 1.0 — round 1 used a fixed 4-band layout whose
+    guarantee stopped at hamming 3 while the default threshold was 6
+    (silent recall loss; brute-force-equality pytest now pins this).
     """
+    n_bands = max_hamming + 1
     hashed = docs.map_batches(add_phash, batch_format="pyarrow")
-    bands = hashed.map_batches(_explode_bands, batch_format="pyarrow")
+    bands = hashed.map_batches(
+        lambda b: _explode_bands(b, n_bands), batch_format="pyarrow"
+    )
     pairs = bands.groupby("band").map_groups(
         lambda g: _bucket_pairs(g, max_hamming), batch_format="pyarrow"
     )

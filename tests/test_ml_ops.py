@@ -40,6 +40,130 @@ def test_simhash_near_dup_matches_brute_force(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# phash banding == brute force (n_bands = max_hamming + 1 pigeonhole)
+
+
+def test_phash_near_dup_matches_brute_force(ray_session):
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from file_analyzer_ray.corpus import parse_frames
+    from file_analyzer_ray.functions.hashing import hamming64, phash64
+    from file_analyzer_ray.pipelines.extract import corpus_path
+    from file_analyzer_ray.stages.dedup import phash_near_dup_pairs
+
+    src = corpus_path(1000)
+    tab = pds.dataset(src).to_table(columns=["doc_id", "binary"])
+    hashes = {}
+    for d, b in zip(tab["doc_id"].to_pylist(), tab["binary"].to_pylist()):
+        bodies = parse_frames(b or b"")
+        h = phash64(b"".join(bodies)) if bodies else 0
+        if h:
+            hashes[d] = h
+    ids = sorted(hashes)
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if hamming64(hashes[ids[i]], hashes[ids[j]]) <= 6:
+                expected.add((ids[i], ids[j]))
+
+    ds = ray.data.read_parquet(src, file_extensions=["parquet"])
+    got_df = phash_near_dup_pairs(ds, max_hamming=6).to_pandas()
+    got = set(zip(got_df["doc_id_a"], got_df["doc_id_b"]))
+    assert len(expected) > 0
+    assert got == expected  # recall AND precision 1.0 at the default threshold
+
+
+# ---------------------------------------------------------------------------
+# pairwise image compare: SSIM + pixel-diff kernels and the operator
+
+
+def _ssim_naive(x, y, win=7, k1=0.01, k2=0.03, dr=255.0):
+    """Direct windowed implementation (double loop) — the oracle for
+    the summed-area-table kernel."""
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+    c1, c2 = (k1 * dr) ** 2, (k2 * dr) ** 2
+    h, w = x.shape
+    vals = []
+    for i in range(h - win + 1):
+        for j in range(w - win + 1):
+            a = x[i : i + win, j : j + win].ravel()
+            b = y[i : i + win, j : j + win].ravel()
+            ua, ub = a.mean(), b.mean()
+            va, vb = a.var(ddof=1), b.var(ddof=1)
+            vab = ((a - ua) * (b - ub)).sum() / (a.size - 1)
+            vals.append(
+                ((2 * ua * ub + c1) * (2 * vab + c2))
+                / ((ua**2 + ub**2 + c1) * (va + vb + c2))
+            )
+    return float(np.mean(vals))
+
+
+def test_ssim_matches_naive_windowed_oracle():
+    from file_analyzer_ray.stages.compare import ssim
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 256, size=(24, 31)).astype(np.float64)
+    y = np.clip(x + rng.normal(0, 12, size=x.shape), 0, 255)
+    assert abs(ssim(x, x) - 1.0) < 1e-12
+    assert abs(ssim(x, y) - _ssim_naive(x, y)) < 1e-9
+    assert ssim(x, y) < 1.0
+
+
+def test_pixel_mismatch_kernel():
+    from file_analyzer_ray.stages.compare import pixel_mismatch_count
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    assert pixel_mismatch_count(img, img) == 0
+    img2 = img.copy()
+    img2[5, 5] = [255, 255, 255] if img[5, 5].sum() < 380 else [0, 0, 0]
+    assert pixel_mismatch_count(img, img2) == 1
+    # sub-threshold perturbation is NOT a mismatch
+    img3 = img.copy()
+    img3[2, 2] = np.clip(img[2, 2].astype(int) + 2, 0, 255).astype(np.uint8)
+    assert pixel_mismatch_count(img, img3) == 0
+
+
+def test_pairwise_compare_operator_invariants(ray_session):
+    """Byte-identical first payloads → SSIM 1.0 / 0 mismatched pixels;
+    different payloads (stub decode reseeds) → SSIM < 1. (hamming 0 is
+    NOT the clone oracle — a ≤2-byte perturbation can leave every
+    64-bucket phash bit unchanged.)"""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from file_analyzer_ray.corpus import parse_frames
+    from file_analyzer_ray.pipelines.extract import corpus_path
+    from file_analyzer_ray.stages.compare import pairwise_image_compare
+    from file_analyzer_ray.stages.dedup import phash_near_dup_pairs
+
+    src = corpus_path(1000)
+    tab = pds.dataset(src).to_table(columns=["doc_id", "binary"])
+    first_payload = {}
+    for d, b in zip(tab["doc_id"].to_pylist(), tab["binary"].to_pylist()):
+        bodies = parse_frames(b or b"")
+        if bodies:
+            first_payload[d] = bodies[0]
+
+    docs = ray.data.read_parquet(src, file_extensions=["parquet"])
+    got = pairwise_image_compare(docs, phash_near_dup_pairs(docs)).to_pandas()
+    assert len(got) > 0
+    same = got.apply(
+        lambda r: first_payload.get(r["doc_id_a"]) == first_payload.get(r["doc_id_b"]),
+        axis=1,
+    )
+    clones, perturbed = got[same], got[~same]
+    assert len(clones) > 0 and len(perturbed) > 0
+    assert (clones["ssim"] == 1.0).all()
+    assert (clones["mismatch_pct"] == 0.0).all()
+    assert clones["identical"].all()
+    assert (perturbed["ssim"] < 1.0).all()
+    assert not perturbed["identical"].any()
+
+
+# ---------------------------------------------------------------------------
 # LSH near-dup: precision 1.0, recall bounded below vs exact baseline
 
 

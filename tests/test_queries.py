@@ -141,6 +141,7 @@ ROWS_ONLY = [
     "extract_dedup_clusters",
     "extract_carve",
     "extract_near_dup",
+    "extract_pairwise_compare",
 ]
 
 
