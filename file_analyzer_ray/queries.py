@@ -571,13 +571,30 @@ FROM events GROUP BY event_type
 
 
 def q_events_approx_users(sf_dir: str):
-    """HyperLogLog approximate distinct users (rows-only; error bound
-    vs the exact count is pytest-verified). Registers merge by max —
-    no exchange of raw keys."""
+    """HyperLogLog approximate distinct users, SELF-VERIFYING so the
+    driver can oracle-check it: emits the exact distinct count (native
+    two-level distinct path — no per-group Python) plus a flag that the
+    HLL estimate landed within its 3-sigma theoretical error bound
+    (sigma = 1.04/√(2^p), Flajolet et al. 2007). The DuckDB oracle
+    returns the exact count and TRUE, so the value-hash matches iff the
+    exact side agrees AND the sketch is in-bound. The raw estimate is
+    available via stages.sketches.approx_distinct (pytest-bounded)."""
+    from .query_utils import _distinct_native
     from .stages.sketches import approx_distinct
 
     ds = _read(sf_dir, "events", ["user_id"])
-    return approx_distinct(ds, "user_id", p=12)
+    est = int(approx_distinct(ds, "user_id", p=12)["n_distinct_approx"].iloc[0])
+    exact = int(_distinct_native(ds, ["user_id"]).count())
+    sigma = 1.04 / (1 << 12) ** 0.5
+    ok = abs(est - exact) <= 3 * sigma * max(exact, 1)
+    return ray.data.from_pandas(
+        pd.DataFrame([{"n_users": exact, "within_bound": bool(ok)}])
+    )
+
+
+SQL_EVENTS_APPROX_USERS = """
+SELECT count(DISTINCT user_id) AS n_users, TRUE AS within_bound FROM events
+"""
 
 
 def q_events_props_extract(sf_dir: str):
@@ -853,7 +870,10 @@ def q_docs_langid(sf_dir: str):
 
 
 def q_docs_simhash(sf_dir: str):
-    """SimHash per document (rows-only; deterministic)."""
+    """SimHash per document, oracle-checked: the DuckDB oracle
+    recomputes the exact Charikar fingerprint in SQL (sha256 token
+    hashes, little-endian u64, per-bit signed sums), so the value-hash
+    pins the full sketch, not just determinism."""
     from .functions.hashing import simhash64
     from .functions.text import tokenize
 
@@ -868,6 +888,74 @@ def q_docs_simhash(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# Shared CTE prefix: per-doc SimHash recomputed in pure SQL — token
+# hash = first 8 bytes of sha256('simhash:'+tok) little-endian (the
+# stable_u64 contract), bit b of the fingerprint = sign of the ±1 sum
+# over token occurrences of bit b.
+_SQL_SIMHASH_CTE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST(('0x' ||
+      substr(sha256('simhash:' || tok), 15, 2) || substr(sha256('simhash:' || tok), 13, 2) ||
+      substr(sha256('simhash:' || tok), 11, 2) || substr(sha256('simhash:' || tok), 9, 2) ||
+      substr(sha256('simhash:' || tok), 7, 2) || substr(sha256('simhash:' || tok), 5, 2) ||
+      substr(sha256('simhash:' || tok), 3, 2) || substr(sha256('simhash:' || tok), 1, 2)
+    ) AS UBIGINT) AS h
+  FROM toks
+),
+bitsum AS (
+  SELECT doc_id, b.b AS bit,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << bit)
+                       ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS h
+  FROM bitsum GROUP BY doc_id
+)
+"""
+
+SQL_DOCS_SIMHASH = _SQL_SIMHASH_CTE + """
+SELECT doc_id, lower(lpad(to_hex(h), 16, '0')) AS simhash FROM sh
+"""
+
+SQL_DOCS_SIMHASH_NEAR_DUP = _SQL_SIMHASH_CTE + """
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
+# Exact-Jaccard brute force over distinct char-5-shingle lists — the
+# oracle for the MinHash+LSH path (planted near-dup pairs sit at
+# J ≥ 0.92, >10σ above both the banding and estimate-prefilter
+# thresholds, so LSH recall is exactly 1 on this corpus family).
+SQL_DOCS_MINHASH_NEAR_DUP = """
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '[\t\n\f\r ]+', ' ', 'g'))) AS s
+  FROM documents
+),
+shl AS (
+  SELECT doc_id, list(DISTINCT substr(s, i, 5)) AS shingles
+  FROM norm, lateral (SELECT unnest(generate_series(1, greatest(length(s) - 4, 1))) AS i)
+  GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         len(list_intersect(a.shingles, b.shingles)) AS i,
+         len(a.shingles) AS na, len(b.shingles) AS nb
+  FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+FROM pairs WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8
+"""
 
 
 def _read_docs_coalesced(sf_dir: str):
@@ -1206,6 +1294,10 @@ ORACLE_SQL = {
     "embeddings_knn": SQL_EMBEDDINGS_KNN,
     "embeddings_label_stats": SQL_EMBEDDINGS_LABEL_STATS,
     "embeddings_cosine_near_dup": SQL_EMBEDDINGS_COSINE_NEAR_DUP,
+    "events_approx_users": SQL_EVENTS_APPROX_USERS,
+    "docs_simhash": SQL_DOCS_SIMHASH,
+    "docs_simhash_near_dup": SQL_DOCS_SIMHASH_NEAR_DUP,
+    "docs_minhash_near_dup": SQL_DOCS_MINHASH_NEAR_DUP,
 }
 
 _merge_registries()

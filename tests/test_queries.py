@@ -114,6 +114,10 @@ SQL_CHECKED = [
     "orders_status_pivot",
     "users_click_and_purchase",
     "users_click_no_purchase",
+    "events_approx_users",
+    "docs_simhash",
+    "docs_simhash_near_dup",
+    "docs_minhash_near_dup",
 ]
 
 
@@ -128,13 +132,9 @@ def test_query_vs_duckdb(name, registry, con):
 
 ROWS_ONLY = [
     "docs_langid",
-    "docs_simhash",
-    "docs_minhash_near_dup",
     "docs_ngram_dedup",
     "embeddings_knn_ivf",
-    "events_approx_users",
     "embeddings_lsh_near_dup",
-    "docs_simhash_near_dup",
     "media_features",
     "media_frame_features",
     "extract_spans",
