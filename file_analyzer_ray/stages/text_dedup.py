@@ -130,60 +130,128 @@ def _lsh_candidate_pairs(docs, hash_fn, threshold: float) -> "ray.data.Dataset":
     )
 
 
-def _verify_pairs_exact(pairs, docs, shingle_fn, threshold: float) -> "ray.data.Dataset":
-    """Exact-Jaccard verify for the LSH candidates. The candidate pair
-    set is small by construction (post-banding, post-dedup), so it is
-    collected, the texts of ONLY the referenced docs are fetched with
-    one broadcast semi-filter pass over the corpus, and the verify runs
-    distributed over the pair dataset with the text map broadcast via
-    ``ray.put``. (If candidates ever outgrow the driver, swap this for
-    the two-hash-join formulation — same semantics, all-streaming.)"""
+_DRIVER_VERIFY_MAX_PAIRS = 100_000
+
+
+def _verify_pairs_exact(
+    pairs, docs, shingle_fn, threshold: float, mode: str = "auto"
+) -> "ray.data.Dataset":
+    """Exact-Jaccard verify for the LSH candidates. Two paths, chosen
+    from the MEASURED candidate count (``mode='auto'``):
+
+    - ``driver`` (small candidate sets): collect the deduped pairs,
+      fetch the texts of only the referenced docs with one broadcast
+      semi-filter pass, verify distributed with the text map in the
+      object store. Fastest for the common post-banding case (hundreds
+      of pairs) — two fewer exchanges than the join path.
+    - ``join`` (the scale path): candidate texts NEVER transit the
+      driver — the deduped pair set hash-joins the (doc_id, text)
+      corpus twice (left side then right side), and the verify kernel
+      runs per batch over (text_a, text_b) rows. All-streaming; the
+      only driver-side value is the candidate count.
+    """
     import pyarrow as pa
 
     empty = pa.Table.from_pylist(
         [], schema=pa.schema([("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()),
                               ("jaccard", pa.float64())])
     )
-    pair_df = pairs.to_pandas().drop_duplicates(["doc_id_a", "doc_id_b"])
-    if pair_df.empty:
+    cand = pairs.materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(empty)
-    need = set(pair_df["doc_id_a"]) | set(pair_df["doc_id_b"])
-    need_ref = ray.put(need)
-    texts = docs.map_batches(
-        lambda df: df.loc[df["doc_id"].isin(ray.get(need_ref)), ["doc_id", "text"]],
-        batch_format="pandas",
-    ).to_pandas()
-    text_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+    if mode == "auto":
+        mode = "driver" if n_pairs <= _DRIVER_VERIFY_MAX_PAIRS else "join"
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        text_of = ray.get(text_ref)
-        cache: dict = {}
+    if mode == "driver":
+        pair_df = cand.to_pandas().drop_duplicates(["doc_id_a", "doc_id_b"])
+        need = set(pair_df["doc_id_a"]) | set(pair_df["doc_id_b"])
+        need_ref = ray.put(need)
+        texts = docs.map_batches(
+            lambda df: df.loc[df["doc_id"].isin(ray.get(need_ref)), ["doc_id", "text"]],
+            batch_format="pandas",
+        ).to_pandas()
+        text_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
 
-        def sh(doc_id):
-            if doc_id not in cache:
-                cache[doc_id] = set(shingle_fn(text_of[doc_id]))
-            return cache[doc_id]
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            text_of = ray.get(text_ref)
+            cache: dict = {}
 
+            def sh(doc_id):
+                if doc_id not in cache:
+                    cache[doc_id] = set(shingle_fn(text_of[doc_id]))
+                return cache[doc_id]
+
+            rows = []
+            for a, b in zip(df["doc_id_a"], df["doc_id_b"]):
+                jac = jaccard(sh(a), sh(b))
+                if jac >= threshold:
+                    rows.append({"doc_id_a": a, "doc_id_b": b, "jaccard": jac})
+            return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "jaccard"])
+
+        return ray.data.from_pandas(pair_df).map_batches(verify, batch_format="pandas")
+
+    # -- join path: dedup pairs natively, then two hash joins ------------
+    # Join parallelism adapts to the cluster: each hash-join operator
+    # holds num_partitions build shards, and TWO chained joins with
+    # more total demand than the CPU count deadlock the streaming
+    # executor on small clusters (measured at 4 CPUs with 16+16).
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_part = max(2, min(16, cpus // 2))
+    deduped = (
+        cand.groupby(["doc_id_a", "doc_id_b"])
+        .count()
+        .select_columns(["doc_id_a", "doc_id_b"])
+    )
+
+    def rename_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id_a": df["doc_id"], "text_a": df["text"]})
+
+    def rename_b(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id_b": df["doc_id"], "text_b": df["text"]})
+
+    ja = deduped.join(
+        docs.map_batches(rename_a, batch_format="pandas"),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("doc_id_a",),
+        right_on=("id_a",),
+    )
+    jb = ja.join(
+        docs.map_batches(rename_b, batch_format="pandas"),
+        join_type="inner",
+        num_partitions=n_part,
+        on=("doc_id_b",),
+        right_on=("id_b",),
+    )
+
+    def verify_joined(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for a, b in zip(df["doc_id_a"], df["doc_id_b"]):
-            jac = jaccard(sh(a), sh(b))
+        for a, b, ta, tb in zip(
+            df["doc_id_a"], df["doc_id_b"], df["text_a"], df["text_b"]
+        ):
+            jac = jaccard(set(shingle_fn(ta)), set(shingle_fn(tb)))
             if jac >= threshold:
                 rows.append({"doc_id_a": a, "doc_id_b": b, "jaccard": jac})
         return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "jaccard"])
 
-    return ray.data.from_pandas(pair_df).map_batches(verify, batch_format="pandas")
+    return jb.map_batches(verify_joined, batch_format="pandas")
 
 
 def minhash_near_dup_pairs(
-    docs: "ray.data.Dataset", threshold: float = 0.8, shingle_k: int = 5
+    docs: "ray.data.Dataset",
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    verify_mode: str = "auto",
 ) -> "ray.data.Dataset":
     """(doc_id, text) → verified near-dup pairs (doc_id_a, doc_id_b,
     jaccard). MinHash-LSH candidate generation (narrow shuffle),
-    exact-Jaccard verification on the joined-back texts."""
+    exact-Jaccard verification on the joined-back texts
+    (``verify_mode``: auto | driver | join — see _verify_pairs_exact)."""
     shingle_fn = lambda t: char_shingles(t, shingle_k)  # noqa: E731
     hash_fn = lambda t: char_shingle_hashes(t, shingle_k)  # noqa: E731
     pairs = _lsh_candidate_pairs(docs, hash_fn, threshold)
-    return _verify_pairs_exact(pairs, docs, shingle_fn, threshold)
+    return _verify_pairs_exact(pairs, docs, shingle_fn, threshold, mode=verify_mode)
 
 
 def simhash_near_dup_pairs(

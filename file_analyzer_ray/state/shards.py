@@ -13,9 +13,12 @@ shuffle; pipelines that only need resumable bulk extraction use this.
 Layout:
     out_dir/shard-<stem>.parquet            (atomic tmp+rename)
     out_dir/shard-<stem>.manifest.json      (the fence, written last)
-manifest = {shard, input_fingerprint (file size+mtime-free: sha256 of
-the shard's (doc_id, content_hash) set, order-independent), row_count,
-span_count, engine_version, run_meta}.
+manifest = {shard, input_file_fingerprint (size + head/tail sha256 of
+the INPUT shard file — resume compares this, so a regenerated input
+with the same filename is re-processed, not skipped), output_fingerprint
+(order-independent sha over the output (doc_id, content_hash) set —
+the cross-parallelism identity check), row_count, span_count,
+engine_version, run_meta}.
 
 Ray shape: ``from_items(shard_paths) → map_batches(ShardWorker,
 batch_size=1, actor pool)`` — the worker holds the fused ExtractStage
@@ -57,6 +60,24 @@ def completed_shards(out_dir: str) -> dict[str, dict]:
             except (json.JSONDecodeError, KeyError, OSError):
                 continue  # torn manifest == not fenced
     return done
+
+
+def input_file_fingerprint(path: str, probe: int = 1 << 20) -> str:
+    """Fast fingerprint of an input shard FILE: size + sha256 of the
+    first and last ``probe`` bytes. Mtime-free (stable across copies);
+    head+tail probing keeps resume validation O(probe) per shard
+    instead of re-reading 100 TB — parquet files carry their footer
+    metadata (row counts, column stats) in the probed tail, so any
+    regeneration that changes row content perturbs the tail bytes."""
+    st = os.stat(path)
+    h = hashlib.sha256()
+    h.update(str(st.st_size).encode())
+    with open(path, "rb") as f:
+        h.update(f.read(probe))
+        if st.st_size > probe:
+            f.seek(max(probe, st.st_size - probe))
+            h.update(f.read(probe))
+    return h.hexdigest()
 
 
 def content_fingerprint(doc_ids: list[str], hashes: list[str]) -> str:
@@ -102,7 +123,8 @@ class ShardWorker:
             manifest = {
                 "shard": stem,
                 "data_file": data_file,
-                "input_fingerprint": content_fingerprint(
+                "input_file_fingerprint": input_file_fingerprint(path),
+                "output_fingerprint": content_fingerprint(
                     out.column("doc_id").to_pylist(),
                     out.column("content_hash").to_pylist(),
                 ),
@@ -123,7 +145,7 @@ class ShardWorker:
                     "shard": stem,
                     "row_count": out.num_rows,
                     "span_count": manifest["span_count"],
-                    "input_fingerprint": manifest["input_fingerprint"],
+                    "output_fingerprint": manifest["output_fingerprint"],
                 }
             )
         return pa.Table.from_pylist(rows)
@@ -158,9 +180,20 @@ def run_sharded(
 
     shards = sorted(_glob.glob(os.path.join(src_dir, "*.parquet")))
     done = completed_shards(out_dir) if resume else {}
-    todo = [p for p in shards if _shard_stem(p) not in done]
+
+    def _is_done(p: str) -> bool:
+        """Fenced AND the input file is byte-wise the same one the fence
+        describes — a regenerated input shard with a reused filename is
+        re-processed, never silently skipped."""
+        m = done.get(_shard_stem(p))
+        if m is None:
+            return False
+        return m.get("input_file_fingerprint") == input_file_fingerprint(p)
+
+    todo = [p for p in shards if not _is_done(p)]
+    n_skipped = len(shards) - len(todo)
     if not todo:
-        return {"shards": 0, "rows": 0, "span_count": 0, "skipped": len(done)}
+        return {"shards": 0, "rows": 0, "span_count": 0, "skipped": n_skipped}
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         concurrency = (min(8, max(2, cpus - 2)), max(2, cpus - 2))
@@ -205,7 +238,7 @@ def run_sharded(
         "shards": len(results),
         "rows": sum(r["row_count"] for r in results),
         "span_count": sum(r["span_count"] for r in results),
-        "skipped": len(done),
+        "skipped": n_skipped,
     }
 
 

@@ -75,6 +75,33 @@ def test_phash_near_dup_matches_brute_force(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# minhash verify: streaming join path == driver broadcast path
+
+
+def test_minhash_verify_join_path_matches_driver_path(ray_session):
+    """The all-streaming two-hash-join verify (candidate texts never on
+    the driver) must produce the identical verified pair set."""
+    import ray.data
+
+    from file_analyzer_ray.stages.text_dedup import minhash_near_dup_pairs
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=8,
+    )
+
+    def canon(df):
+        return (
+            df.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+        )
+
+    drv = canon(minhash_near_dup_pairs(ds, verify_mode="driver").to_pandas())
+    jnd = canon(minhash_near_dup_pairs(ds, verify_mode="join").to_pandas())
+    assert len(drv) > 0
+    pd.testing.assert_frame_equal(drv, jnd.astype(drv.dtypes.to_dict()))
+
+
+# ---------------------------------------------------------------------------
 # pairwise image compare: SSIM + pixel-diff kernels and the operator
 
 

@@ -56,9 +56,36 @@ def test_sharded_fingerprints_stable_across_runs(ray_session, tmp_path):
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
     run_sharded(src, a, resume=False, concurrency=2)
     run_sharded(src, b, resume=False, concurrency=4)
-    fa = {k: m["input_fingerprint"] for k, m in completed_shards(a).items()}
-    fb = {k: m["input_fingerprint"] for k, m in completed_shards(b).items()}
+    fa = {k: m["output_fingerprint"] for k, m in completed_shards(a).items()}
+    fb = {k: m["output_fingerprint"] for k, m in completed_shards(b).items()}
     assert fa == fb  # identity independent of pool size / scheduling
+
+
+def test_resume_reprocesses_regenerated_input_shard(ray_session, tmp_path):
+    """A changed input shard with the SAME filename must NOT be skipped
+    on resume (the fence records the input file's fingerprint)."""
+    import shutil
+
+    from file_analyzer_ray.pipelines.extract import corpus_path
+    from file_analyzer_ray.state.shards import run_sharded
+
+    src_orig = corpus_path(4000)
+    src = str(tmp_path / "src")
+    shutil.copytree(src_orig, src)
+    out = str(tmp_path / "out")
+    res1 = run_sharded(src, out, resume=False, concurrency=2)
+    assert res1["shards"] > 0
+
+    # regenerate one input shard with different content, same filename
+    shards = sorted(glob.glob(src + "/*.parquet"))
+    victim = shards[0]
+    tab = pq.read_table(victim)
+    pq.write_table(tab.slice(0, tab.num_rows // 2), victim)
+
+    res2 = run_sharded(src, out)  # resume
+    assert res2["shards"] == 1  # only the regenerated shard re-ran
+    assert res2["skipped"] == len(shards) - 1
+    assert res2["rows"] == tab.num_rows // 2
 
 
 def test_content_fingerprint_order_independent():
