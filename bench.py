@@ -125,7 +125,7 @@ def run_bench() -> dict:
     return result
 
 
-def _mp_worker(paths, q):
+def _mp_worker(paths, outdir, q):
     import pyarrow.parquet as pq
 
     from file_analyzer_ray.stages.extract import ExtractStage
@@ -133,29 +133,37 @@ def _mp_worker(paths, q):
     st = ExtractStage(score=True)
     n = 0
     for p in paths:
-        n += st(pq.read_table(p)).num_rows
+        out = st(pq.read_table(p))
+        n += out.num_rows
+        pq.write_table(out, os.path.join(outdir, os.path.basename(p)))
     q.put(n)
 
 
-def _mp_calibration(src: str, n_shards: int = 160) -> dict:
-    """Same workload, no Ray: plain multiprocessing at 8 and 32 procs
-    over the same shard subset — measures the BOX's scaling ceiling."""
+def _mp_calibration(src: str, n_shards: int = 320) -> dict:
+    """Same workload, no Ray: plain multiprocessing over the same shard
+    subset — measures the BOX's scaling ceiling. Like-for-like with the
+    Ray path: output parquet IS written (round 1's calibration skipped
+    the write), and the worker counts match the engine's actor counts
+    at each level (8 at 8 CPUs, cpus-2=30 at 32)."""
     import glob
     import multiprocessing as mp
 
     shards = sorted(glob.glob(os.path.join(src, "*.parquet")))[:n_shards]
     out = {}
-    for n_proc in (8, 32):
+    for level, n_proc in ((8, 8), (32, 30)):
+        outdir = f"/tmp/fa_mp_cal_{n_proc}"
+        shutil.rmtree(outdir, ignore_errors=True)
+        os.makedirs(outdir)
         chunks = [shards[i::n_proc] for i in range(n_proc)]
         q = mp.Queue()
         t0 = time.monotonic()
-        ps = [mp.Process(target=_mp_worker, args=(c, q)) for c in chunks if c]
+        ps = [mp.Process(target=_mp_worker, args=(c, outdir, q)) for c in chunks if c]
         for p in ps:
             p.start()
         total = sum(q.get() for _ in ps)
         for p in ps:
             p.join()
-        out[n_proc] = total / (time.monotonic() - t0)
+        out[level] = total / (time.monotonic() - t0)
     return {
         "mp_docs_per_sec_8": round(out[8], 1),
         "mp_docs_per_sec_32": round(out[32], 1),
@@ -164,9 +172,11 @@ def _mp_calibration(src: str, n_shards: int = 160) -> dict:
 
 
 def run_scaling() -> dict:
-    # 8x the headline corpus: big enough that both runs are
-    # compute-bound (see module docstring).
-    n_docs = 8 * _corpus_docs(SF_DIR)
+    # 16x the headline corpus: the r2 extraction kernel is ~40% faster,
+    # so the 8x corpus finished in ~8 s at 32 CPUs and ~2.5 s of actor
+    # spin-up read as a 30% scaling loss. A steady-state-dominated job
+    # (~15 s at 32 CPUs) is what the N→4N cluster criterion describes.
+    n_docs = 16 * _corpus_docs(SF_DIR)
 
     def one(ncpu: int) -> dict:
         env = dict(
@@ -183,17 +193,35 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    one(8)  # warm-up pass: corpus generation + page cache, untimed
-    # Best-of-2 per level: this sandbox is a shared VM with ~2x timing
-    # noise on short runs; min-of-k is the standard noise-floor
-    # estimator and applies identically to both levels.
-    lo = min(one(8), one(8), key=lambda r: r["value"])
-    hi = min(one(32), one(32), key=lambda r: r["value"])
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
-
     from file_analyzer_ray.pipelines.extract import corpus_path
 
-    cal = _mp_calibration(corpus_path(n_docs))
+    one(8)  # warm-up pass: corpus generation + page cache, untimed
+    src = corpus_path(n_docs)
+    # This sandbox is a shared VM whose throughput fluctuates ~2x
+    # between noise windows. Two defenses: (a) best-of-k per
+    # configuration (min-of-k is the standard noise-floor estimator),
+    # (b) INTERLEAVE the Ray runs with the no-Ray multiprocessing
+    # calibration rounds so both see the same windows — round-1 ran
+    # all Ray first, then all mp, and a noisy window on one side
+    # skewed the ray-vs-hardware ratio either way.
+    lo = hi = None
+    cal: dict = {}
+    for _ in range(2):
+        r8, r32 = one(8), one(32)
+        lo = r8 if lo is None or r8["value"] < lo["value"] else lo
+        hi = r32 if hi is None or r32["value"] < hi["value"] else hi
+        c = _mp_calibration(src)
+        if not cal or c["mp_docs_per_sec_32"] > cal["mp_docs_per_sec_32"]:
+            cal = {
+                **cal,
+                "mp_docs_per_sec_32": c["mp_docs_per_sec_32"],
+            }
+        if "mp_docs_per_sec_8" not in cal or c["mp_docs_per_sec_8"] > cal["mp_docs_per_sec_8"]:
+            cal["mp_docs_per_sec_8"] = c["mp_docs_per_sec_8"]
+    cal["hw_scaling_efficiency"] = round(
+        (cal["mp_docs_per_sec_32"] / cal["mp_docs_per_sec_8"]) / 4, 3
+    )
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
     return {
         "metric": "scaling_efficiency_8_to_32",
         "sec_8": lo["value"],

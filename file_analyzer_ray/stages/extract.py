@@ -150,26 +150,32 @@ class ExtractStage:
         return "data"
 
     # -- per-document extraction -----------------------------------------
-    def _extract_one(self, doc_id: str, spans: list[dict], binary: bytes) -> dict:
+    def _extract_one(
+        self, lo: int, hi: int, f_kind, f_text, f_ref, f_off, binary,
+        out_k: list, out_t: list, out_r: list,
+    ) -> tuple[int, str, "dict | None"]:
+        """Extract one doc's spans [lo, hi) from the FLAT child arrays
+        into the shared flat output builders (no per-span dicts on
+        either side — VERDICT.md r1 flagged the dict materialization as
+        the memory-bandwidth tax on the hot path). Returns (n_spans,
+        content_hash, score_row|None); on exception the caller rolls
+        the builders back to their pre-doc length."""
         payloads = parse_frames(binary or b"")
         pay_for: dict[int, bytes] = {}
         k = 0
-        for idx, s in enumerate(spans):
-            if s["kind"] in ("media", "binary"):
+        for idx in range(lo, hi):
+            if f_kind[idx] in ("media", "binary"):
                 if k < len(payloads):
                     pay_for[idx] = payloads[k]
                 k += 1
-        order = sorted(range(len(spans)), key=lambda i: (spans[i]["offset"], i))
-        out_k: list[str] = []
-        out_t: list[str] = []
-        out_r: list[str] = []
+        order = sorted(range(lo, hi), key=lambda i: (f_off[i], i))
+        start = len(out_k)
         norm_pairs: list[tuple[str, str]] = []
         hash_payloads: list[bytes] = []
         for i in order:
-            s = spans[i]
-            kind = s["kind"]
+            kind = f_kind[i]
             if kind == "text":
-                text = WS_RE.sub(" ", s["text"] or "").strip()
+                text = WS_RE.sub(" ", f_text[i] or "").strip()
                 if not text:
                     continue
                 norm_pairs.append(("text", text))
@@ -177,7 +183,7 @@ class ExtractStage:
                 for _pos, _pi, pat in self._text_hits(text):
                     out_k.append("match"); out_t.append(pat); out_r.append("")
                 continue
-            ref = s["media_ref"] or ""
+            ref = f_ref[i] or ""
             norm_pairs.append((kind, ""))
             body = pay_for.get(i)
             if body is None:
@@ -203,51 +209,109 @@ class ExtractStage:
                         out_k.append("match"); out_t.append(pat); out_r.append(ref)
             for pos, _si, name in self._magic_hits(body):
                 out_k.append("embedded"); out_t.append(f"{name}@{pos}"); out_r.append(ref)
-        n = len(out_k)
+        n = len(out_k) - start
         chash = _content_hash(norm_pairs, hash_payloads)
-        row = {
-            "doc_id": doc_id,
-            "spans": [
-                {"kind": out_k[j], "text": out_t[j], "media_ref": out_r[j], "offset": j}
-                for j in range(n)
-            ],
-            "content_hash": chash,
-            "n_spans": n,
-            "status": "success",
-        }
+        score_row = None
         if self.score:
             from ..functions.scoring import score_doc
             from ..functions.text import TOKEN_RE
 
             words: list[str] = []
-            for j in range(n):
+            for j in range(start, start + n):
                 if out_k[j] in ("text", "ocr"):
                     words.extend(TOKEN_RE.findall(out_t[j]))
                     if len(words) >= self.max_words:
                         break
-            row.update(score_doc(chash or "0" * 12, words[: self.max_words]))
-        return row
+            score_row = score_doc(chash or "0" * 12, words[: self.max_words])
+        return n, chash, score_row
 
     # -- batch entry ------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Zero-copy-in, flat-out batch kernel: the nested spans column
+        is read via its list offsets + flattened struct children (one
+        primitive to_pylist per child — no per-span dict objects), and
+        the output spans column is assembled directly from flat builder
+        lists via StructArray/ListArray.from_arrays (no from_pylist of
+        nested rows)."""
+        n_rows = batch.num_rows
         doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
-        bin_col = batch.column("binary").to_pylist()
-        rows = []
-        for doc_id, spans, binary in zip(doc_ids, spans_col, bin_col):
-            try:
-                rows.append(self._extract_one(doc_id, spans or [], binary))
-            except Exception as exc:  # error-channel row, never a failed block
-                err = {
-                    "doc_id": doc_id,
-                    "spans": [],
-                    "content_hash": "",
-                    "n_spans": 0,
-                    "status": f"error: {type(exc).__name__}: {exc}"[:200],
-                }
-                if self.score:
-                    err.update(_EMPTY_SCORE)
-                rows.append(err)
-        return pa.Table.from_pylist(
-            rows, schema=SCORED_SCHEMA if self.score else EXTRACTED_SCHEMA
+        spans_col = batch.column("spans")
+        spans_arr = (
+            spans_col.combine_chunks()
+            if isinstance(spans_col, pa.ChunkedArray)
+            else spans_col
         )
+        loff = spans_arr.offsets.to_pylist()
+        sv = spans_arr.values
+        f_kind = sv.field("kind").to_pylist()
+        f_text = sv.field("text").to_pylist()
+        f_ref = sv.field("media_ref").to_pylist()
+        f_off = sv.field("offset").to_pylist()
+        valid = (
+            spans_arr.is_valid().to_pylist() if spans_arr.null_count > 0 else None
+        )
+        bins = batch.column("binary").to_pylist()
+
+        out_k: list[str] = []
+        out_t: list[str] = []
+        out_r: list[str] = []
+        list_offsets: list[int] = [0]
+        hashes: list[str] = []
+        n_spans: list[int] = []
+        statuses: list[str] = []
+        scores: list[dict] = []
+        for i in range(n_rows):
+            lo, hi = loff[i], loff[i + 1]
+            if valid is not None and not valid[i]:
+                lo = hi
+            start = len(out_k)
+            try:
+                n, chash, score_row = self._extract_one(
+                    lo, hi, f_kind, f_text, f_ref, f_off, bins[i],
+                    out_k, out_t, out_r,
+                )
+                hashes.append(chash)
+                n_spans.append(n)
+                statuses.append("success")
+                if self.score:
+                    scores.append(score_row)
+            except Exception as exc:  # error-channel row, never a failed block
+                del out_k[start:], out_t[start:], out_r[start:]
+                hashes.append("")
+                n_spans.append(0)
+                statuses.append(f"error: {type(exc).__name__}: {exc}"[:200])
+                if self.score:
+                    scores.append(_EMPTY_SCORE)
+            list_offsets.append(len(out_k))
+
+        offsets_col: list[int] = []
+        for i in range(n_rows):
+            offsets_col.extend(range(list_offsets[i + 1] - list_offsets[i]))
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(out_k, pa.string()),
+                pa.array(out_t, pa.string()),
+                pa.array(out_r, pa.string()),
+                pa.array(offsets_col, pa.int32()),
+            ],
+            fields=list(OUT_SPANS_TYPE.value_type),
+        )
+        spans_out = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), struct)
+        cols = [
+            pa.array(doc_ids, pa.string()),
+            spans_out,
+            pa.array(hashes, pa.string()),
+            pa.array(n_spans, pa.int32()),
+            pa.array(statuses, pa.string()),
+        ]
+        if not self.score:
+            return pa.Table.from_arrays(cols, schema=EXTRACTED_SCHEMA)
+        cols += [
+            pa.array([s["mode"] for s in scores], pa.string()),
+            pa.array([s["description"] for s in scores], pa.string()),
+            pa.array([s["tags"] for s in scores], pa.list_(pa.string())),
+            pa.array([s["recommended_filename"] for s in scores], pa.string()),
+            pa.array([s["model_status"] for s in scores], pa.string()),
+            pa.array([s["attempts"] for s in scores], pa.int32()),
+        ]
+        return pa.Table.from_arrays(cols, schema=SCORED_SCHEMA)

@@ -114,20 +114,93 @@ def _first_pair(g: pd.DataFrame) -> pd.DataFrame:
     return g.iloc[:1]
 
 
+def _run_bounds(bvals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Start/end indices of equal-value runs in a sorted array."""
+    starts = np.flatnonzero(np.r_[True, bvals[1:] != bvals[:-1]])
+    ends = np.r_[starts[1:], len(bvals)]
+    return starts, ends
+
+
+def _pairs_from_runs(ids, sigs_bytes, starts, ends, cutoff) -> pd.DataFrame:
+    """Estimate-prefiltered candidate pairs for the given bucket runs
+    (vectorized per run; singleton runs cost one comparison, not a
+    pandas object)."""
+    out_a: list = []
+    out_b: list = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        idx = np.argsort(ids[s:e], kind="stable") + s
+        rid = ids[idx]
+        sig = np.stack([np.frombuffer(sigs_bytes[i], dtype=np.uint64) for i in idx])
+        est = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
+        keep = np.triu(est >= cutoff, k=1)
+        r, c = np.nonzero(keep)
+        out_a.extend(rid[r])
+        out_b.extend(rid[c])
+    return pd.DataFrame(
+        {
+            "doc_id_a": np.asarray(out_a, dtype=ids.dtype),
+            "doc_id_b": np.asarray(out_b, dtype=ids.dtype),
+        }
+    )
+
+
 def _lsh_candidate_pairs(docs, hash_fn, threshold: float) -> "ray.data.Dataset":
     """(doc_id, text) → candidate pair dataset via MinHash-LSH:
-    vectorized signatures → (band, doc_id, sig) explode → ONE shuffle →
-    in-bucket estimate-prefiltered pairs. Pairs surfacing from several
-    bands appear multiply; the verify step dedups them in one pandas
-    pass on the collected (small) candidate set — cheaper than a
-    second groupby exchange."""
+    vectorized signatures → (band, doc_id, sig) explode → ONE sort by
+    band key → vectorized run-scan per sorted block.
+
+    The co-grouping is a SORT + per-block numpy run detection, NOT
+    ``groupby(band).map_groups``: with 16 bands/doc nearly every bucket
+    is a singleton, and Ray/pandas per-group dispatch costs ~100 µs of
+    empty-frame construction per group — measured 10 s for a 5k-doc
+    corpus vs ~1 s for the run-scan. Buckets that straddle a block
+    boundary are routed down a boundary side-channel (first/last band
+    key of each block, a few rows per block) and paired in one extra
+    small task; interior runs are paired in place. Pairs surfacing
+    from several bands appear multiply; the verify step dedups them.
+    """
+    cutoff = threshold - 0.15  # see _make_bucket_candidates
     sigs = docs.map_batches(
         SignatureStage(hash_fn), batch_format="pandas", batch_size=1024,
     )
     bands = sigs.map_batches(_explode_bands, batch_format="pandas")
-    return bands.groupby("band").map_groups(
-        _make_bucket_candidates(threshold), batch_format="pandas"
+    sorted_bands = bands.sort("band").materialize()
+
+    def interior_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["band"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        sb = df["sig"].to_numpy()
+        starts, ends = _run_bounds(b)
+        # runs touching either block edge go to the boundary pass
+        inner = (starts > 0) & (ends < len(b))
+        return _pairs_from_runs(ids, sb, starts[inner], ends[inner], cutoff)
+
+    def boundary_rows(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["band"].to_numpy()
+        if not len(b):
+            return df
+        edge = (b == b[0]) | (b == b[-1])
+        return df.loc[edge]
+
+    def boundary_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("band", kind="stable")
+        b = df["band"].to_numpy()
+        starts, ends = _run_bounds(b)
+        return _pairs_from_runs(
+            df["doc_id"].to_numpy(), df["sig"].to_numpy(), starts, ends, cutoff
+        )
+
+    interior = sorted_bands.map_batches(
+        interior_pairs, batch_format="pandas", batch_size=None
     )
+    boundary = (
+        sorted_bands.map_batches(boundary_rows, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(boundary_pairs, batch_format="pandas", batch_size=None)
+    )
+    return interior.union(boundary)
 
 
 _DRIVER_VERIFY_MAX_PAIRS = 100_000

