@@ -56,6 +56,7 @@ FEATURE_SCHEMA = pa.schema(
         ("media_type", pa.string()),
         ("height", pa.int32()),
         ("width", pa.int32()),
+        ("boxed_size", pa.int32()),
         ("n_frames_sampled", pa.int32()),
         ("features", pa.list_(pa.float32())),
         ("status", pa.string()),
@@ -116,21 +117,36 @@ def frame_sample(payload: bytes, frame_bytes: int = 4096, stride: int = 4) -> li
     ]
 
 
+# Analysis-mode → preprocess resolution policy (reference
+# src/core/vision.py:62-72,242-257: describe 512², document 768²,
+# detect 384²).
+MODE_TARGETS = {"describe": 512, "document": 768, "detect": 384}
+
+
 class DecodeStage:
     """Actor-pool decode → letterbox-resize → feature-extract.
 
     One instance per actor: ``__init__`` holds the (stub) codec state;
     ``__call__`` processes an Arrow batch of exploded media rows and
     emits fixed-width feature rows. Per-row try/except keeps poisoned
-    payloads in the error channel instead of failing the block."""
+    payloads in the error channel instead of failing the block.
+
+    Resolution policy: ``mode`` (constructor) pins the reference's
+    per-mode square target; a per-row ``mode`` column in the batch
+    overrides it row-wise; otherwise the raw ``target`` applies (tests
+    default to 64 to keep canvases small)."""
 
     N_BINS = 16
 
-    def __init__(self, target: int = 64, frame_bytes: int = 4096, stride: int = 4):
-        self.target = target
+    def __init__(self, target: int = 64, frame_bytes: int = 4096, stride: int = 4,
+                 mode: str | None = None):
+        self.target = MODE_TARGETS[mode] if mode else target
         self.frame_bytes = frame_bytes
         self.stride = stride
         self.bin_edges = np.linspace(0, 256, self.N_BINS + 1)
+
+    def _target_for(self, mode: "str | None") -> int:
+        return MODE_TARGETS.get(mode or "", self.target)
 
     # -- decode (STUB in this sandbox; real path behind import-try) ---
     def _decode(self, payload: bytes) -> np.ndarray:
@@ -155,17 +171,24 @@ class DecodeStage:
         ).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        modes = (
+            batch.column("mode").to_pylist()
+            if "mode" in batch.schema.names
+            else [None] * batch.num_rows
+        )
         rows = []
-        for doc_id, ref, mtype, payload in zip(
+        for doc_id, ref, mtype, payload, mode in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("media_ref").to_pylist(),
             batch.column("media_type").to_pylist(),
             batch.column("payload").to_pylist(),
+            modes,
         ):
             try:
+                target = self._target_for(mode)
                 frames = frame_sample(payload or b"", self.frame_bytes, self.stride)
                 img = self._decode(frames[0] if frames else b"")
-                boxed = resize_letterbox(img, self.target)
+                boxed = resize_letterbox(img, target)
                 feats = self._features(boxed)
                 rows.append(
                     {
@@ -174,6 +197,7 @@ class DecodeStage:
                         "media_type": mtype,
                         "height": int(img.shape[0]),
                         "width": int(img.shape[1]),
+                        "boxed_size": int(boxed.shape[0]),
                         "n_frames_sampled": len(frames),
                         "features": feats.tolist(),
                         "status": "success",
@@ -187,6 +211,7 @@ class DecodeStage:
                         "media_type": mtype,
                         "height": 0,
                         "width": 0,
+                        "boxed_size": 0,
                         "n_frames_sampled": 0,
                         "features": [],
                         "status": f"error: {type(exc).__name__}"[:100],
@@ -261,13 +286,16 @@ def frame_features(
 def media_features(
     docs: "ray.data.Dataset",
     target: int = 64,
+    mode: "str | None" = None,
     concurrency: "int | tuple[int, int] | None" = None,
     batch_size: int = 64,
 ) -> "ray.data.Dataset":
     """Full multimodal chain: explode media spans → actor-pool
     decode/resize/feature stage. Small batch_size because rows carry
     binary payloads; the pool autoscales to the cluster minus headroom
-    for the explode/read stages."""
+    for the explode/read stages. ``mode`` selects the reference's
+    per-mode resolution (describe 512 / document 768 / detect 384,
+    src/core/vision.py:62-72); per-row ``mode`` columns override."""
     import ray
 
     if concurrency is None:
@@ -276,8 +304,8 @@ def media_features(
     media = docs.map_batches(explode_media, batch_format="pyarrow")
     return media.map_batches(
         DecodeStage,
-        fn_constructor_kwargs={"target": target},
+        fn_constructor_kwargs={"target": target, "mode": mode},
         batch_format="pyarrow",
-        batch_size=batch_size,
+        batch_size=batch_size if mode is None else 16,
         concurrency=concurrency,
     )

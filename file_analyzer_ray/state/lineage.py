@@ -75,7 +75,9 @@ class PartitionWriter:
 
     def __init__(self, out_dir: str, run_meta: dict | None = None,
                  fail_partitions: frozenset[int] = frozenset()):
-        self.out_dir = out_dir
+        from .guard import validate_sink_dir
+
+        self.out_dir = validate_sink_dir(out_dir)
         self.run_meta = run_meta or {}
         self.fail_partitions = fail_partitions
 
@@ -136,7 +138,11 @@ def write_partitioned(
 ) -> list[dict]:
     """Write ``ds`` (must carry ``doc_id``) as ``num_partitions`` atomic
     parquet partitions + manifests; skips already-fenced partitions when
-    resuming. Returns the manifest rows written this run."""
+    resuming. Returns the manifest rows written this run. The sink URI
+    is validated at construction (guard.py PathGuard analog)."""
+    from .guard import validate_sink_dir
+
+    out_dir = validate_sink_dir(out_dir)
     done = completed_partitions(out_dir) if resume else {}
     if len(done) >= num_partitions and set(range(num_partitions)) <= set(done):
         return []  # everything fenced: nothing to execute at all

@@ -104,8 +104,9 @@ class ShardWorker:
                  run_meta: dict | None = None,
                  fail_shards: frozenset[str] = frozenset()):
         from ..stages.extract import ExtractStage
+        from .guard import validate_sink_dir
 
-        self.out_dir = out_dir
+        self.out_dir = validate_sink_dir(out_dir)
         self.stage = ExtractStage(score=score)
         self.run_meta = run_meta or {}
         self.fail_shards = fail_shards
@@ -182,6 +183,9 @@ def run_sharded(
 
     import ray
 
+    from .guard import validate_sink_dir
+
+    out_dir = validate_sink_dir(out_dir)
     shards = sorted(_glob.glob(os.path.join(src_dir, "*.parquet")))
     done = completed_shards(out_dir) if resume else {}
 

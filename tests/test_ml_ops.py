@@ -305,6 +305,34 @@ def test_decode_stage_deterministic_and_error_channel(ray_session):
     assert out1[0]["height"] >= 32 and out1[0]["width"] >= 32
 
 
+def test_mode_dependent_preprocess_resolutions(ray_session):
+    """Reference policy (src/core/vision.py:62-72): describe 512²,
+    document 768², detect 384² — both via the constructor mode and via
+    a per-row mode column."""
+    import pyarrow as pa
+
+    from file_analyzer_ray.stages.multimodal import (
+        MEDIA_ROW_SCHEMA,
+        MODE_TARGETS,
+        DecodeStage,
+    )
+
+    rows = [
+        {"doc_id": "d1", "media_ref": "m/1", "media_type": "media",
+         "payload": b"payload-bytes-abc" * 100},
+    ]
+    batch = pa.Table.from_pylist(rows, schema=MEDIA_ROW_SCHEMA)
+    for mode, res in MODE_TARGETS.items():
+        out = DecodeStage(mode=mode)(batch).to_pylist()
+        assert out[0]["boxed_size"] == res, (mode, out[0]["boxed_size"])
+    # no mode → raw target
+    assert DecodeStage(target=64)(batch).to_pylist()[0]["boxed_size"] == 64
+    # per-row mode column overrides the constructor default
+    batch_modes = batch.append_column("mode", pa.array(["document"]))
+    out = DecodeStage(mode="describe")(batch_modes).to_pylist()
+    assert out[0]["boxed_size"] == MODE_TARGETS["document"]
+
+
 def test_media_features_pipeline_covers_all_media_spans(ray_session):
     import ray.data
 

@@ -162,3 +162,52 @@ def test_error_channel_rows_not_exceptions(ray_session):
     assert out.num_rows == 1
     assert out.column("status")[0].as_py() == "success"  # None spans → empty doc
     assert out.column("n_spans")[0].as_py() == 0
+
+
+def test_exported_rows_conform_to_json_schema(pipeline_rows):
+    """Every exported row validates against the engine's versioned
+    JSON-Schema contract (schemas/extracted/v1.0/schema.json) —
+    mirroring the reference's per-artifact schema discipline
+    (reference schemas/*/v1.0/schema.json, src/cli/validate/main.py:
+    43-185)."""
+    import json
+    import os
+
+    import jsonschema
+
+    schema_path = os.path.join(
+        os.path.dirname(__file__), "..", "schemas", "extracted", "v1.0", "schema.json"
+    )
+    with open(schema_path) as f:
+        schema = json.load(f)
+    validator = jsonschema.Draft7Validator(schema)
+    for doc_id, row in pipeline_rows.items():
+        row = {
+            k: (list(v) if isinstance(v, (list, tuple)) else v) for k, v in row.items()
+        }
+        row["spans"] = [dict(s) for s in row["spans"]]
+        row["tags"] = [str(t) for t in row["tags"]]
+        errors = list(validator.iter_errors(row))
+        assert not errors, f"{doc_id}: {errors[:2]}"
+        assert row["n_spans"] == len(row["spans"])  # cross-field invariant
+
+
+def test_sink_path_guard(ray_session, tmp_path):
+    """PathGuard analog: protected/system/read-only/bare-temp sinks are
+    rejected at construction; a named /tmp subdirectory passes."""
+    import pytest as _pytest
+
+    from file_analyzer_ray.state.guard import SinkPathError, validate_sink_dir
+    from file_analyzer_ray.state.lineage import PartitionWriter
+    from file_analyzer_ray.state.shards import run_sharded
+
+    for bad in ["/etc/fa_out", "/usr/lib/fa", "/root/reference/out",
+                "/root/testdata/sf0.001", "/tmp", "/var/tmp", "/", ""]:
+        with _pytest.raises(SinkPathError):
+            validate_sink_dir(bad)
+    assert validate_sink_dir("/tmp/fa_named_out").startswith("/tmp/")
+    assert validate_sink_dir(str(tmp_path / "ok"))
+    with _pytest.raises(SinkPathError):
+        PartitionWriter("/etc/fa_out")
+    with _pytest.raises(SinkPathError):
+        run_sharded(str(tmp_path), "/tmp")
