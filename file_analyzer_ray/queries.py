@@ -991,11 +991,16 @@ def q_docs_ngram_dedup(sf_dir: str):
 
 def q_embeddings_knn(sf_dir: str):
     """Brute-force cosine top-k against a broadcast query vector:
-    numpy matmul per batch, global top-k by (rounded sim, vec_id)."""
-    import pyarrow.parquet as pq
+    pushdown point-read for the query (row-group pruning, no full
+    table on the driver), numpy matmul + partial top-k per batch,
+    ONE small merge task instead of an all-to-all sort."""
+    import pyarrow.dataset as pds
 
-    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qvec = np.array(qtab.filter(pc.equal(qtab["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64)
+    k = 10
+    qrow = pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["embedding"], filter=pc.field("vec_id") == 0
+    )
+    qvec = np.array(qrow["embedding"][0].as_py(), dtype=np.float64)
     qref = ray.put(qvec / np.linalg.norm(qvec))
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
@@ -1004,10 +1009,20 @@ def q_embeddings_knn(sf_dir: str):
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         sims = (mat @ q) / np.linalg.norm(mat, axis=1)
         out = pd.DataFrame({"vec_id": df["vec_id"], "cosine_sim": np.round(sims, 4)})
-        return out[out["vec_id"] != 0]
+        out = out[out["vec_id"] != 0]
+        return out.sort_values(
+            ["cosine_sim", "vec_id"], ascending=[False, True]
+        ).head(k)
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["cosine_sim", "vec_id"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
 
     scored = ds.map_batches(fn, batch_format="pandas")
-    return scored.sort(["cosine_sim", "vec_id"], descending=[True, False]).limit(10)
+    return scored.repartition(1).map_batches(
+        merge_topk, batch_format="pandas", batch_size=None
+    )
 
 
 SQL_EMBEDDINGS_KNN = """

@@ -125,17 +125,25 @@ def test_build_pipeline_actor_stage(ray_session):
 
 
 def test_hll_error_bound(ray_session):
-    import __ray_entry__ as E
-
-    qs = E.queries()
-    approx = qs["events_approx_users"](SF_DIR)["n_distinct_approx"].iloc[0]
+    """Raw HLL estimate within 5% of exact; the oracle-checked query
+    (n_users, within_bound) reports exact + in-bound flag."""
     import duckdb
+    import ray.data
 
+    import __ray_entry__ as E
+    from file_analyzer_ray.stages.sketches import approx_distinct
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    approx = approx_distinct(ds, "user_id", p=12)["n_distinct_approx"].iloc[0]
     exact = duckdb.sql(
         f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF_DIR}/events.parquet')"
     ).fetchone()[0]
     err = abs(approx - exact) / exact
     assert err < 0.05, f"HLL error {err:.3f} (approx={approx}, exact={exact})"
+
+    qdf = E.queries()["events_approx_users"](SF_DIR).to_pandas()
+    assert int(qdf["n_users"].iloc[0]) == exact
+    assert bool(qdf["within_bound"].iloc[0])
 
 
 def test_hll_merge_associative():
