@@ -583,7 +583,7 @@ def q_users_click_and_purchase(sf_dir: str):
         on=("user_id",),
         right_on=("buy_user_id",),
     )
-    return semi.groupby("user_id").count().select_columns(["user_id"])
+    return _distinct_native(semi, ["user_id"])
 
 
 SQL_USERS_CLICK_AND_PURCHASE = """
@@ -619,7 +619,7 @@ def q_users_click_no_purchase(sf_dir: str):
         on=("user_id",),
         right_on=("buy_user_id",),
     )
-    return anti.groupby("user_id").count().select_columns(["user_id"])
+    return _distinct_native(anti, ["user_id"])
 
 
 SQL_USERS_CLICK_NO_PURCHASE = """

@@ -92,19 +92,47 @@ def _preagg_native(ds, keys: list[str], partial, aggs, finalize,
 
 
 def _distinct_native(ds, keys: list[str]):
-    """Global exact DISTINCT over ``keys`` with NO per-group Python:
-    per-batch ``drop_duplicates`` (the combiner — only batch-distinct
-    rows reach the exchange) → native ``groupby(keys).count()`` (one
-    vectorized shuffle) → project the keys back out. Scales to
-    unbounded key cardinality: no single task ever holds the full
-    distinct set."""
+    """Global exact DISTINCT over ``keys`` with NO per-group Python and
+    NO per-key aggregate machinery: per-batch ``drop_duplicates`` (the
+    combiner — only batch-distinct rows reach the exchange) → ONE sort
+    by the keys → vectorized per-block dedup, with rows carrying each
+    block's first/last key tuple routed down a small boundary
+    side-channel (a key group can straddle a block boundary) that is
+    deduped in one extra task. Scales to unbounded key cardinality —
+    no single task ever holds the full distinct set — and avoids Ray's
+    per-key aggregate cost (measured ~1-2 ms/key for groupby().count()
+    in 2.49, i.e. 15 s for 7.5k keys)."""
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df[keys].drop_duplicates().reset_index(drop=True)
 
-    g = (
-        ds.map_batches(dedup, batch_format="pandas", batch_size=65536)
-        .groupby(keys if len(keys) > 1 else keys[0])
-        .count()
+    pre = ds.map_batches(dedup, batch_format="pandas", batch_size=65536)
+    s = pre.sort(keys).materialize()
+
+    def _edge_mask(df: pd.DataFrame):
+        first = df.iloc[0][keys].to_numpy()
+        last = df.iloc[-1][keys].to_numpy()
+        vals = df[keys].to_numpy()
+        return (vals == first).all(axis=1) | (vals == last).all(axis=1)
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.loc[~_edge_mask(df)].drop_duplicates().reset_index(drop=True)
+
+    def boundary(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.loc[_edge_mask(df)].drop_duplicates().reset_index(drop=True)
+
+    def final_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().reset_index(drop=True)
+
+    b = (
+        s.map_batches(boundary, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(final_dedup, batch_format="pandas", batch_size=None)
     )
-    return g.select_columns(keys)
+    return s.map_batches(
+        interior, batch_format="pandas", batch_size=None
+    ).union(b)

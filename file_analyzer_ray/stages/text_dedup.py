@@ -271,11 +271,9 @@ def _verify_pairs_exact(
     # executor on small clusters (measured at 4 CPUs with 16+16).
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     n_part = max(2, min(16, cpus // 2))
-    deduped = (
-        cand.groupby(["doc_id_a", "doc_id_b"])
-        .count()
-        .select_columns(["doc_id_a", "doc_id_b"])
-    )
+    from ..query_utils import _distinct_native
+
+    deduped = _distinct_native(cand, ["doc_id_a", "doc_id_b"])
 
     def rename_a(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"id_a": df["doc_id"], "text_a": df["text"]})
