@@ -503,26 +503,40 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 
 
 def q_events_sessionize(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user via
-    groupby(user).map_groups over ts-sorted groups — the engine's
-    session-window operator (new vs reference; SURVEY.md §2.9)."""
+    """Session windows (30-min inactivity gap) per user — the engine's
+    session-window operator (new vs reference; SURVEY.md §2.9).
+    Executed as ONE sort by (user_id, ts, event_id) + run-boundary
+    numpy aggregation vectorized ACROSS users (``_window_by_key``) —
+    no per-user Python dispatch, so user cardinality scaling is free."""
+    from .query_utils import _window_by_key
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds()
-        new_session = (gap.isna() | (gap > 1800)).astype(int)
-        return pd.DataFrame(
-            [
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
                 {
-                    "user_id": int(g["user_id"].iloc[0]),
-                    "n_sessions": int(new_session.sum()),
-                    "n_events": len(g),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_sessions": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
                 }
-            ]
+            )
+        u = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap_us = np.r_[np.int64(0), ts[1:] - ts[:-1]]
+        new_session = new_user | (gap_us > 1800 * 1_000_000)
+        starts = np.flatnonzero(new_user)
+        ends = np.r_[starts[1:], len(u)]
+        return pd.DataFrame(
+            {
+                "user_id": u[starts].astype("int64"),
+                "n_sessions": np.add.reduceat(new_session.astype(np.int64), starts),
+                "n_events": (ends - starts).astype("int64"),
+            }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _window_by_key(ds, ["user_id"], ["user_id", "ts", "event_id"], sessions)
 
 
 SQL_EVENTS_SESSIONIZE = """

@@ -301,26 +301,46 @@ FROM (
 def q_events_user_rolling_1h(sf_dir: str):
     """Rolling window aggregate: per user, events and value-sum in the
     trailing 1-hour window [ts−1h, ts] (RANGE semantics incl. ts
-    peers). Vectorized per group: prefix sums + searchsorted, no
-    per-row Python loop."""
+    peers). One sort by (user_id, ts, event_id), then per-user-run
+    prefix sums + searchsorted inside each block (``_window_by_key``
+    — no Ray per-group dispatch; the inner loop is over user RUNS
+    with vectorized ops, ~µs each)."""
+    from .query_utils import _window_by_key
+
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
 
-    def rolling(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
-        csum = np.concatenate(([0], np.cumsum(cents)))
-        lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
-        hi = np.searchsorted(ts, ts, side="right")
+    def rolling(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "n_1h": pd.Series([], dtype="int64"),
+                    "sum_1h": pd.Series([], dtype="float64"),
+                }
+            )
+        u = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        n_1h = np.empty(len(u), dtype=np.int64)
+        sum_1h = np.empty(len(u), dtype=np.float64)
+        for s, e in zip(starts, ends):
+            t = ts[s:e]
+            csum = np.concatenate(([0], np.cumsum(cents[s:e])))
+            lo = np.searchsorted(t, t - 3_600_000_000, side="left")
+            hi = np.searchsorted(t, t, side="right")
+            n_1h[s:e] = hi - lo
+            sum_1h[s:e] = (csum[hi] - csum[lo]) / 100.0
         return pd.DataFrame(
             {
-                "event_id": g["event_id"],
-                "n_1h": (hi - lo).astype(np.int64),
-                "sum_1h": (csum[hi] - csum[lo]) / 100.0,
+                "event_id": df["event_id"].to_numpy(),
+                "n_1h": n_1h,
+                "sum_1h": sum_1h,
             }
         )
 
-    return ds.groupby("user_id").map_groups(rolling, batch_format="pandas")
+    return _window_by_key(ds, ["user_id"], ["user_id", "ts", "event_id"], rolling)
 
 
 SQL_EVENTS_USER_ROLLING_1H = """
@@ -336,54 +356,54 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 def q_events_asof_purchase(sf_dir: str):
     """As-of join: each click matched to the user's most recent
     purchase at-or-before it. Composition per SURVEY §custom-operators:
-    groupby(user_id).map_groups + in-group ``merge_asof`` — the
-    partitioning assumption is both sides co-partition on user_id.
-    Purchases are pre-deduped to one row per (user, ts) (max event_id)
-    so tie-handling is engine-independent."""
+    ONE sort co-partitioning both sides by (user_id, ts, event_id),
+    then per-user-run searchsorted inside each block
+    (``_window_by_key`` — both sides ride the same sorted stream, so
+    co-partitioning is by construction, with no per-user dispatch).
+    Purchases are pre-deduped to one row per (user, ts) (max event_id,
+    i.e. the last row of each ts run) so tie-handling is
+    engine-independent."""
+    from .query_utils import _window_by_key
+
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
     ds = ds.filter(
         expr="event_type == 'click' or event_type == 'purchase'"
     )
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        clicks = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
-        buys = (
-            g[g["event_type"] == "purchase"]
-            .sort_values(["ts", "event_id"])
-            .groupby("ts", as_index=False)
-            .last()  # one purchase per ts: max event_id
-        )
-        if clicks.empty or buys.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "purchase_event_id": pd.Series([], dtype="int64"),
-                    "gap_us": pd.Series([], dtype="int64"),
-                }
-            )
-        m = pd.merge_asof(
-            clicks[["event_id", "ts"]],
-            buys[["event_id", "ts"]].rename(
-                columns={"event_id": "purchase_event_id", "ts": "p_ts"}
-            ),
-            left_on="ts",
-            right_on="p_ts",
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        m = m.dropna(subset=["purchase_event_id"])
-        # exact integer microseconds: bit-identical on both engines
-        gap = (m["ts"].values.astype("datetime64[us]").astype(np.int64)
-               - m["p_ts"].values.astype("datetime64[us]").astype(np.int64))
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        out_click: list = []
+        out_buy: list = []
+        out_gap: list = []
+        if not df.empty:
+            u = df["user_id"].to_numpy()
+            ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            eid = df["event_id"].to_numpy()
+            is_click = (df["event_type"] == "click").to_numpy()
+            starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+            ends = np.r_[starts[1:], len(u)]
+            for s, e in zip(starts, ends):
+                cm = is_click[s:e]
+                bt, bi = ts[s:e][~cm], eid[s:e][~cm]
+                ct, ci = ts[s:e][cm], eid[s:e][cm]
+                if not len(bt) or not len(ct):
+                    continue
+                # one purchase per ts: last (max event_id) of each ts run
+                keep = np.r_[bt[1:] != bt[:-1], True]
+                bt, bi = bt[keep], bi[keep]
+                idx = np.searchsorted(bt, ct, side="right") - 1
+                ok = idx >= 0
+                out_click.extend(ci[ok])
+                out_buy.extend(bi[idx[ok]])
+                out_gap.extend(ct[ok] - bt[idx[ok]])
         return pd.DataFrame(
             {
-                "event_id": m["event_id"].astype("int64"),
-                "purchase_event_id": m["purchase_event_id"].astype("int64"),
-                "gap_us": gap,
+                "event_id": np.asarray(out_click, dtype=np.int64),
+                "purchase_event_id": np.asarray(out_buy, dtype=np.int64),
+                "gap_us": np.asarray(out_gap, dtype=np.int64),
             }
         )
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return _window_by_key(ds, ["user_id"], ["user_id", "ts", "event_id"], asof)
 
 
 SQL_EVENTS_ASOF_PURCHASE = """

@@ -91,6 +91,53 @@ def _preagg_native(ds, keys: list[str], partial, aggs, finalize,
     return part.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
 
 
+def _edge_key_mask(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
+    """True for rows whose key tuple equals the block's first or last
+    key tuple — the rows a key group straddling a block boundary can
+    live in (blocks come from a global sort by the keys)."""
+    first = df.iloc[0][keys].to_numpy()
+    last = df.iloc[-1][keys].to_numpy()
+    vals = df[keys].to_numpy()
+    return (vals == first).all(axis=1) | (vals == last).all(axis=1)
+
+
+def _window_by_key(ds, keys: list[str], sort_cols: list[str], fn):
+    """Key-partitioned window execution with NO per-group dispatch:
+    ONE global sort by ``sort_cols`` (must start with ``keys``), then
+    ``fn`` runs vectorized over each block's COMPLETE key groups;
+    rows carrying a block's first/last key tuple (the only groups that
+    can straddle block boundaries) are routed down a small boundary
+    side-channel, merged, re-sorted and processed in one extra task.
+
+    ``fn(df)`` receives rows sorted by ``sort_cols`` containing only
+    complete key groups (possibly zero) and must be vectorized across
+    groups (run-boundary numpy ops, not ``groupby.apply``). This is
+    the engine's replacement for ``groupby(key).map_groups`` when
+    group count scales with the corpus — Ray's per-group dispatch
+    costs ~0.1-2 ms/group, which at millions of users is the job."""
+    s = ds.sort(sort_cols).materialize()
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return fn(df)
+        return fn(df.loc[~_edge_key_mask(df, keys)].reset_index(drop=True))
+
+    def boundary(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.loc[_edge_key_mask(df, keys)]
+
+    def boundary_apply(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.sort_values(sort_cols, kind="stable").reset_index(drop=True))
+
+    b = (
+        s.map_batches(boundary, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(boundary_apply, batch_format="pandas", batch_size=None)
+    )
+    return s.map_batches(interior, batch_format="pandas", batch_size=None).union(b)
+
+
 def _distinct_native(ds, keys: list[str]):
     """Global exact DISTINCT over ``keys`` with NO per-group Python and
     NO per-key aggregate machinery: per-batch ``drop_duplicates`` (the
@@ -109,21 +156,15 @@ def _distinct_native(ds, keys: list[str]):
     pre = ds.map_batches(dedup, batch_format="pandas", batch_size=65536)
     s = pre.sort(keys).materialize()
 
-    def _edge_mask(df: pd.DataFrame):
-        first = df.iloc[0][keys].to_numpy()
-        last = df.iloc[-1][keys].to_numpy()
-        vals = df[keys].to_numpy()
-        return (vals == first).all(axis=1) | (vals == last).all(axis=1)
-
     def interior(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df
-        return df.loc[~_edge_mask(df)].drop_duplicates().reset_index(drop=True)
+        return df.loc[~_edge_key_mask(df, keys)].drop_duplicates().reset_index(drop=True)
 
     def boundary(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df
-        return df.loc[_edge_mask(df)].drop_duplicates().reset_index(drop=True)
+        return df.loc[_edge_key_mask(df, keys)].drop_duplicates().reset_index(drop=True)
 
     def final_dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates().reset_index(drop=True)
