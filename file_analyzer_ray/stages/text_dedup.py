@@ -377,15 +377,197 @@ def simhash_near_dup_pairs(
     )
 
 
+def cc_min_label_propagation(
+    pairs: "ray.data.Dataset", max_iters: int = 50
+) -> "ray.data.Dataset":
+    """Distributed connected components over an edge dataset
+    (doc_id_a, doc_id_b) → (doc_id, label) with label = min doc_id of
+    the component. Iterative min-label propagation: each round unions
+    the current (node, label) state with per-edge label messages in
+    BOTH directions, then takes the min label per node with one sort +
+    run-scan (no per-group Python, no joins). Rounds ∝ component
+    diameter — near-dup clusters are dense (clone clusters are
+    near-cliques), so convergence is fast; the loop stops when the
+    global label sum stops changing (one tiny aggregate per round).
+
+    This is the at-scale replacement for driver union-find: nothing
+    ever materializes on the driver except the per-round convergence
+    scalar."""
+    from ..query_utils import _edge_key_mask
+
+    edges = pairs.select_columns(["doc_id_a", "doc_id_b"]).materialize()
+
+    def init_state(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([df["doc_id_a"], df["doc_id_b"]], ignore_index=True)
+        return pd.DataFrame({"node": nodes, "label": nodes}).drop_duplicates()
+
+    state = edges.map_batches(init_state, batch_format="pandas").materialize()
+
+    def min_per_node(ds):
+        s = ds.sort(["node", "label"]).materialize()
+
+        def interior(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df
+            keep = df.loc[~_edge_key_mask(df, ["node"])]
+            return keep.drop_duplicates("node", keep="first").reset_index(drop=True)
+
+        def boundary(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df
+            return df.loc[_edge_key_mask(df, ["node"])]
+
+        def boundary_min(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                df.sort_values(["node", "label"], kind="stable")
+                .drop_duplicates("node", keep="first")
+                .reset_index(drop=True)
+            )
+
+        b = (
+            s.map_batches(boundary, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(boundary_min, batch_format="pandas", batch_size=None)
+        )
+        return s.map_batches(
+            interior, batch_format="pandas", batch_size=None
+        ).union(b).materialize()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # label messages along edges need label(node): co-locate state
+        # rows and edge endpoints by node with one sort, then each
+        # node-run knows its label and forwards it to every neighbor.
+        def edge_msgs(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": pd.concat(
+                        [df["doc_id_a"], df["doc_id_b"]], ignore_index=True
+                    ),
+                    "nbr": pd.concat(
+                        [df["doc_id_b"], df["doc_id_a"]], ignore_index=True
+                    ),
+                }
+            )
+
+        adj = edges.map_batches(edge_msgs, batch_format="pandas")
+
+        def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df["node"], "nbr": -1, "label": df["label"]})
+
+        def tag_adj(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df["node"], "nbr": df["nbr"], "label": -1})
+
+        combined = (
+            state.map_batches(tag_state, batch_format="pandas")
+            .union(adj.map_batches(tag_adj, batch_format="pandas"))
+        )
+        s = combined.sort(["node", "label"]).materialize()
+
+        def forward(df: pd.DataFrame) -> pd.DataFrame:
+            """Per complete node-run: first row (label != -1, sorted
+            first since label ≥ 0 < ... wait state rows sorted by label
+            ascending with -1 adj rows first) → recover node label as
+            max of label column per run; emit (nbr, label) for each adj
+            row plus (node, label)."""
+            if df.empty:
+                return pd.DataFrame({"node": df["node"], "label": df["node"]})
+            nodes = df["node"].to_numpy()
+            labels = df["label"].to_numpy()
+            nbrs = df["nbr"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, nodes[1:] != nodes[:-1]])
+            ends = np.r_[starts[1:], len(nodes)]
+            run_label = np.maximum.reduceat(labels, starts)  # the state row's label
+            run_of = np.repeat(np.arange(len(starts)), ends - starts)
+            my_label = run_label[run_of]
+            is_adj = nbrs >= 0
+            out_node = np.concatenate([nbrs[is_adj], nodes[starts]])
+            out_label = np.concatenate([my_label[is_adj], run_label])
+            return pd.DataFrame({"node": out_node, "label": out_label})
+
+        def interior_fwd(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return forward(df)
+            return forward(df.loc[~_edge_key_mask(df, ["node"])].reset_index(drop=True))
+
+        def boundary_rows(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df
+            return df.loc[_edge_key_mask(df, ["node"])]
+
+        def boundary_fwd(df: pd.DataFrame) -> pd.DataFrame:
+            return forward(
+                df.sort_values(["node", "label"], kind="stable").reset_index(drop=True)
+            )
+
+        msgs = s.map_batches(
+            interior_fwd, batch_format="pandas", batch_size=None
+        ).union(
+            s.map_batches(boundary_rows, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(boundary_fwd, batch_format="pandas", batch_size=None)
+        )
+        state = min_per_node(msgs)
+        cur = state.map_batches(
+            lambda df: pd.DataFrame({"s": [int(df["label"].sum())]}),
+            batch_format="pandas", batch_size=None,
+        ).to_pandas()["s"].sum()
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return state
+
+
 def ngram_dedup_clusters(
-    docs: "ray.data.Dataset", threshold: float = 0.8, n: int = 3
+    docs: "ray.data.Dataset",
+    threshold: float = 0.8,
+    n: int = 3,
+    assembly: str = "driver",
 ) -> "ray.data.Dataset":
     """Word n-gram Jaccard dedup clusters (size ≥ 2): LSH pairs →
-    driver union-find over the (small) verified pair set."""
+    connected components. ``assembly='driver'`` (default for the small
+    verified pair sets this corpus yields) runs union-find on the
+    collected pairs; ``assembly='distributed'`` runs
+    :func:`cc_min_label_propagation` + a sort/run-scan cluster
+    assembly, with nothing but a convergence scalar on the driver —
+    the 10^12-scale path (equality-tested against the driver path)."""
     shingle_fn = lambda t: word_ngrams(t, n)  # noqa: E731
     hash_fn = lambda t: word_ngram_hashes(t, n)  # noqa: E731
     cands = _lsh_candidate_pairs(docs, hash_fn, threshold)
     pairs = _verify_pairs_exact(cands, docs, shingle_fn, threshold)
+
+    if assembly == "distributed":
+        from ..query_utils import _window_by_key
+
+        labels = cc_min_label_propagation(pairs)
+
+        def clusters_fn(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {
+                        "canonical_doc_id": pd.Series([], dtype="int64"),
+                        "cluster_size": pd.Series([], dtype="int64"),
+                        "member_ids": pd.Series([], dtype="object"),
+                    }
+                )
+            lab = df["label"].to_numpy()
+            node = df["node"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+            ends = np.r_[starts[1:], len(lab)]
+            keep = (ends - starts) >= 2
+            return pd.DataFrame(
+                {
+                    "canonical_doc_id": lab[starts[keep]],
+                    "cluster_size": (ends - starts)[keep].astype("int64"),
+                    "member_ids": [
+                        sorted(node[s:e].tolist())
+                        for s, e in zip(starts[keep], ends[keep])
+                    ],
+                }
+            )
+
+        return _window_by_key(labels, ["label"], ["label", "node"], clusters_fn)
+
     pair_rows = pairs.take_all()  # verified pairs only: provably small
 
     parent: dict = {}

@@ -75,6 +75,34 @@ def test_phash_near_dup_matches_brute_force(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# distributed connected components == driver union-find
+
+
+def test_ngram_clusters_distributed_matches_driver(ray_session):
+    import ray.data
+
+    from file_analyzer_ray.stages.text_dedup import ngram_dedup_clusters
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=8,
+    )
+    drv = ngram_dedup_clusters(ds, assembly="driver").to_pandas()
+    dst = ngram_dedup_clusters(ds, assembly="distributed").to_pandas()
+    assert len(drv) > 0
+
+    def canon(df):
+        df = df.sort_values("canonical_doc_id").reset_index(drop=True)
+        return (
+            df["canonical_doc_id"].astype("int64").tolist(),
+            df["cluster_size"].astype("int64").tolist(),
+            [list(m) for m in df["member_ids"]],
+        )
+
+    assert canon(drv) == canon(dst)
+
+
+# ---------------------------------------------------------------------------
 # minhash verify: streaming join path == driver broadcast path
 
 
