@@ -1,0 +1,117 @@
+"""Generic LSH-band co-grouping via sort + vectorized run-scan.
+
+Every banded near-dup operator in the engine (minhash signatures,
+simhash fingerprints, payload phash) needs the same shape: explode
+each item into (band_key, doc_id, value) rows, co-locate equal band
+keys, and generate candidate/verified pairs inside each bucket. Ray's
+``groupby(band).map_groups`` costs ~0.1 ms of per-group dispatch and
+empty-frame construction — with b bands per doc nearly every bucket
+is a singleton, so at N docs that is N×b wasted Python calls
+(measured: 10 s of a 12 s minhash run at 5k docs).
+
+This module provides the engine-wide replacement: ONE sort by the
+band key, then each sorted block processes its complete bucket runs
+with a caller-supplied VECTORIZED pair kernel; rows carrying a
+block's first/last band key (the only buckets that can straddle a
+block boundary) are routed down a small side-channel and processed in
+one extra task. Cross-band duplicate pairs are deduped by the caller
+(``_distinct_native`` or a verify step).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..query_utils import _edge_key_mask
+
+
+def banded_pairs(
+    bands: "ray.data.Dataset",
+    pair_kernel,
+    out_columns: dict[str, str],
+) -> "ray.data.Dataset":
+    """bands(band, doc_id, <value cols>) → pair dataset.
+
+    ``pair_kernel(df)`` receives rows of one or more COMPLETE buckets
+    sorted by band and must return a DataFrame with ``out_columns``
+    (name → pandas dtype, used for empty blocks). It must be
+    vectorized over bucket runs (use :func:`run_bounds`)."""
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in out_columns.items()}
+        )
+
+    s = bands.sort("band").materialize()
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty()
+        keep = df.loc[~_edge_key_mask(df, ["band"])].reset_index(drop=True)
+        if keep.empty:
+            return _empty()
+        return pair_kernel(keep)
+
+    def boundary(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.loc[_edge_key_mask(df, ["band"])]
+
+    def boundary_apply(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty()
+        return pair_kernel(
+            df.sort_values("band", kind="stable").reset_index(drop=True)
+        )
+
+    b = (
+        s.map_batches(boundary, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(boundary_apply, batch_format="pandas", batch_size=None)
+    )
+    return s.map_batches(interior, batch_format="pandas", batch_size=None).union(b)
+
+
+def run_bounds(bvals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Start/end indices of equal-value runs in a sorted array."""
+    starts = np.flatnonzero(np.r_[True, bvals[1:] != bvals[:-1]])
+    ends = np.r_[starts[1:], len(bvals)]
+    return starts, ends
+
+
+def hamming_pair_kernel(value_col: str, max_hamming: int, out_val: str = "hamming"):
+    """Pair kernel: all in-bucket pairs of 64-bit values within
+    ``max_hamming`` (vectorized XOR popcount per run)."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        vals = df[value_col].to_numpy().astype(np.uint64)
+        starts, ends = run_bounds(df["band"].to_numpy())
+        out_a, out_b, out_d = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            order = np.argsort(ids[s:e], kind="stable") + s
+            rid, rv = ids[order], vals[order]
+            x = rv[:, None] ^ rv[None, :]
+            # vectorized 64-bit popcount via unpackbits on the byte view
+            d = np.unpackbits(
+                x.view(np.uint8).reshape(len(rv), len(rv), 8), axis=2
+            ).sum(axis=2)
+            keep = np.triu(d <= max_hamming, k=1)
+            r, c = np.nonzero(keep)
+            out_a.extend(rid[r])
+            out_b.extend(rid[c])
+            out_d.extend(d[r, c])
+        return pd.DataFrame(
+            {
+                "doc_id_a": np.asarray(out_a, dtype=ids.dtype),
+                "doc_id_b": np.asarray(out_b, dtype=ids.dtype),
+                out_val: np.asarray(out_d, dtype=np.int64),
+            }
+        )
+
+    return kernel

@@ -107,41 +107,14 @@ def _explode_bands(batch: pa.Table, n_bands: int = 4) -> pa.Table:
     )
 
 
-_PAIR_SCHEMA = pa.schema(
-    [
-        ("doc_id_a", pa.string()),
-        ("doc_id_b", pa.string()),
-        ("hamming", pa.int32()),
-    ]
-)
-
-
-def _bucket_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
-    items = sorted(
-        zip(group.column("doc_id").to_pylist(), group.column("phash").to_pylist())
-    )
-    rows = []
-    for i in range(len(items)):
-        for j in range(i + 1, len(items)):
-            d = hamming64(items[i][1], items[j][1])
-            if d <= max_hamming:
-                rows.append(
-                    {"doc_id_a": items[i][0], "doc_id_b": items[j][0], "hamming": d}
-                )
-    return pa.Table.from_pylist(rows, schema=_PAIR_SCHEMA)
-
-
-def _dedup_pairs(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
-
-
 def phash_near_dup_pairs(
     docs: "ray.data.Dataset", max_hamming: int = 6
 ) -> "ray.data.Dataset":
     """docs(doc_id, binary, …) → (doc_id_a, doc_id_b, hamming) pairs.
 
-    Stages: phash (stateless) → band explode (flat) → groupby(band)
-    candidate pairs → groupby(pair) dedup across bands.
+    Stages: phash (stateless) → band explode (flat) → sorted-band
+    run-scan pairs (stages/banding.py: no per-bucket Python dispatch)
+    → sort-based pair dedup across bands.
 
     Band count = ``max_hamming + 1`` (pigeonhole): every pair within
     the verify threshold shares at least one band, so recall vs brute
@@ -149,14 +122,17 @@ def phash_near_dup_pairs(
     guarantee stopped at hamming 3 while the default threshold was 6
     (silent recall loss; brute-force-equality pytest now pins this).
     """
+    from ..query_utils import _distinct_native
+    from .banding import banded_pairs, hamming_pair_kernel
+
     n_bands = max_hamming + 1
     hashed = docs.map_batches(add_phash, batch_format="pyarrow")
     bands = hashed.map_batches(
         lambda b: _explode_bands(b, n_bands), batch_format="pyarrow"
     )
-    pairs = bands.groupby("band").map_groups(
-        lambda g: _bucket_pairs(g, max_hamming), batch_format="pyarrow"
+    pairs = banded_pairs(
+        bands,
+        hamming_pair_kernel("phash", max_hamming),
+        {"doc_id_a": "object", "doc_id_b": "object", "hamming": "int64"},
     )
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        _dedup_pairs, batch_format="pyarrow"
-    )
+    return _distinct_native(pairs, ["doc_id_a", "doc_id_b", "hamming"])

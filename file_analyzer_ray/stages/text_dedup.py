@@ -333,7 +333,7 @@ def simhash_near_dup_pairs(
     16 bits, any pair within hamming 3 shares at least one identical
     band, so the band key is the ONE shuffle and recall is exactly 1.0;
     in-group pairs are verified with the true hamming distance."""
-    from ..functions.hashing import hamming64, simhash64
+    from ..functions.hashing import simhash64
     from ..functions.text import tokenize
 
     def add_simhash(df: pd.DataFrame) -> pd.DataFrame:
@@ -354,27 +354,17 @@ def simhash_near_dup_pairs(
                 out_hash.append(h)
         return pd.DataFrame({"band": out_band, "doc_id": out_doc, "simhash": out_hash})
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(zip(g["doc_id"], g["simhash"]))
-        rows = []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                d = hamming64(int(recs[i][1]), int(recs[j][1]))
-                if d <= max_hamming:
-                    rows.append(
-                        {"doc_id_a": recs[i][0], "doc_id_b": recs[j][0], "hamming": d}
-                    )
-        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"])
-
-    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+    from ..query_utils import _distinct_native
+    from .banding import banded_pairs, hamming_pair_kernel
 
     sigs = docs.map_batches(add_simhash, batch_format="pandas")
     bands = sigs.map_batches(explode, batch_format="pandas")
-    pairs = bands.groupby("band").map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        first_pair, batch_format="pandas"
+    pairs = banded_pairs(
+        bands,
+        hamming_pair_kernel("simhash", max_hamming),
+        {"doc_id_a": "int64", "doc_id_b": "int64", "hamming": "int64"},
     )
+    return _distinct_native(pairs, ["doc_id_a", "doc_id_b", "hamming"])
 
 
 def cc_min_label_propagation(
