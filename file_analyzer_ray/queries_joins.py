@@ -733,7 +733,62 @@ FROM orders
 """
 
 
+def q_lineitem_rank_in_order(sf_dir: str):
+    """Rank window at fact-table key cardinality: each lineitem's rank
+    by price within its order (ROW_NUMBER semantics, ties broken by
+    l_linenumber), keeping the top 2 per order. Executed as ONE sort
+    by (l_orderkey, l_extendedprice DESC, l_linenumber) + run-boundary
+    arange — rank-per-group over millions of orders with no per-group
+    dispatch (``_window_by_key`` descending support)."""
+    from .query_utils import _window_by_key
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def rank_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series([], dtype="int64"),
+                    "l_linenumber": pd.Series([], dtype="int64"),
+                    "l_extendedprice": pd.Series([], dtype="float64"),
+                    "price_rank": pd.Series([], dtype="int64"),
+                }
+            )
+        k = df["l_orderkey"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        run_of = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(k)]))
+        rank = np.arange(len(k)) - starts[run_of] + 1
+        out = pd.DataFrame(
+            {
+                "l_orderkey": k,
+                "l_linenumber": df["l_linenumber"].to_numpy(),
+                "l_extendedprice": df["l_extendedprice"].to_numpy(),
+                "price_rank": rank.astype("int64"),
+            }
+        )
+        return out.loc[out["price_rank"] <= 2].reset_index(drop=True)
+
+    return _window_by_key(
+        ds,
+        ["l_orderkey"],
+        ["l_orderkey", "l_extendedprice", "l_linenumber"],
+        rank_fn,
+        descending=[False, True, False],
+    )
+
+
+SQL_LINEITEM_RANK_IN_ORDER = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, price_rank FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS price_rank
+  FROM lineitem
+) WHERE price_rank <= 2
+"""
+
+
 JOIN_QUERIES = {
+    "lineitem_rank_in_order": q_lineitem_rank_in_order,
     "orders_lineitem_join_agg": q_orders_lineitem_join_agg,
     "orders_semi_lineitem_returns": q_orders_semi_lineitem_returns,
     "customers_without_orders": q_customers_without_orders,
@@ -753,6 +808,7 @@ JOIN_QUERIES = {
 }
 
 JOIN_ORACLE_SQL = {
+    "lineitem_rank_in_order": SQL_LINEITEM_RANK_IN_ORDER,
     "orders_lineitem_join_agg": SQL_ORDERS_LINEITEM_JOIN_AGG,
     "orders_semi_lineitem_returns": SQL_ORDERS_SEMI_LINEITEM_RETURNS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,

@@ -101,7 +101,8 @@ def _edge_key_mask(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
     return (vals == first).all(axis=1) | (vals == last).all(axis=1)
 
 
-def _window_by_key(ds, keys: list[str], sort_cols: list[str], fn):
+def _window_by_key(ds, keys: list[str], sort_cols: list[str], fn,
+                   descending: "list[bool] | None" = None):
     """Key-partitioned window execution with NO per-group dispatch:
     ONE global sort by ``sort_cols`` (must start with ``keys``), then
     ``fn`` runs vectorized over each block's COMPLETE key groups;
@@ -115,7 +116,9 @@ def _window_by_key(ds, keys: list[str], sort_cols: list[str], fn):
     the engine's replacement for ``groupby(key).map_groups`` when
     group count scales with the corpus — Ray's per-group dispatch
     costs ~0.1-2 ms/group, which at millions of users is the job."""
-    s = ds.sort(sort_cols).materialize()
+    desc = descending or [False] * len(sort_cols)
+    s = ds.sort(sort_cols, descending=desc).materialize()
+    asc = [not d for d in desc]
 
     def interior(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -128,7 +131,11 @@ def _window_by_key(ds, keys: list[str], sort_cols: list[str], fn):
         return df.loc[_edge_key_mask(df, keys)]
 
     def boundary_apply(df: pd.DataFrame) -> pd.DataFrame:
-        return fn(df.sort_values(sort_cols, kind="stable").reset_index(drop=True))
+        return fn(
+            df.sort_values(sort_cols, ascending=asc, kind="stable").reset_index(
+                drop=True
+            )
+        )
 
     b = (
         s.map_batches(boundary, batch_format="pandas", batch_size=None)

@@ -118,6 +118,7 @@ SQL_CHECKED = [
     "docs_simhash",
     "docs_simhash_near_dup",
     "docs_minhash_near_dup",
+    "lineitem_rank_in_order",
 ]
 
 

@@ -124,3 +124,44 @@ def test_sharded_matches_pipeline_output(ray_session, tmp_path):
         sharded.column("recommended_filename").to_pylist()
         == piped["recommended_filename"].tolist()
     )
+
+
+def test_bucketed_layout_join_matches_duckdb(ray_session, tmp_path):
+    """Write-once hash bucketing, then a bucket-local co-partitioned
+    join with no exchange — result equals the DuckDB join."""
+    import duckdb
+    import ray.data
+
+    from file_analyzer_ray.state.bucketed import (
+        bucket_of,
+        bucketed_join,
+        write_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    da = str(tmp_path / "orders_b")
+    db = str(tmp_path / "cust_b")
+    write_bucketed(
+        ray.data.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]),
+        da, "o_custkey", num_buckets=8,
+    )
+    write_bucketed(
+        ray.data.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"]),
+        db, "c_custkey", num_buckets=8,
+    )
+    got = (
+        bucketed_join(da, db, "o_custkey", "c_custkey", 8)
+        .to_pandas()[["o_orderkey", "c_custkey", "c_mktsegment"]]
+        .sort_values(["o_orderkey"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""SELECT o_orderkey, c_custkey, c_mktsegment
+            FROM read_parquet('{sf}/orders.parquet') o
+            JOIN read_parquet('{sf}/customer.parquet') c ON o.o_custkey = c.c_custkey
+            ORDER BY o_orderkey"""
+    ).df()
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    assert got["c_mktsegment"].tolist() == exp["c_mktsegment"].tolist()
+    # bucketing is deterministic and stable
+    assert bucket_of(42, 8) == bucket_of(42, 8)
