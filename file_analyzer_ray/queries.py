@@ -611,6 +611,19 @@ SELECT count(DISTINCT user_id) AS n_users, TRUE AS within_bound FROM events
 """
 
 
+def q_events_value_percentiles_approx(sf_dir: str):
+    """Histogram-sketch approximate percentiles per event type
+    (rows-only: the sketch is deliberately approximate; pytest bounds
+    its error vs the exact quantiles at one bin width). The scale path
+    for events_value_percentiles — per-batch histograms merge by sum,
+    nothing sorts."""
+    from .stages.sketches import approx_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = approx_quantiles(ds, "value", by="event_type", qs=(0.5, 0.9))
+    return ray.data.from_pandas(out)
+
+
 def q_events_props_extract(sf_dir: str):
     """Per-row JSON extraction (dot-path getter, M15 analog)."""
     from .functions.paths import get_path
@@ -1262,6 +1275,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_props_extract": q_events_props_extract,
     "events_value_percentiles": q_events_value_percentiles,
+    "events_value_percentiles_approx": q_events_value_percentiles_approx,
     "events_approx_users": q_events_approx_users,
     "docs_token_stats": q_docs_token_stats,
     "docs_quality": q_docs_quality,

@@ -109,20 +109,32 @@ def scan_chunks(batch: pa.Table, chunk_size: int = 1 << 20) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=HIT_SCHEMA)
 
 
-def _assemble(group: pa.Table) -> pa.Table:
-    recs = sorted(
-        group.to_pylist(), key=lambda r: (r["payload_idx"], r["offset"], r["sig"])
-    )
-    return pa.Table.from_pylist(
+def _assemble_runs(df) -> pa.Table:
+    """Complete doc runs (sorted by doc_id, payload_idx, offset, sig) →
+    one row per doc with its ordered hit list. Vectorized run-boundary
+    assembly — no per-doc dispatch (doc count scales with the corpus)."""
+    import numpy as np
+
+    if len(df) == 0:
+        return pa.Table.from_pylist([], schema=CARVE_SCHEMA)
+    doc = df["doc_id"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+    ends = np.r_[starts[1:], len(doc)]
+    pis = df["payload_idx"].to_numpy()
+    offs = df["offset"].to_numpy()
+    names = df["name"].to_numpy()
+    hit_struct = pa.StructArray.from_arrays(
         [
-            {
-                "doc_id": recs[0]["doc_id"],
-                "hits": [
-                    {"payload_idx": r["payload_idx"], "offset": r["offset"], "name": r["name"]}
-                    for r in recs
-                ],
-            }
+            pa.array(pis, pa.int32()),
+            pa.array(offs, pa.int64()),
+            pa.array(names, pa.string()),
         ],
+        fields=list(CARVE_SCHEMA.field("hits").type.value_type),
+    )
+    offsets = pa.array(np.r_[starts, len(doc)].astype("int32"))
+    return pa.Table.from_arrays(
+        [pa.array(doc[starts], pa.string()),
+         pa.ListArray.from_arrays(offsets, hit_struct)],
         schema=CARVE_SCHEMA,
     )
 
@@ -130,11 +142,18 @@ def _assemble(group: pa.Table) -> pa.Table:
 def carve_exploded(
     docs: "ray.data.Dataset", chunk_size: int = 1 << 20
 ) -> "ray.data.Dataset":
-    """Full explode → scan → reassemble carve over (doc_id, binary)."""
+    """Full explode → scan → reassemble carve over (doc_id, binary).
+    Reassembly is the sort + run-boundary pattern (``_window_by_key``)
+    — per-doc ``map_groups`` would pay Ray's per-group dispatch at
+    O(corpus) group count."""
+    from ..query_utils import _window_by_key
+
     chunks = docs.select_columns(["doc_id", "binary"]).map_batches(
         lambda b: explode_chunks(b, chunk_size), batch_format="pyarrow"
     )
     hits = chunks.map_batches(
         lambda b: scan_chunks(b, chunk_size), batch_format="pyarrow"
     )
-    return hits.groupby("doc_id").map_groups(_assemble, batch_format="pyarrow")
+    return _window_by_key(
+        hits, ["doc_id"], ["doc_id", "payload_idx", "offset", "sig"], _assemble_runs
+    )

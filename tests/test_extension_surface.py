@@ -191,3 +191,27 @@ def test_cli_extract_and_query(ray_session, tmp_path, capsys):
     assert main(["query", "orders_topk", "--limit", "3"]) == 0
     assert "o_orderkey" in capsys.readouterr().out
     assert main(["query", "nope_nope"]) == 2
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    """Histogram-sketch quantiles within one bin width of exact."""
+    import duckdb
+    import ray.data
+
+    from file_analyzer_ray.stages.sketches import approx_quantiles
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "value"])
+    got = approx_quantiles(ds, "value", by="event_type", qs=(0.5, 0.9), bins=4096)
+    exact = duckdb.sql(
+        f"""SELECT event_type, quantile_cont(value, 0.5) AS q50,
+                   quantile_cont(value, 0.9) AS q90,
+                   max(value) - min(value) AS spread
+            FROM read_parquet('{SF_DIR}/events.parquet')
+            GROUP BY event_type ORDER BY event_type"""
+    ).df()
+    m = got.merge(exact, on="event_type", suffixes=("_a", "_e"))
+    assert len(m) == len(exact) > 0
+    for _, r in m.iterrows():
+        bw = r["spread"] / 4096
+        assert abs(r["q50_a"] - r["q50_e"]) <= 2 * bw
+        assert abs(r["q90_a"] - r["q90_e"]) <= 2 * bw

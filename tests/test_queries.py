@@ -132,6 +132,7 @@ def test_query_vs_duckdb(name, registry, con):
 
 
 ROWS_ONLY = [
+    "events_value_percentiles_approx",
     "docs_langid",
     "docs_ngram_dedup",
     "embeddings_knn_ivf",
