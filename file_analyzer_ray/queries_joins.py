@@ -12,11 +12,15 @@ Scale notes (each query documents its shuffle strategy):
   the filter pushed below the exchange and a per-batch dedup so the
   build side carries distinct keys only;
 - small dimensions broadcast via ``ray.put`` (never shuffled);
-- window functions (rank-per-group, rolling aggregates, as-of matches)
-  are ``groupby(key).map_groups`` with an in-group sort — the
-  partitioning assumption is that one group fits in a worker's heap,
-  which holds for per-user / per-nation groups; a skewed super-user
-  would be salted into sub-windows first (stages/skew.py pattern).
+- window functions (rank-per-key, rolling aggregates, session windows,
+  as-of matches) run on ``query_utils._window_by_key``: ONE global
+  sort by (key, order cols) + vectorized run-boundary kernels per
+  block, boundary-straddling key groups via a small side-channel —
+  no per-group Python dispatch at any key cardinality. The remaining
+  ``map_groups`` uses (top-customer-per-nation, percentiles) have
+  BOUNDED group counts (25 nations / 5 event types) where per-group
+  dispatch is free; a skewed super-group would be salted into
+  sub-windows first (stages/skew.py pattern).
 
 Cross-engine float discipline follows queries.py: money sums through
 integer cents, per-row products left unrounded.

@@ -5,15 +5,18 @@ Standard public algorithms (Broder '97 MinHash; banding LSH per
 Leskovec/Rajaraman/Ullman) expressed Ray-Data-first:
 
     map_batches(signatures)            # vectorized minhash per doc
-      → flat band explode              # (band_key, doc_id, …) rows
-      → groupby(band_key) candidates   # the ONE shuffle, narrow rows
-      → exact-Jaccard verify in-group
-      → groupby(pair) dedup
+      → flat band explode              # (band_key, doc_id, sig) rows
+      → sort(band_key)                 # the ONE exchange, narrow rows
+      → vectorized run-scan pairs      # no per-bucket dispatch
+        (+ boundary side-channel for buckets straddling block edges)
+      → exact-Jaccard verify           # driver-broadcast or
+                                       # two-hash-join, chosen by size
 
-Cluster assembly (connected components) runs union-find on the driver
-over the verified pair set only — provably small after thresholding —
-per the documented guideline; at larger scale swap in iterative
-min-label propagation with groupby rounds.
+Cluster assembly (connected components): driver union-find over the
+verified pair set (provably small after thresholding) by default, or
+:func:`cc_min_label_propagation` — iterative distributed min-label
+rounds with only a convergence scalar on the driver — as the
+10^12-scale path (equality-tested).
 """
 
 from __future__ import annotations
