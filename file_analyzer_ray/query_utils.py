@@ -62,14 +62,16 @@ def _preagg_native(ds, keys: list[str], partial, aggs, finalize,
       O(num_batches × num_groups) narrow rows, so one reducer beats an
       all-to-all exchange up to millions of groups;
     - above it (unbounded key cardinality — per-doc / per-term keys at
-      10^12 scale): native ``groupby(keys).aggregate(*aggs)`` — a real
-      hash exchange with vectorized per-block aggregation, no single
-      task ever holds the full key space.
+      10^12 scale): sort-by-key + the SAME vectorized pandas groupby
+      per block over complete key groups (``_window_by_key``: boundary
+      groups via the side-channel) — no single task ever holds the
+      full key space, and no per-key machinery (Ray 2.49's native
+      ``groupby().aggregate`` measures ~1-2 ms PER KEY, which at the
+      cardinalities this branch exists for would be hours).
 
-    ``aggs`` are ``ray.data.aggregate`` objects (Sum/Min/Max); output
-    columns follow Ray's naming (``sum(col)``) so the two merge paths
-    are drop-in interchangeable and ``finalize`` sees identical input
-    either way."""
+    ``aggs`` are ``ray.data.aggregate`` objects (Sum/Min/Max); Ray's
+    output naming (``sum(col)``) is reproduced in the merge so
+    ``finalize`` sees identical input on both paths."""
     spec: dict[str, str] = {}
     renames: dict[str, str] = {}
     for a in aggs:
@@ -86,8 +88,7 @@ def _preagg_native(ds, keys: list[str], partial, aggs, finalize,
         partial, batch_format="pandas", batch_size=65536
     ).materialize()
     if part.count() > merge_threshold:
-        merged = part.groupby(keys if len(keys) > 1 else keys[0]).aggregate(*aggs)
-        return merged.map_batches(finalize, batch_format="pandas")
+        return _window_by_key(part, keys, keys, merge)
     return part.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
 
 

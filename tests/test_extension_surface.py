@@ -215,3 +215,47 @@ def test_approx_quantiles_error_bound(ray_session):
         bw = r["spread"] / 4096
         assert abs(r["q50_a"] - r["q50_e"]) <= 2 * bw
         assert abs(r["q90_a"] - r["q90_e"]) <= 2 * bw
+
+
+def test_preagg_merge_paths_equivalent(ray_session):
+    """_preagg_native's single-task merge and its sorted run-scan merge
+    (the unbounded-cardinality path) must produce identical results."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from file_analyzer_ray.query_utils import _preagg_native, _read
+
+    def partial(df):
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "qty": df["l_quantity"],
+                "n": 1,
+            }
+        )
+        return out.groupby("l_orderkey", as_index=False).sum()
+
+    def finalize(df):
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "total_qty": df["sum(qty)"].astype(float),
+                "n_items": df["sum(n)"].astype("int64"),
+            }
+        )
+
+    def run(threshold):
+        ds = _read(SF_DIR, "lineitem", ["l_orderkey", "l_quantity"])
+        return (
+            _preagg_native(
+                ds, ["l_orderkey"], partial, [Sum("qty"), Sum("n")], finalize,
+                merge_threshold=threshold,
+            )
+            .to_pandas()
+            .sort_values("l_orderkey")
+            .reset_index(drop=True)
+        )
+
+    small = run(10**9)   # single-task merge
+    large = run(0)       # sorted run-scan merge
+    pd.testing.assert_frame_equal(small, large)
