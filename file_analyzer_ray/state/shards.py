@@ -258,11 +258,14 @@ def run_sharded(
 
 
 class _PooledShardWorker:
-    """ActorPool wrapper around :class:`ShardWorker` (one shard per
-    call, returns manifest rows as plain dicts)."""
+    """ActorPool wrapper around :class:`ShardWorker` (one shard — or a
+    chunk of shards — per call, returns manifest rows as plain dicts)."""
 
     def __init__(self, ctor_kwargs: dict):
         self.worker = ShardWorker(**ctor_kwargs)
 
     def run(self, path: str) -> list[dict]:
         return self.worker({"item": [path]}).to_pylist()
+
+    def run_many(self, paths: list[str]) -> list[dict]:
+        return self.worker({"item": list(paths)}).to_pylist()
