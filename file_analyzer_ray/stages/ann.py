@@ -142,10 +142,15 @@ def lsh_near_dup_pairs(
     sf_dir: str, threshold: float = 0.35, n_tables: int = 8, n_bits: int = 6
 ) -> "ray.data.Dataset":
     """Random-hyperplane LSH near-dup (the scale path): ``n_tables``
-    sign-hash keys per vector (Charikar '02), candidates co-grouped by
-    (table, bucket) through ONE narrow shuffle, verified with exact
-    cosine in-group, then pair-deduped. Precision is 1.0 by
-    construction (exact verify); recall grows with n_tables."""
+    sign-hash keys per vector (Charikar '02), candidates co-located by
+    (table, bucket) through ONE sort, verified with exact cosine via a
+    vectorized per-bucket-run kernel (stages/banding.py shape — no
+    per-bucket Python dispatch), then pair-deduped with the sort-based
+    distinct. Precision is 1.0 by construction (exact verify); recall
+    grows with n_tables."""
+    from ..query_utils import _distinct_native
+    from .banding import banded_pairs, run_bounds
+
     rng = np.random.default_rng(42)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     first = ds.take(1)[0]
@@ -158,40 +163,45 @@ def lsh_near_dup_pairs(
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         ids = df["vec_id"].to_numpy().astype(np.int64)
-        out_bucket, out_id, out_vec = [], [], []
+        out_band, out_id, out_vec = [], [], []
         weights = 1 << np.arange(n_bits)
         for t in range(n_tables):
             signs = (mn @ pl[t].T) > 0  # (rows, n_bits)
-            buckets = (signs * weights).sum(axis=1).astype(np.int64) | (t << 32)
-            out_bucket.extend(buckets.tolist())
+            bands = (signs * weights).sum(axis=1).astype(np.int64) | (t << 32)
+            out_band.extend(bands.tolist())
             out_id.extend(ids.tolist())
             out_vec.extend(list(mn))
-        return pd.DataFrame({"bucket": out_bucket, "vec_id": out_id, "vec": out_vec})
+        return pd.DataFrame({"band": out_band, "vec_id": out_id, "vec": out_vec})
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {
-                    "vec_id_a": pd.Series([], dtype="int64"),
-                    "vec_id_b": pd.Series([], dtype="int64"),
-                    "cosine_sim": pd.Series([], dtype="float64"),
-                }
-            )
-        order = np.argsort(g["vec_id"].to_numpy())
-        ids = g["vec_id"].to_numpy()[order]
-        m = np.stack(g["vec"].to_numpy()[order])
-        sims = np.round(m @ m.T, 4)
-        keep = np.triu(sims >= threshold, k=1)
-        r, c = np.nonzero(keep)
+    def cosine_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy()
+        vecs = df["vec"].to_numpy()
+        starts, ends = run_bounds(df["band"].to_numpy())
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            order = np.argsort(ids[s:e], kind="stable") + s
+            rid = ids[order]
+            m = np.stack(vecs[order])
+            sims = np.round(m @ m.T, 4)
+            keep = np.triu(sims >= threshold, k=1)
+            r, c = np.nonzero(keep)
+            out_a.extend(rid[r])
+            out_b.extend(rid[c])
+            out_s.extend(sims[r, c])
         return pd.DataFrame(
-            {"vec_id_a": ids[r], "vec_id_b": ids[c], "cosine_sim": sims[r, c]}
+            {
+                "vec_id_a": np.asarray(out_a, dtype=np.int64),
+                "vec_id_b": np.asarray(out_b, dtype=np.int64),
+                "cosine_sim": np.asarray(out_s, dtype=np.float64),
+            }
         )
 
-    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
-
     cands = ds.map_batches(explode, batch_format="pandas")
-    pairs = cands.groupby("bucket").map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
-        first_pair, batch_format="pandas"
+    pairs = banded_pairs(
+        cands,
+        cosine_kernel,
+        {"vec_id_a": "int64", "vec_id_b": "int64", "cosine_sim": "float64"},
     )
+    return _distinct_native(pairs, ["vec_id_a", "vec_id_b", "cosine_sim"])

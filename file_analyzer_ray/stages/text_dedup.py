@@ -515,19 +515,26 @@ def ngram_dedup_clusters(
     docs: "ray.data.Dataset",
     threshold: float = 0.8,
     n: int = 3,
-    assembly: str = "driver",
+    assembly: str = "auto",
 ) -> "ray.data.Dataset":
     """Word n-gram Jaccard dedup clusters (size ≥ 2): LSH pairs →
-    connected components. ``assembly='driver'`` (default for the small
-    verified pair sets this corpus yields) runs union-find on the
+    connected components. ``assembly='driver'`` runs union-find on the
     collected pairs; ``assembly='distributed'`` runs
     :func:`cc_min_label_propagation` + a sort/run-scan cluster
     assembly, with nothing but a convergence scalar on the driver —
-    the 10^12-scale path (equality-tested against the driver path)."""
+    the 10^12-scale path (equality-tested against the driver path).
+    ``'auto'`` (default) picks by the MEASURED verified-pair count
+    (driver below 100k pairs, distributed above)."""
     shingle_fn = lambda t: word_ngrams(t, n)  # noqa: E731
     hash_fn = lambda t: word_ngram_hashes(t, n)  # noqa: E731
     cands = _lsh_candidate_pairs(docs, hash_fn, threshold)
     pairs = _verify_pairs_exact(cands, docs, shingle_fn, threshold)
+
+    if assembly == "auto":
+        pairs = pairs.materialize()
+        assembly = (
+            "driver" if pairs.count() <= _DRIVER_VERIFY_MAX_PAIRS else "distributed"
+        )
 
     if assembly == "distributed":
         from ..query_utils import _window_by_key
