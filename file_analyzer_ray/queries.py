@@ -1006,10 +1006,47 @@ def q_docs_minhash_near_dup(sf_dir: str):
 
 
 def q_docs_ngram_dedup(sf_dir: str):
-    """Word-3-gram Jaccard dedup clusters (rows-only)."""
+    """Word-3-gram Jaccard dedup clusters, oracle-checked: the DuckDB
+    oracle recomputes exact-Jaccard pairs over distinct 3-gram lists
+    and assembles components with a recursive transitive-closure CTE.
+    The query projects (canonical_doc_id, cluster_size) — the member
+    list stays available from the stage and is equality-tested between
+    both assembly paths in tests/test_ml_ops.py."""
     from .stages.text_dedup import ngram_dedup_clusters
 
-    return ngram_dedup_clusters(_read_docs_coalesced(sf_dir), threshold=0.8)
+    clusters = ngram_dedup_clusters(_read_docs_coalesced(sf_dir), threshold=0.8)
+    return clusters.select_columns(["canonical_doc_id", "cluster_size"])
+
+
+SQL_DOCS_NGRAM_DEDUP = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, list(DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs
+  FROM toks, lateral (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i)
+  GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8
+),
+edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+),
+reach(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE r.a != e.v
+),
+labels AS (
+  SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a
+)
+SELECT label AS canonical_doc_id, count(*) AS cluster_size
+FROM labels GROUP BY label
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1341,6 +1378,7 @@ ORACLE_SQL = {
     "docs_simhash": SQL_DOCS_SIMHASH,
     "docs_simhash_near_dup": SQL_DOCS_SIMHASH_NEAR_DUP,
     "docs_minhash_near_dup": SQL_DOCS_MINHASH_NEAR_DUP,
+    "docs_ngram_dedup": SQL_DOCS_NGRAM_DEDUP,
 }
 
 _merge_registries()

@@ -119,6 +119,7 @@ SQL_CHECKED = [
     "docs_simhash_near_dup",
     "docs_minhash_near_dup",
     "lineitem_rank_in_order",
+    "docs_ngram_dedup",
 ]
 
 
@@ -134,7 +135,6 @@ def test_query_vs_duckdb(name, registry, con):
 ROWS_ONLY = [
     "events_value_percentiles_approx",
     "docs_langid",
-    "docs_ngram_dedup",
     "embeddings_knn_ivf",
     "embeddings_lsh_near_dup",
     "media_features",
