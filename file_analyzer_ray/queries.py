@@ -1280,6 +1280,16 @@ def q_extract_near_dup(sf_dir: str):
     return phash_near_dup_pairs(ray.data.read_parquet(src, file_extensions=["parquet"]))
 
 
+def q_media_audio_features(sf_dir: str):
+    """Audio-analog feature extraction over media spans (rows-only;
+    deterministic waveform descriptors over the payload bytes)."""
+    from .pipelines.extract import corpus_path
+    from .stages.multimodal import audio_features
+
+    src = corpus_path(_extract_docs_count(sf_dir))
+    return audio_features(ray.data.read_parquet(src, file_extensions=["parquet"]))
+
+
 def q_extract_pairwise_compare(sf_dir: str):
     """SSIM + pixel-diff pairwise comparison over phash candidate pairs
     (reference ``fa validate images``, src/cli/validate/main.py:275-418;
@@ -1338,6 +1348,7 @@ QUERIES = {
     "extract_carve": q_extract_carve,
     "extract_near_dup": q_extract_near_dup,
     "extract_pairwise_compare": q_extract_pairwise_compare,
+    "media_audio_features": q_media_audio_features,
 }
 
 def _merge_registries() -> None:

@@ -220,6 +220,108 @@ class DecodeStage:
         return pa.Table.from_pylist(rows, schema=FEATURE_SCHEMA)
 
 
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("n_samples", pa.int32()),
+        ("rms", pa.float32()),
+        ("zero_crossing_rate", pa.float32()),
+        ("dominant_freq_bin", pa.int32()),
+        ("spectral_centroid", pa.float32()),
+        ("status", pa.string()),
+    ]
+)
+
+
+class AudioFeatureStage:
+    """Audio-analog actor-pool stage: treat the payload as a PCM int16
+    waveform and extract classic audio descriptors (RMS energy,
+    zero-crossing rate, dominant rFFT bin, spectral centroid) —
+    vectorized numpy per row, bounded to ``max_samples`` regardless of
+    payload size. Like the image decode, a real codec would slot into
+    ``_decode_waveform`` behind an import-try; the Ray-side plumbing
+    (schema, explode, batch size, error channel) is identical either
+    way."""
+
+    def __init__(self, max_samples: int = 1 << 15):
+        self.max_samples = max_samples
+
+    def _decode_waveform(self, payload: bytes) -> np.ndarray:
+        n = (len(payload) // 2) * 2
+        if n == 0:
+            return np.zeros(0, dtype=np.int16)
+        wave = np.frombuffer(payload[:n], dtype="<i2")
+        return wave[: self.max_samples]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, ref, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("media_ref").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            try:
+                w = self._decode_waveform(payload or b"").astype(np.float64)
+                if not len(w):
+                    raise ValueError("empty waveform")
+                rms = float(np.sqrt(np.mean(w * w)))
+                signs = np.signbit(w)
+                zcr = float(np.mean(signs[1:] != signs[:-1])) if len(w) > 1 else 0.0
+                spec = np.abs(np.fft.rfft(w))
+                dom = int(np.argmax(spec[1:]) + 1) if len(spec) > 1 else 0
+                freqs = np.arange(len(spec))
+                denom = float(spec.sum())
+                centroid = float((freqs * spec).sum() / denom) if denom else 0.0
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_ref": ref,
+                        "n_samples": len(w),
+                        "rms": round(rms, 3),
+                        "zero_crossing_rate": round(zcr, 5),
+                        "dominant_freq_bin": dom,
+                        "spectral_centroid": round(centroid, 3),
+                        "status": "success",
+                    }
+                )
+            except Exception as exc:  # error channel, never a failed block
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_ref": ref,
+                        "n_samples": 0,
+                        "rms": 0.0,
+                        "zero_crossing_rate": 0.0,
+                        "dominant_freq_bin": 0,
+                        "spectral_centroid": 0.0,
+                        "status": f"error: {type(exc).__name__}"[:100],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=AUDIO_SCHEMA)
+
+
+def audio_features(
+    docs: "ray.data.Dataset",
+    concurrency: "int | tuple[int, int] | None" = None,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Audio-analog chain: explode media spans → actor-pool waveform
+    feature stage."""
+    import ray
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (2, max(2, cpus - 4))
+    media = docs.map_batches(explode_media, batch_format="pyarrow")
+    return media.map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 FRAME_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),

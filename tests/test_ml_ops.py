@@ -376,3 +376,30 @@ def test_media_features_pipeline_covers_all_media_spans(ray_session):
     assert len(feats) == n_media
     assert (feats["status"] == "success").all()
     assert feats["media_ref"].is_unique
+
+
+def test_audio_feature_stage_deterministic_and_sane(ray_session):
+    import pyarrow as pa
+
+    from file_analyzer_ray.stages.multimodal import MEDIA_ROW_SCHEMA, AudioFeatureStage
+
+    # 1 kHz-bin sine encoded as int16 PCM: dominant bin must match.
+    t = np.arange(4096)
+    wave = (np.sin(2 * np.pi * 64 * t / 4096) * 20000).astype("<i2")
+    batch = pa.Table.from_pylist(
+        [
+            {"doc_id": "d1", "media_ref": "a/1", "media_type": "media",
+             "payload": wave.tobytes()},
+            {"doc_id": "d2", "media_ref": "a/2", "media_type": "binary",
+             "payload": b""},
+        ],
+        schema=MEDIA_ROW_SCHEMA,
+    )
+    out1 = AudioFeatureStage()(batch).to_pylist()
+    out2 = AudioFeatureStage()(batch).to_pylist()
+    assert out1 == out2
+    assert out1[0]["status"] == "success"
+    assert out1[0]["dominant_freq_bin"] == 64
+    assert out1[0]["zero_crossing_rate"] == pytest.approx(2 * 64 / 4096, rel=0.05)
+    assert out1[0]["rms"] == pytest.approx(20000 / np.sqrt(2), rel=0.01)
+    assert out1[1]["status"].startswith("error")

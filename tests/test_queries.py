@@ -138,6 +138,7 @@ ROWS_ONLY = [
     "embeddings_knn_ivf",
     "embeddings_lsh_near_dup",
     "media_features",
+    "media_audio_features",
     "media_frame_features",
     "extract_spans",
     "extract_dedup_clusters",
