@@ -32,16 +32,19 @@ CLUSTER_SCHEMA = pa.schema(
 )
 
 
-def exact_dedup_clusters(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
+def exact_dedup_clusters(
+    extracted: "ray.data.Dataset", merge_threshold: int = 2_000_000
+) -> "ray.data.Dataset":
     """(doc_id, content_hash, …) → one row per content-hash cluster.
 
-    Two-level aggregation with no per-group Python in the merge loop:
-    per-batch partial clusters (one vectorized pandas groupby each),
-    then one merge task concatenating member lists — partials are
-    O(distinct hashes per batch) narrow rows, so a single reducer
-    holds them comfortably; at extreme cluster-count scale swap the
-    merge for ``groupby(content_hash).aggregate`` on the counts and
-    drop member lists."""
+    Two-level aggregation: per-batch partial clusters (one vectorized
+    pandas groupby each), then a merge chosen from the MEASURED partial
+    row count — ONE task below ``merge_threshold`` (partials are
+    O(distinct hashes per batch) narrow rows), else the engine's sort +
+    run-scan path (``_window_by_key`` over content_hash) so no single
+    task ever holds the full hash space. Member-list concatenation is a
+    per-run loop either way, but in-process pandas/python (~µs/cluster),
+    never Ray per-group dispatch."""
     import pandas as pd
 
     narrow = extracted.select_columns(["doc_id", "content_hash"])
@@ -69,7 +72,18 @@ def exact_dedup_clusters(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
             schema=CLUSTER_SCHEMA,
         )
 
-    part = narrow.map_batches(partial, batch_format="pandas", batch_size=65536)
+    part = narrow.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).materialize()
+    if part.count() > merge_threshold:
+        from ..query_utils import _window_by_key
+
+        def merge_df(df: pd.DataFrame) -> pa.Table:
+            if df.empty:
+                return pa.Table.from_pylist([], schema=CLUSTER_SCHEMA)
+            return merge(df)
+
+        return _window_by_key(part, ["content_hash"], ["content_hash"], merge_df)
     return part.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
 
 
