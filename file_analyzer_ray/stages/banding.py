@@ -88,7 +88,17 @@ def hamming_pair_kernel(value_col: str, max_hamming: int, out_val: str = "hammin
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy()
-        vals = df[value_col].to_numpy().astype(np.uint64)
+        raw = df[value_col].to_numpy()
+        if raw.dtype.kind == "f":
+            # A float-typed hash column means an upstream stage let
+            # uint64 fingerprints decay through object→float64 Arrow
+            # inference — low bits are already gone and hamming would
+            # silently undercount. Fail loudly instead.
+            raise TypeError(
+                f"{value_col} arrived as {raw.dtype}; emit an explicit "
+                "uint64 column upstream (lossy float inference)"
+            )
+        vals = raw.astype(np.uint64)
         starts, ends = run_bounds(df["band"].to_numpy())
         out_a, out_b, out_d = [], [], []
         for s, e in zip(starts, ends):

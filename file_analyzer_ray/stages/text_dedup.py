@@ -340,10 +340,20 @@ def simhash_near_dup_pairs(
     from ..functions.text import tokenize
 
     def add_simhash(df: pd.DataFrame) -> pd.DataFrame:
+        # dtype MUST be an explicit uint64: Python ints ≥ 2^63 in an
+        # object column make the per-block Arrow conversion fall back
+        # to lossy float64 for blocks that contain one — low fingerprint
+        # bits silently round away and in-bucket hamming UNDERCOUNTS,
+        # nondeterministically with block composition (caught by the
+        # sf0.01 oracle at 16 CPUs).
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "simhash": [simhash64(tokenize(t.lower())) for t in df["text"]],
+                "simhash": np.fromiter(
+                    (simhash64(tokenize(t.lower())) for t in df["text"]),
+                    dtype=np.uint64,
+                    count=len(df),
+                ),
             }
         )
 
@@ -355,7 +365,13 @@ def simhash_near_dup_pairs(
                 out_band.append((b << 16) | ((h >> (16 * b)) & 0xFFFF))
                 out_doc.append(doc_id)
                 out_hash.append(h)
-        return pd.DataFrame({"band": out_band, "doc_id": out_doc, "simhash": out_hash})
+        return pd.DataFrame(
+            {
+                "band": np.asarray(out_band, dtype=np.int64),
+                "doc_id": out_doc,
+                "simhash": np.asarray(out_hash, dtype=np.uint64),
+            }
+        )
 
     from ..query_utils import _distinct_native
     from .banding import banded_pairs, hamming_pair_kernel
