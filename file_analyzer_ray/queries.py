@@ -878,6 +878,90 @@ FROM documents
 """
 
 
+def q_docs_bpe_tokens(sf_dir: str):
+    """BPE-ish token counting (GPT-2-style pre-tokenizer regex,
+    functions/text.BPE_RE) — the subword-budget estimator a training
+    pipeline sizes batches with; oracle recomputes the identical RE2
+    pattern in DuckDB."""
+    from .functions.text import bpe_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bpe_tokens": np.fromiter(
+                    (bpe_token_count(t) for t in df["text"]),
+                    dtype=np.int64, count=len(df),
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_DOCS_BPE_TOKENS = r"""
+SELECT doc_id,
+  len(list_filter(
+    regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'),
+    x -> NOT regexp_matches(x, '^\s+$'))) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_bucketed_customer_revenue(sf_dir: str):
+    """customer_order_revenue computed THROUGH the bucketed layout
+    (state/bucketed.py): both tables hash-bucketed by custkey into /tmp
+    scratch once (idempotent — reruns reuse the layout), then an
+    exchange-free bucket-local join feeds the standard two-level
+    aggregation. Same oracle SQL as the broadcast-join variant, so the
+    value-hash pins the layout's correctness end-to-end."""
+    import hashlib
+    import os
+
+    from ray.data.aggregate import Sum
+
+    from .state.bucketed import bucketed_join, write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/fa_bucketed_{tag}"
+    od, cd = base + "/orders", base + "/customer"
+    nb = 16
+    if not os.path.isdir(od):
+        write_bucketed(
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+            od, "o_custkey", nb,
+        )
+    if not os.path.isdir(cd):
+        write_bucketed(
+            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+            cd, "c_custkey", nb,
+        )
+    joined = bucketed_join(
+        od, cd, "o_custkey", "c_custkey", nb,
+        columns_a=["o_custkey", "o_totalprice"],
+        columns_b=["c_custkey", "c_mktsegment"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"mktsegment": df["c_mktsegment"], "cents": _cents(df["o_totalprice"]), "n": 1}
+        )
+        return out.groupby("mktsegment", as_index=False).sum()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "mktsegment": df["mktsegment"],
+                "n_orders": df["sum(n)"].astype("int64"),
+                "total_price": df["sum(cents)"] / 100.0,
+            }
+        )
+
+    return _preagg_native(joined, ["mktsegment"], partial, [Sum("cents"), Sum("n")], finalize)
+
+
 def q_docs_langid(sf_dir: str):
     """Language ID heuristic (rows-only check: not SQL-expressible)."""
     from .functions.text import detect_language
@@ -1332,6 +1416,8 @@ QUERIES = {
     "docs_fingerprint": q_docs_fingerprint,
     "docs_signature_scan": q_docs_signature_scan,
     "docs_langid": q_docs_langid,
+    "docs_bpe_tokens": q_docs_bpe_tokens,
+    "bucketed_customer_revenue": q_bucketed_customer_revenue,
     "docs_simhash": q_docs_simhash,
     "docs_minhash_near_dup": q_docs_minhash_near_dup,
     "docs_ngram_dedup": q_docs_ngram_dedup,
@@ -1390,6 +1476,8 @@ ORACLE_SQL = {
     "docs_simhash_near_dup": SQL_DOCS_SIMHASH_NEAR_DUP,
     "docs_minhash_near_dup": SQL_DOCS_MINHASH_NEAR_DUP,
     "docs_ngram_dedup": SQL_DOCS_NGRAM_DEDUP,
+    "docs_bpe_tokens": SQL_DOCS_BPE_TOKENS,
+    "bucketed_customer_revenue": SQL_CUSTOMER_ORDER_REVENUE,
 }
 
 _merge_registries()

@@ -120,6 +120,8 @@ SQL_CHECKED = [
     "docs_minhash_near_dup",
     "lineitem_rank_in_order",
     "docs_ngram_dedup",
+    "docs_bpe_tokens",
+    "bucketed_customer_revenue",
 ]
 
 
