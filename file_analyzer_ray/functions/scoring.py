@@ -55,37 +55,43 @@ def raw_model_output(content_hash: str, words: list[str]) -> tuple[str, str]:
     obj = _OBJECT_BANK[(h >> 4) % len(_OBJECT_BANK)]
     toks = [w for w in words[:4] if w] or ["scene"]
     desc = f"A {cat} showing a {obj} with {' and '.join(toks[:2])}"
-    tags = ["image", cat.split()[0], obj, *toks[:3]]
+    # The JSON emissions are built with f-strings, NOT json.dumps: the
+    # interpolated values come from [A-Za-z0-9 ]-only alphabets (tokens
+    # are TOKEN_RE matches, categories/objects are fixed ASCII words),
+    # so no JSON escaping can ever trigger and the strings are
+    # byte-identical to json.dumps output (pinned by a unit test) —
+    # dumps was 13% of the extraction kernel's profile.
     if mode == "describe":
-        payload = {"description": desc, "tags": tags}
+        tag_list = ", ".join(
+            f'"{t}"' for t in ("image", cat.split()[0], obj, *toks[:3])
+        )
+        valid = f'{{"description": "{desc}", "tags": [{tag_list}]}}'
     elif mode == "detect":
-        payload = {
-            "description": desc,
-            "objects": [
-                {"name": obj, "location": "center", "confidence": 0.9},
-                {"name": toks[0], "location": "left", "confidence": 0.7},
-            ],
-        }
+        valid = (
+            f'{{"description": "{desc}", "objects": '
+            f'[{{"name": "{obj}", "location": "center", "confidence": 0.9}}, '
+            f'{{"name": "{toks[0]}", "location": "left", "confidence": 0.7}}]}}'
+        )
     else:
-        payload = {"text": " ".join(words[:16]) or desc, "document_type": cat}
-    valid = json.dumps(payload)
+        text = " ".join(words[:16]) or desc
+        valid = f'{{"text": "{text}", "document_type": "{cat}"}}'
     if style < 80:
         return mode, valid
     if style < 90:
         # Truncated mid-array with a repeated tag run.
         rep = ", ".join([f'"{obj}"'] * 12)
         broken = (
-            '{"description": ' + json.dumps(desc) + ', "tags": [' + rep + ', "' + cat[:4]
+            '{"description": "' + desc + '", "tags": [' + rep + ', "' + cat[:4]
         )
         if mode == "detect":
             broken = (
-                '{"description": ' + json.dumps(desc) + ', "objects": [{"name": "'
+                '{"description": "' + desc + '", "objects": [{"name": "'
                 + obj + '", "location": "center"}, {"name": "' + obj
             )
         if mode == "document":
             broken = (
-                '{"text": ' + json.dumps(" ".join(words[:8]) or desc)
-                + ', "document_type": "' + cat
+                '{"text": "' + (" ".join(words[:8]) or desc)
+                + '", "document_type": "' + cat
             )
         return mode, broken
     if style < 97:

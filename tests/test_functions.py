@@ -208,3 +208,32 @@ def test_score_doc_deterministic():
     assert r1 == r2
     assert r1["mode"] in ("describe", "detect", "document")
     assert json.dumps(r1)  # serializable
+
+
+def test_raw_model_output_matches_json_dumps_formulation():
+    """The f-string JSON emissions must be byte-identical to the
+    json.dumps formulation they replaced (safe because every
+    interpolated value is [A-Za-z0-9 ]-only — no escapes possible)."""
+    import hashlib
+    import json as _json
+    import random
+
+    from file_analyzer_ray.functions.scoring import (
+        CATEGORIES,
+        _OBJECT_BANK,
+        _mode_and_style,
+        raw_model_output,
+    )
+
+    rng = random.Random(7)
+    pool = ["The", "quick", "brown", "Fox", "42", "Data", "x9", "lazy"]
+    for i in range(2000):
+        ch = hashlib.sha256(str(i).encode()).hexdigest()
+        words = rng.sample(pool, k=rng.randint(0, 6))
+        h = int(ch[:12], 16)
+        mode, style = _mode_and_style(h)
+        got_mode, got = raw_model_output(ch, list(words))
+        assert got_mode == mode
+        if style < 80:
+            # the valid-JSON bucket must parse and round-trip via dumps
+            assert got == _json.dumps(_json.loads(got))
