@@ -243,8 +243,33 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Pipeline audit: run the flagship via the Dataset streaming
+    executor (dispatch='dataset') and print ``ds.stats()`` so stage
+    wall-times, block sizes and executor overheads are inspectable —
+    the measure-don't-guess loop behind the actor_pool default."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NCPU, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from file_analyzer_ray.pipelines.extract import corpus_path, extract_pipeline
+
+    src = corpus_path(int(os.environ.get("GRAFT_BENCH_DOCS", "0")) or 100000)
+    ds = extract_pipeline(src, score=True).materialize()
+    print(ds.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))
