@@ -116,7 +116,12 @@ def _window_by_key(ds, keys: list[str], sort_cols: list[str], fn,
     groups (run-boundary numpy ops, not ``groupby.apply``). This is
     the engine's replacement for ``groupby(key).map_groups`` when
     group count scales with the corpus — Ray's per-group dispatch
-    costs ~0.1-2 ms/group, which at millions of users is the job."""
+    costs ~0.1-2 ms/group, which at millions of users is the job.
+
+    Skew note: the boundary task holds at most 2 key groups per block,
+    so its size is bounded by the LARGEST single key group (same
+    assumption every per-key window makes); a pathological super-key
+    should be salted into sub-windows first (stages/skew.py pattern)."""
     desc = descending or [False] * len(sort_cols)
     s = ds.sort(sort_cols, descending=desc).materialize()
     asc = [not d for d in desc]
