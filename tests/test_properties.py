@@ -127,3 +127,72 @@ def test_suggest_filename_always_valid(description):
     name = suggest_filename(None, description, "")
     assert name
     assert not set(name) & set('\\/*?:"<>| ')
+
+
+def test_runscan_helpers_invariant_under_block_splits(ray_session):
+    """_distinct_native and _window_by_key must produce identical
+    results regardless of how rows are split into blocks (the boundary
+    side-channel must exactly compensate for straddling key groups),
+    including the degenerate single-key and hot-key-skew cases."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from file_analyzer_ray.query_utils import _distinct_native, _window_by_key
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    # skew: key 7 takes ~40% of rows; keys are unsorted on input
+    keys = np.where(rng.random(n) < 0.4, 7, rng.integers(0, 200, n))
+    vals = rng.integers(0, 50, n)
+    df = pd.DataFrame({"k": keys.astype("int64"), "v": vals.astype("int64")})
+
+    exp_distinct = (
+        df.drop_duplicates().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    exp_window = (
+        df.sort_values(["k", "v"])
+        .groupby("k", as_index=False)
+        .agg(n_rows=("v", "size"), v_sum=("v", "sum"))
+        .astype("int64")
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+    def window_fn(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame(
+                {"k": pd.Series([], dtype="int64"),
+                 "n_rows": pd.Series([], dtype="int64"),
+                 "v_sum": pd.Series([], dtype="int64")}
+            )
+        k = b["k"].to_numpy()
+        v = b["v"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        return pd.DataFrame(
+            {"k": k[starts], "n_rows": (ends - starts).astype("int64"),
+             "v_sum": np.add.reduceat(v, starts).astype("int64")}
+        )
+
+    for nblocks in (1, 3, 17):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got_d = (
+            _distinct_native(ds, ["k", "v"]).to_pandas()
+            .sort_values(["k", "v"]).reset_index(drop=True).astype("int64")
+        )
+        pd.testing.assert_frame_equal(got_d, exp_distinct)
+        got_w = (
+            _window_by_key(ds, ["k"], ["k", "v"], window_fn).to_pandas()
+            .sort_values("k").reset_index(drop=True).astype("int64")
+        )
+        pd.testing.assert_frame_equal(got_w, exp_window)
+
+    # degenerate: every row the same key (everything is boundary)
+    one = pd.DataFrame({"k": np.zeros(100, dtype="int64"),
+                        "v": np.arange(100, dtype="int64") % 5})
+    ds1 = ray.data.from_pandas(one).repartition(4)
+    got = _distinct_native(ds1, ["k", "v"]).to_pandas()
+    assert len(got) == 5
+    gw = _window_by_key(ds1, ["k"], ["k", "v"], window_fn).to_pandas()
+    assert len(gw) == 1 and int(gw["n_rows"].iloc[0]) == 100
