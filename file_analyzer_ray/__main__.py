@@ -89,6 +89,41 @@ def cmd_stages(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """``fa validate`` analog (reference src/cli/validate/main.py:43-185):
+    check every row of an extracted-output directory against the
+    versioned JSON-Schema contract. Exit 1 on the first violating row."""
+    import glob
+    import os
+
+    import jsonschema
+    import pyarrow.parquet as pq
+
+    schema_path = os.path.join(
+        os.path.dirname(__file__), "..", "schemas", "extracted", "v1.0", "schema.json"
+    )
+    with open(schema_path) as f:
+        schema = json.load(f)
+    validator = jsonschema.Draft7Validator(schema)
+    files = sorted(glob.glob(os.path.join(args.dir, "*.parquet")))
+    if not files:
+        print(f"no parquet files under {args.dir}", file=sys.stderr)
+        return 2
+    n = 0
+    for fp in files:
+        for row in pq.read_table(fp).to_pylist():
+            row["tags"] = [str(t) for t in (row.get("tags") or [])]
+            row["spans"] = [dict(s) for s in (row.get("spans") or [])]
+            errors = list(validator.iter_errors(row))
+            if errors:
+                print(f"INVALID {row.get('doc_id')} in {fp}: {errors[0].message}",
+                      file=sys.stderr)
+                return 1
+            n += 1
+    print(json.dumps({"validated_rows": n, "files": len(files), "schema": "extracted/v1.0"}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="file_analyzer_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -114,6 +149,12 @@ def main(argv: list[str] | None = None) -> int:
 
     ps = sub.add_parser("stages", help="list registered pipeline stages")
     ps.set_defaults(fn=cmd_stages)
+
+    pv = sub.add_parser(
+        "validate", help="validate extracted output rows against the JSON-Schema contract"
+    )
+    pv.add_argument("dir", help="directory of extracted parquet shards")
+    pv.set_defaults(fn=cmd_validate)
 
     args = p.parse_args(argv)
     try:

@@ -259,3 +259,17 @@ def test_preagg_merge_paths_equivalent(ray_session):
     small = run(10**9)   # single-task merge
     large = run(0)       # sorted run-scan merge
     pd.testing.assert_frame_equal(small, large)
+
+
+def test_cli_validate(ray_session, tmp_path, capsys):
+    import json as _json
+
+    from file_analyzer_ray.__main__ import main
+
+    out_dir = str(tmp_path / "v_out")
+    assert main(["extract", "--docs", "200", "--out", out_dir]) == 0
+    capsys.readouterr()
+    assert main(["validate", out_dir]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["validated_rows"] == 200
+    assert main(["validate", str(tmp_path / "empty")]) == 2
