@@ -1,0 +1,130 @@
+"""End-to-end training-data preparation pipeline.
+
+The composition a 100 TB pre-training corpus actually runs, expressed
+with this engine's primitives in the order that minimizes work:
+
+    read (pruned columns)
+      → quality + language gate          map_batches, vectorized
+      → EXACT dedup (fingerprint)        one sort, keep-first run-scan
+      → MinHash near-dup removal         LSH pairs → drop the b-side
+      → BPE token budget column          map_batches
+      → deterministic content sample     pure function of the key
+
+Stage order matters at scale: the cheap row-local gates run FIRST so
+the sort-based dedup stages see a reduced corpus, and exact dedup runs
+BEFORE minhash so clone mega-clusters collapse to one canonical doc
+each — an n-clone cluster would otherwise put C(n,2) candidate pairs
+through every LSH bucket it lands in (the near-dup stage then only
+handles genuinely perturbed survivors).
+
+Everything streams; the only driver-side values are the verified
+near-dup drop set (bounded by near-dup pair count, broadcast via
+``ray.put``) and the auto-switch counters inside the reused stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from ..functions.text import detect_language, normalize_ws, bpe_token_count
+from ..query_utils import _window_by_key
+from ..stages.text_dedup import minhash_near_dup_pairs
+
+KEEP_LANGS = ("en", "und")
+
+
+def _gate(df: pd.DataFrame, min_tokens: int, max_tokens: int) -> pd.DataFrame:
+    """Row-local quality + language gate (vectorized counts; langid is
+    the engine's n-gram heuristic)."""
+    n_tok = df["text"].str.count(r"[A-Za-z0-9]+")
+    keep = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+    keep &= df["text"].str.len() > 0
+    out = df.loc[keep].copy()
+    if out.empty:
+        return out.assign(lang_pred=pd.Series([], dtype="object"))
+    out["lang_pred"] = [detect_language(t) for t in out["text"]]
+    return out.loc[out["lang_pred"].isin(KEEP_LANGS)]
+
+
+def _fingerprint(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["fingerprint"] = [
+        hashlib.md5(normalize_ws(t).lower().encode("utf-8")).hexdigest()
+        for t in df["text"]
+    ]
+    return df
+
+
+def _keep_first_per_fingerprint(df: pd.DataFrame) -> pd.DataFrame:
+    """Complete fingerprint groups, sorted by (fingerprint, doc_id):
+    keep the first (min doc_id) of each run."""
+    if df.empty:
+        return df
+    return df.drop_duplicates("fingerprint", keep="first").reset_index(drop=True)
+
+
+def training_prep_pipeline(
+    sf_dir: str,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    near_dup_threshold: float = 0.8,
+    sample_mod: int = 256,
+    sample_keep: int = 256,
+) -> "ray.data.Dataset":
+    """documents table → deduplicated, gated, token-budgeted corpus
+    slice. Returns (doc_id, text, lang_pred, fingerprint,
+    n_bpe_tokens); ``sample_keep``/``sample_mod`` applies the
+    content-addressed sampling rule (keep iff md5(doc_id)[0] <
+    sample_keep — default keeps everything)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=8,
+    )
+    gated = ds.map_batches(
+        lambda df: _gate(df, min_tokens, max_tokens), batch_format="pandas"
+    ).map_batches(_fingerprint, batch_format="pandas")
+
+    # exact dedup: ONE sort by content fingerprint, keep-first per run
+    exact = _window_by_key(
+        gated, ["fingerprint"], ["fingerprint", "doc_id"], _keep_first_per_fingerprint
+    ).materialize()
+
+    # near-dup removal: verified pairs over the EXACT-DEDUPED corpus;
+    # drop the b side of every pair (a < b, so the min-id doc survives)
+    pairs = minhash_near_dup_pairs(
+        exact.select_columns(["doc_id", "text"]), threshold=near_dup_threshold
+    )
+    drop_ids = frozenset(pairs.to_pandas()["doc_id_b"])
+    dref = ray.put(drop_ids)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        drop = ray.get(dref)
+        out = df.loc[~df["doc_id"].isin(drop)].copy()
+        if sample_keep < sample_mod:
+            keep = [
+                hashlib.md5(str(d).encode()).digest()[0] % sample_mod < sample_keep
+                for d in out["doc_id"]
+            ]
+            out = out.loc[keep]
+        if out.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "text": pd.Series([], dtype="object"),
+                    "lang_pred": pd.Series([], dtype="object"),
+                    "fingerprint": pd.Series([], dtype="object"),
+                    "n_bpe_tokens": pd.Series([], dtype="int64"),
+                }
+            )
+        out["n_bpe_tokens"] = np.fromiter(
+            (bpe_token_count(t) for t in out["text"]), dtype=np.int64, count=len(out)
+        )
+        return out[["doc_id", "text", "lang_pred", "fingerprint", "n_bpe_tokens"]]
+
+    return exact.map_batches(finalize, batch_format="pandas")

@@ -962,6 +962,17 @@ def q_bucketed_customer_revenue(sf_dir: str):
     return _preagg_native(joined, ["mktsegment"], partial, [Sum("cents"), Sum("n")], finalize)
 
 
+def q_training_prep(sf_dir: str):
+    """Flagship training-data prep composition (pipelines/prep.py):
+    quality+language gate -> exact dedup -> minhash near-dup removal ->
+    BPE token budget (rows-only: the near-dup stage is probabilistic;
+    pytest asserts the pipeline invariants — no duplicate fingerprints,
+    no surviving verified near-dup pair, languages gated)."""
+    from .pipelines.prep import training_prep_pipeline
+
+    return training_prep_pipeline(sf_dir)
+
+
 def q_docs_langid(sf_dir: str):
     """Language ID heuristic (rows-only check: not SQL-expressible)."""
     from .functions.text import detect_language
@@ -1418,6 +1429,7 @@ QUERIES = {
     "docs_langid": q_docs_langid,
     "docs_bpe_tokens": q_docs_bpe_tokens,
     "bucketed_customer_revenue": q_bucketed_customer_revenue,
+    "training_prep": q_training_prep,
     "docs_simhash": q_docs_simhash,
     "docs_minhash_near_dup": q_docs_minhash_near_dup,
     "docs_ngram_dedup": q_docs_ngram_dedup,

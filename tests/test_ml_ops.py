@@ -403,3 +403,29 @@ def test_audio_feature_stage_deterministic_and_sane(ray_session):
     assert out1[0]["zero_crossing_rate"] == pytest.approx(2 * 64 / 4096, rel=0.05)
     assert out1[0]["rms"] == pytest.approx(20000 / np.sqrt(2), rel=0.01)
     assert out1[1]["status"].startswith("error")
+
+
+def test_training_prep_pipeline_invariants(ray_session):
+    """End-to-end prep composition: unique fingerprints, no surviving
+    verified near-dup pair, all languages gated, token counts exact."""
+    import ray.data
+
+    from file_analyzer_ray.functions.text import bpe_token_count
+    from file_analyzer_ray.pipelines.prep import KEEP_LANGS, training_prep_pipeline
+    from file_analyzer_ray.stages.text_dedup import minhash_near_dup_pairs
+
+    out = training_prep_pipeline(SF_DIR).to_pandas()
+    assert len(out) > 0
+    assert out["fingerprint"].is_unique
+    assert set(out["lang_pred"]) <= set(KEEP_LANGS)
+    # no verified near-dup pair survives in full
+    ds = ray.data.from_pandas(out[["doc_id", "text"]])
+    leftover = minhash_near_dup_pairs(ds).to_pandas()
+    assert len(leftover) == 0
+    # token budget column is the exact BPE-ish count
+    sample = out.head(20)
+    assert [bpe_token_count(t) for t in sample["text"]] == sample["n_bpe_tokens"].tolist()
+    # fewer rows than input (gates + dedup actually removed something)
+    import pyarrow.parquet as pq
+    n_in = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    assert len(out) < n_in

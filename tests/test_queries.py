@@ -141,6 +141,7 @@ ROWS_ONLY = [
     "embeddings_lsh_near_dup",
     "media_features",
     "media_audio_features",
+    "training_prep",
     "media_frame_features",
     "extract_spans",
     "extract_dedup_clusters",
