@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray.data
 
 from ..corpus import parse_frames
-from ..functions.hashing import hamming64, phash64, phash_bands
+from ..functions.hashing import phash64, phash_bands
 
 CLUSTER_SCHEMA = pa.schema(
     [
