@@ -193,6 +193,26 @@ def pairwise_image_compare(
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         concurrency = (1, max(2, cpus - 2))
+    # Decode ONLY the docs the candidate pairs reference: the pair set
+    # is bounded by near-dup density, so its distinct id set broadcasts
+    # (decoding the full corpus for a pairwise verify was 100k decodes
+    # for ~3k referenced docs at sf0.1 — 27 s of the 27.1 s query).
+    pairs = pairs.materialize()
+    pair_df = (
+        pairs.select_columns(["doc_id_a", "doc_id_b"]).to_pandas()
+    )
+    need = sorted(frozenset(pair_df["doc_id_a"]) | frozenset(pair_df["doc_id_b"]))
+    need_ref = ray.put(need)
+
+    def only_candidates(t: pa.Table) -> pa.Table:
+        # Arrow-native filter: a pandas round-trip would mangle the
+        # nested spans column (object ndarrays don't convert back).
+        import pyarrow.compute as pc
+
+        value_set = pa.array(ray.get(need_ref), type=t.column("doc_id").type)
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=value_set))
+
+    docs = docs.map_batches(only_candidates, batch_format="pyarrow")
     # Decode ONCE and pin: the image table feeds BOTH join sides — left
     # lazy, each join branch would re-run the decode pool and the
     # combined minimum actor demand deadlocks small clusters. The table

@@ -104,20 +104,40 @@ def add_phash(batch: pa.Table) -> pa.Table:
 def _explode_bands(batch: pa.Table, n_bands: int = 4) -> pa.Table:
     """Band rows: key = (band index, band value) packed into int64.
     Band widths ≤ 16 bits for any n_bands ≥ 4, so ``bi << 16 | bv`` is
-    collision-free across band positions."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    hashes = batch.column("phash").to_pylist()
-    rows = []
-    for d, h in zip(doc_ids, hashes):
-        if not h:
-            continue  # docs with no payload can't be payload-near-dups
-        for bi, bv in enumerate(phash_bands(h, n_bands)):
-            rows.append({"band": (bi << 16) | bv, "doc_id": d, "phash": h})
-    return pa.Table.from_pylist(
-        rows,
-        schema=pa.schema(
-            [("band", pa.int64()), ("doc_id", pa.string()), ("phash", pa.uint64())]
-        ),
+    collision-free across band positions. Fully vectorized: all bands
+    of the whole batch come from numpy shifts on the uint64 hash array
+    (no per-row dicts; semantics identical to ``phash_bands``)."""
+    import numpy as np
+
+    h_all = batch.column("phash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    keep = h_all != 0  # docs with no payload can't be payload-near-dups
+    h = h_all[keep]
+    ids = batch.column("doc_id").filter(pa.array(keep))
+    base, extra = divmod(64, n_bands)
+    band_cols = []
+    shift = 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        bv = (h >> np.uint64(shift)) & np.uint64((1 << width) - 1)
+        band_cols.append((np.int64(i) << np.int64(16)) | bv.astype(np.int64))
+        shift += width
+    n = len(h)
+    if n == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.string()),
+             pa.array([], pa.uint64())],
+            names=["band", "doc_id", "phash"],
+        )
+    import pyarrow.compute as pc
+
+    idx = pa.array(np.tile(np.arange(n), n_bands))
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.concatenate(band_cols)),
+            pc.take(ids, idx),
+            pa.array(np.tile(h, n_bands), pa.uint64()),
+        ],
+        names=["band", "doc_id", "phash"],
     )
 
 
