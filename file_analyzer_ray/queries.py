@@ -624,6 +624,56 @@ def q_events_value_percentiles_approx(sf_dir: str):
     return ray.data.from_pandas(out)
 
 
+def q_events_hopping_rollup(sf_dir: str):
+    """Hopping window aggregate (1h window, 30min hop — each event
+    lands in exactly 2 overlapping windows): the window-start explode
+    is a vectorized per-batch flat map (no per-row Python), then the
+    standard two-level aggregation. Completes the window family
+    (tumbling=hourly, session, rolling RANGE, hopping)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        base = (epoch // 1800) * 1800
+        starts = np.concatenate([base, base - 1800])
+        out = pd.DataFrame(
+            {
+                "window_start": pd.to_datetime(
+                    np.tile(starts, 1), unit="s"
+                ).astype("datetime64[us]"),
+                "event_type": np.tile(df["event_type"].to_numpy(), 2),
+                "cents": np.tile(_cents(df["value"]), 2),
+                "n": 1,
+            }
+        )
+        return out.groupby(["window_start", "event_type"], as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": df["window_start"],
+                "event_type": df["event_type"],
+                "n_events": df["sum(n)"].astype("int64"),
+                "sum_value": df["sum(cents)"] / 100.0,
+            }
+        )
+
+    return _preagg_native(
+        ds, ["window_start", "event_type"], partial, [Sum("cents"), Sum("n")], finalize
+    )
+
+
+SQL_EVENTS_HOPPING = """
+SELECT to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800)::TIMESTAMP AS window_start,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events, (SELECT unnest(generate_series(0, 1)) AS k) k
+GROUP BY 1, 2
+"""
+
+
 def q_events_props_extract(sf_dir: str):
     """Per-row JSON extraction (dot-path getter, M15 analog)."""
     from .functions.paths import get_path
@@ -1414,6 +1464,7 @@ QUERIES = {
     "events_dow_rollup": q_events_dow_rollup,
     "events_type_stats": q_events_type_stats,
     "events_hourly_rollup": q_events_hourly_rollup,
+    "events_hopping_rollup": q_events_hopping_rollup,
     "events_sessionize": q_events_sessionize,
     "events_props_extract": q_events_props_extract,
     "events_value_percentiles": q_events_value_percentiles,
@@ -1470,6 +1521,7 @@ ORACLE_SQL = {
     "events_dow_rollup": SQL_EVENTS_DOW_ROLLUP,
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_hourly_rollup": SQL_EVENTS_HOURLY,
+    "events_hopping_rollup": SQL_EVENTS_HOPPING,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_props_extract": SQL_EVENTS_PROPS,
     "events_value_percentiles": SQL_EVENTS_VALUE_PERCENTILES,

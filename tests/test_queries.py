@@ -83,6 +83,7 @@ SQL_CHECKED = [
     "part_type_breakdown",
     "events_type_stats",
     "events_hourly_rollup",
+    "events_hopping_rollup",
     "events_sessionize",
     "events_props_extract",
     "docs_token_stats",
