@@ -819,6 +819,88 @@ GROUP BY tok ORDER BY n_occurrences DESC, term LIMIT 10
 """
 
 
+def q_docs_top_terms_per_lang(sf_dir: str):
+    """Grouped top-k: the 3 most frequent terms per language —
+    per-(lang, term) counts through the auto-switched two-level
+    aggregation, then rank-per-group via the descending-sort
+    run-boundary window (no per-group dispatch at any language or term
+    cardinality)."""
+    from ray.data.aggregate import Sum
+
+    from .query_utils import _window_by_key
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[tuple, int] = {}
+        for lang, text in zip(df["lang"], df["text"]):
+            for tok in text.lower().split():
+                t = "".join(c for c in tok if c.isalnum())
+                if len(t) > 2:
+                    counts[(lang, t)] = counts.get((lang, t), 0) + 1
+        if not counts:
+            return pd.DataFrame({"lang": [], "term": [], "n": []})
+        ks = list(counts)
+        return pd.DataFrame(
+            {
+                "lang": [k[0] for k in ks],
+                "term": [k[1] for k in ks],
+                "n": list(counts.values()),
+            }
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "term": df["term"],
+                "n_occurrences": df["sum(n)"].astype("int64"),
+            }
+        )
+
+    counts = _preagg_native(ds, ["lang", "term"], partial, [Sum("n")], finalize)
+
+    def rank_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="object"),
+                    "term": pd.Series([], dtype="object"),
+                    "n_occurrences": pd.Series([], dtype="int64"),
+                    "term_rank": pd.Series([], dtype="int64"),
+                }
+            )
+        k = df["lang"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        run_of = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(k)]))
+        rank = np.arange(len(k)) - starts[run_of] + 1
+        out = df.copy()
+        out["term_rank"] = rank.astype("int64")
+        return out.loc[out["term_rank"] <= 3].reset_index(drop=True)
+
+    return _window_by_key(
+        counts, ["lang"], ["lang", "n_occurrences", "term"], rank_fn,
+        descending=[False, True, False],
+    )
+
+
+SQL_DOCS_TOP_TERMS_PER_LANG = """
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+cnt AS (
+  SELECT lang, term, count(*) AS n_occurrences
+  FROM tok WHERE length(term) > 2 GROUP BY lang, term
+)
+SELECT lang, term, n_occurrences, term_rank FROM (
+  SELECT lang, term, n_occurrences,
+         row_number() OVER (PARTITION BY lang ORDER BY n_occurrences DESC, term) AS term_rank
+  FROM cnt
+) WHERE term_rank <= 3
+"""
+
+
 def q_docs_exact_dedup(sf_dir: str):
     """Exact dedup clusters over document text (D1/rdfind analog):
     md5 content hash → groupby(hash) → (canonical id, size)."""
@@ -1474,6 +1556,7 @@ QUERIES = {
     "docs_quality": q_docs_quality,
     "docs_length_by_lang": q_docs_length_by_lang,
     "docs_top_terms": q_docs_top_terms,
+    "docs_top_terms_per_lang": q_docs_top_terms_per_lang,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_fingerprint": q_docs_fingerprint,
     "docs_signature_scan": q_docs_signature_scan,
@@ -1529,6 +1612,7 @@ ORACLE_SQL = {
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_length_by_lang": SQL_DOCS_LENGTH_BY_LANG,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
+    "docs_top_terms_per_lang": SQL_DOCS_TOP_TERMS_PER_LANG,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
     "docs_fingerprint": SQL_DOCS_FINGERPRINT,
     "docs_signature_scan": SQL_DOCS_SIGNATURE_SCAN,

@@ -90,6 +90,7 @@ SQL_CHECKED = [
     "docs_quality",
     "docs_length_by_lang",
     "docs_top_terms",
+    "docs_top_terms_per_lang",
     "docs_exact_dedup",
     "docs_fingerprint",
     "docs_signature_scan",
