@@ -67,28 +67,48 @@ FEATURE_SCHEMA = pa.schema(
 def explode_media(batch: pa.Table) -> pa.Table:
     """docs(doc_id, spans, binary) → one row per media/binary span.
     Payload bytes are row-local after this point; Ray's dynamic block
-    splitting plus the small decode batch_size bound worker memory."""
-    rows = []
-    for doc_id, spans, binary in zip(
-        batch.column("doc_id").to_pylist(),
-        batch.column("spans").to_pylist(),
-        batch.column("binary").to_pylist(),
-    ):
-        payloads = parse_frames(binary or b"")
+    splitting plus the small decode batch_size bound worker memory.
+    Reads the spans column via its list offsets + flattened struct
+    children (no per-span dicts) and assembles output columns flat."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans_col = batch.column("spans")
+    spans_arr = (
+        spans_col.combine_chunks()
+        if isinstance(spans_col, pa.ChunkedArray)
+        else spans_col
+    )
+    loff = spans_arr.offsets.to_pylist()
+    sv = spans_arr.values
+    f_kind = sv.field("kind").to_pylist()
+    f_ref = sv.field("media_ref").to_pylist()
+    valid = (
+        spans_arr.is_valid().to_pylist() if spans_arr.null_count > 0 else None
+    )
+    bins = batch.column("binary").to_pylist()
+    out_doc, out_ref, out_type, out_pay = [], [], [], []
+    for i in range(batch.num_rows):
+        lo, hi = loff[i], loff[i + 1]
+        if valid is not None and not valid[i]:
+            lo = hi
+        payloads = parse_frames(bins[i] or b"")
         k = 0
-        for s in spans or []:
-            if s["kind"] in ("media", "binary"):
-                payload = payloads[k] if k < len(payloads) else b""
+        for j in range(lo, hi):
+            kind = f_kind[j]
+            if kind in ("media", "binary"):
+                out_doc.append(doc_ids[i])
+                out_ref.append(f_ref[j])
+                out_type.append(kind)
+                out_pay.append(payloads[k] if k < len(payloads) else b"")
                 k += 1
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "media_ref": s["media_ref"],
-                        "media_type": s["kind"],
-                        "payload": payload,
-                    }
-                )
-    return pa.Table.from_pylist(rows, schema=MEDIA_ROW_SCHEMA)
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_doc, pa.string()),
+            pa.array(out_ref, pa.string()),
+            pa.array(out_type, pa.string()),
+            pa.array(out_pay, pa.large_binary()),
+        ],
+        schema=MEDIA_ROW_SCHEMA,
+    )
 
 
 def resize_letterbox(img: np.ndarray, target: int) -> np.ndarray:
