@@ -177,10 +177,9 @@ def lsh_near_dup_pairs(
         ids = df["vec_id"].to_numpy()
         vecs = df["vec"].to_numpy()
         starts, ends = run_bounds(df["band"].to_numpy())
+        multi = (ends - starts) >= 2  # vectorized singleton skip
         out_a, out_b, out_s = [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
+        for s, e in zip(starts[multi].tolist(), ends[multi].tolist()):
             order = np.argsort(ids[s:e], kind="stable") + s
             rid = ids[order]
             m = np.stack(vecs[order])

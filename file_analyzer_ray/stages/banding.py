@@ -100,10 +100,11 @@ def hamming_pair_kernel(value_col: str, max_hamming: int, out_val: str = "hammin
             )
         vals = raw.astype(np.uint64)
         starts, ends = run_bounds(df["band"].to_numpy())
+        multi = (ends - starts) >= 2  # vectorized singleton skip: a
+        # Python loop over every run costs ~16 µs/iteration on numpy
+        # scalars — at b bands/doc that's O(N·b) wasted iterations
         out_a, out_b, out_d = [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
+        for s, e in zip(starts[multi].tolist(), ends[multi].tolist()):
             order = np.argsort(ids[s:e], kind="stable") + s
             rid, rv = ids[order], vals[order]
             x = rv[:, None] ^ rv[None, :]

@@ -130,9 +130,8 @@ def _pairs_from_runs(ids, sigs_bytes, starts, ends, cutoff) -> pd.DataFrame:
     pandas object)."""
     out_a: list = []
     out_b: list = []
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
+    multi = (ends - starts) >= 2  # vectorized singleton skip
+    for s, e in zip(starts[multi].tolist(), ends[multi].tolist()):
         idx = np.argsort(ids[s:e], kind="stable") + s
         rid = ids[idx]
         sig = np.stack([np.frombuffer(sigs_bytes[i], dtype=np.uint64) for i in idx])
