@@ -674,6 +674,67 @@ GROUP BY 1, 2
 """
 
 
+def q_events_clicks_before_purchase(sf_dir: str):
+    """Interval/range join (self): for every purchase, the number of
+    clicks by the same user in the preceding 10 minutes. One sort
+    co-partitions both sides by (user_id, ts); inside each user run
+    the range lookup is two vectorized searchsorted calls — the
+    engine's range-join shape (no per-user dispatch, no quadratic
+    pair explosion)."""
+    from .query_utils import _window_by_key
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    ds = ds.filter(expr="event_type == 'click' or event_type == 'purchase'")
+
+    def range_count(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "n_clicks_10m": pd.Series([], dtype="int64"),
+                }
+            )
+        u = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy()
+        is_click = (df["event_type"] == "click").to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        out_id: list = []
+        out_n: list = []
+        win = 10 * 60 * 1_000_000
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            cm = is_click[s:e]
+            if not (~cm).any():
+                continue
+            ct = ts[s:e][cm]
+            pt = ts[s:e][~cm]
+            lo = np.searchsorted(ct, pt - win, side="left")
+            hi = np.searchsorted(ct, pt, side="left")  # strictly before
+            out_id.extend(eid[s:e][~cm])
+            out_n.extend(hi - lo)
+        return pd.DataFrame(
+            {
+                "event_id": np.asarray(out_id, dtype=np.int64),
+                "n_clicks_10m": np.asarray(out_n, dtype=np.int64),
+            }
+        )
+
+    return _window_by_key(ds, ["user_id"], ["user_id", "ts", "event_id"], range_count)
+
+
+SQL_EVENTS_CLICKS_BEFORE_PURCHASE = """
+SELECT p.event_id,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks_10m
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
 def q_events_props_extract(sf_dir: str):
     """Per-row JSON extraction (dot-path getter, M15 analog)."""
     from .functions.paths import get_path
@@ -1547,6 +1608,7 @@ QUERIES = {
     "events_type_stats": q_events_type_stats,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_hopping_rollup": q_events_hopping_rollup,
+    "events_clicks_before_purchase": q_events_clicks_before_purchase,
     "events_sessionize": q_events_sessionize,
     "events_props_extract": q_events_props_extract,
     "events_value_percentiles": q_events_value_percentiles,
@@ -1605,6 +1667,7 @@ ORACLE_SQL = {
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_hourly_rollup": SQL_EVENTS_HOURLY,
     "events_hopping_rollup": SQL_EVENTS_HOPPING,
+    "events_clicks_before_purchase": SQL_EVENTS_CLICKS_BEFORE_PURCHASE,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_props_extract": SQL_EVENTS_PROPS,
     "events_value_percentiles": SQL_EVENTS_VALUE_PERCENTILES,

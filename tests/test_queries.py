@@ -84,6 +84,7 @@ SQL_CHECKED = [
     "events_type_stats",
     "events_hourly_rollup",
     "events_hopping_rollup",
+    "events_clicks_before_purchase",
     "events_sessionize",
     "events_props_extract",
     "docs_token_stats",
