@@ -735,6 +735,52 @@ GROUP BY p.event_id
 """
 
 
+def q_events_dow_type_cube(sf_dir: str):
+    """CUBE / GROUPING SETS: counts at every grouping level of
+    (isodow, event_type) — (both), (dow), (type), (grand total) —
+    derived from ONE set of fine-level partials; the three coarser
+    levels are re-aggregations of the merged fine level, so the input
+    is scanned exactly once."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "dow": df["ts"].dt.isocalendar().day.astype("int64").astype(str),
+                "event_type": df["event_type"],
+                "n": 1,
+            }
+        )
+        return out.groupby(["dow", "event_type"], as_index=False).sum()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        fine = df.groupby(["dow", "event_type"], as_index=False).agg(n=("n", "sum"))
+        by_dow = fine.groupby("dow", as_index=False).agg(n=("n", "sum"))
+        by_dow["event_type"] = "ALL"
+        by_type = fine.groupby("event_type", as_index=False).agg(n=("n", "sum"))
+        by_type["dow"] = "ALL"
+        total = pd.DataFrame([{"dow": "ALL", "event_type": "ALL", "n": int(fine["n"].sum())}])
+        out = pd.concat([fine, by_dow, by_type, total], ignore_index=True)
+        return pd.DataFrame(
+            {
+                "dow": out["dow"],
+                "event_type": out["event_type"],
+                "n_events": out["n"].astype("int64"),
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return part.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+SQL_EVENTS_DOW_TYPE_CUBE = """
+SELECT coalesce(CAST(isodow(ts) AS VARCHAR), 'ALL') AS dow,
+       coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n_events
+FROM events GROUP BY CUBE (isodow(ts), event_type)
+"""
+
+
 def q_events_props_extract(sf_dir: str):
     """Per-row JSON extraction (dot-path getter, M15 analog)."""
     from .functions.paths import get_path
@@ -1609,6 +1655,7 @@ QUERIES = {
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_hopping_rollup": q_events_hopping_rollup,
     "events_clicks_before_purchase": q_events_clicks_before_purchase,
+    "events_dow_type_cube": q_events_dow_type_cube,
     "events_sessionize": q_events_sessionize,
     "events_props_extract": q_events_props_extract,
     "events_value_percentiles": q_events_value_percentiles,
@@ -1668,6 +1715,7 @@ ORACLE_SQL = {
     "events_hourly_rollup": SQL_EVENTS_HOURLY,
     "events_hopping_rollup": SQL_EVENTS_HOPPING,
     "events_clicks_before_purchase": SQL_EVENTS_CLICKS_BEFORE_PURCHASE,
+    "events_dow_type_cube": SQL_EVENTS_DOW_TYPE_CUBE,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_props_extract": SQL_EVENTS_PROPS,
     "events_value_percentiles": SQL_EVENTS_VALUE_PERCENTILES,

@@ -85,6 +85,7 @@ SQL_CHECKED = [
     "events_hourly_rollup",
     "events_hopping_rollup",
     "events_clicks_before_purchase",
+    "events_dow_type_cube",
     "events_sessionize",
     "events_props_extract",
     "docs_token_stats",
