@@ -429,3 +429,38 @@ def test_training_prep_pipeline_invariants(ray_session):
     import pyarrow.parquet as pq
     n_in = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
     assert len(out) < n_in
+
+
+def test_bloom_filter_semijoin_pushdown(ray_session):
+    """No false negatives ever; FP rate within theory; distributed
+    build == serial build; the pushdown keeps every true match."""
+    import ray.data
+
+    from file_analyzer_ray.stages.bloom import (
+        BloomFilter,
+        bloom_semi_filter,
+        build_bloom,
+    )
+
+    rng = np.random.default_rng(5)
+    build_keys = rng.choice(10_000_000, size=20_000, replace=False).astype(np.int64)
+    bf = BloomFilter(log2_m=20, k=4)
+    bf.add(build_keys)
+    # no false negatives
+    assert bf.contains(build_keys).all()
+    # FP rate near theory: (1 - e^{-kn/m})^k with n=20k, m=2^20 -> ~0.3%
+    probe = rng.choice(10_000_000, size=50_000, replace=False).astype(np.int64)
+    outside = np.setdiff1d(probe, build_keys)
+    fp = bf.contains(outside).mean()
+    assert fp < 0.02, fp
+
+    # distributed build merges to the same filter
+    ds = ray.data.from_pandas(pd.DataFrame({"k": build_keys}))
+    dist = build_bloom(ds, "k", log2_m=20, k=4)
+    assert (dist.bits == bf.bits).all()
+
+    # pushdown keeps every true semi-join match
+    probe_df = pd.DataFrame({"k": np.concatenate([build_keys[:500], outside[:5000]])})
+    kept = bloom_semi_filter(ray.data.from_pandas(probe_df), "k", dist).to_pandas()
+    assert set(build_keys[:500]) <= set(kept["k"])
+    assert len(kept) < len(probe_df)  # most non-matches pruned before the join
