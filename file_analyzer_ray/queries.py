@@ -267,8 +267,11 @@ def q_supplier_lineitem_agg(sf_dir: str):
             }
         )
 
+    from .query_utils import _meta_rows
+
     return _preagg_native(
-        ds, ["l_suppkey"], partial, [Sum("qty"), Sum("rev4"), Sum("n")], finalize
+        ds, ["l_suppkey"], partial, [Sum("qty"), Sum("rev4"), Sum("n")], finalize,
+        input_rows=_meta_rows(sf_dir, "lineitem"),
     )
 
 
@@ -490,8 +493,11 @@ def q_events_hourly_rollup(sf_dir: str):
             }
         )
 
+    from .query_utils import _meta_rows
+
     return _preagg_native(
-        ds, ["hour", "event_type"], partial, [Sum("cents"), Sum("n")], finalize
+        ds, ["hour", "event_type"], partial, [Sum("cents"), Sum("n")], finalize,
+        input_rows=_meta_rows(sf_dir, "events"),
     )
 
 
@@ -660,8 +666,11 @@ def q_events_hopping_rollup(sf_dir: str):
             }
         )
 
+    from .query_utils import _meta_rows
+
     return _preagg_native(
-        ds, ["window_start", "event_type"], partial, [Sum("cents"), Sum("n")], finalize
+        ds, ["window_start", "event_type"], partial, [Sum("cents"), Sum("n")], finalize,
+        input_rows=_meta_rows(sf_dir, "events"),
     )
 
 
@@ -914,7 +923,10 @@ def q_docs_top_terms(sf_dir: str):
             {"term": df["term"], "n_occurrences": df["sum(n)"].astype("int64")}
         )
 
-    agg = _preagg_native(ds, ["term"], partial, [Sum("n")], finalize)
+    from .query_utils import _meta_rows
+
+    agg = _preagg_native(ds, ["term"], partial, [Sum("n")], finalize,
+                         input_rows=_meta_rows(sf_dir, "documents"))
     return agg.sort(["n_occurrences", "term"], descending=[True, False]).limit(10)
 
 
@@ -965,7 +977,10 @@ def q_docs_top_terms_per_lang(sf_dir: str):
             }
         )
 
-    counts = _preagg_native(ds, ["lang", "term"], partial, [Sum("n")], finalize)
+    from .query_utils import _meta_rows
+
+    counts = _preagg_native(ds, ["lang", "term"], partial, [Sum("n")], finalize,
+                            input_rows=_meta_rows(sf_dir, "documents"))
 
     def rank_fn(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -1042,7 +1057,10 @@ def q_docs_exact_dedup(sf_dir: str):
             }
         )
 
-    return _preagg_native(ds, ["content_hash"], partial, [Min("doc_min"), Sum("n")], finalize)
+    from .query_utils import _meta_rows
+
+    return _preagg_native(ds, ["content_hash"], partial, [Min("doc_min"), Sum("n")],
+                          finalize, input_rows=_meta_rows(sf_dir, "documents"))
 
 
 SQL_DOCS_EXACT_DEDUP = """

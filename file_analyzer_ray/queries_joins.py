@@ -79,7 +79,10 @@ def q_orders_lineitem_join_agg(sf_dir: str):
             {"l_orderkey": df["l_orderkey"], "rev4": df["sum(rev4)"].astype("int64")}
         )
 
-    per_order = _preagg_native(li, ["l_orderkey"], li_partial, [Sum("rev4")], li_finalize)
+    from .query_utils import _meta_rows
+
+    per_order = _preagg_native(li, ["l_orderkey"], li_partial, [Sum("rev4")], li_finalize,
+                               input_rows=_meta_rows(sf_dir, "lineitem"))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = orders.join(
         per_order,
@@ -253,7 +256,10 @@ def q_supplier_revenue_named(sf_dir: str):
             }
         )
 
-    return _preagg_native(li, ["s_name"], partial, [Sum("rev4"), Sum("n")], finalize)
+    from .query_utils import _meta_rows
+
+    return _preagg_native(li, ["s_name"], partial, [Sum("rev4"), Sum("n")], finalize,
+                          input_rows=_meta_rows(sf_dir, "lineitem"))
 
 
 SQL_SUPPLIER_REVENUE_NAMED = """
@@ -525,7 +531,10 @@ def q_segment_top_orders(sf_dir: str):
             {"l_orderkey": df["l_orderkey"], "revenue": df["sum(rev4)"] / 10000.0}
         )
 
-    per_order = _preagg_native(li, ["l_orderkey"], li_partial, [Sum("rev4")], li_finalize)
+    from .query_utils import _meta_rows
+
+    per_order = _preagg_native(li, ["l_orderkey"], li_partial, [Sum("rev4")], li_finalize,
+                               input_rows=_meta_rows(sf_dir, "lineitem"))
     joined = bld_orders.join(
         per_order,
         join_type="inner",
