@@ -17,9 +17,11 @@ each — an n-clone cluster would otherwise put C(n,2) candidate pairs
 through every LSH bucket it lands in (the near-dup stage then only
 handles genuinely perturbed survivors).
 
-Everything streams; the only driver-side values are the verified
-near-dup drop set (bounded by near-dup pair count, broadcast via
-``ray.put``) and the auto-switch counters inside the reused stages.
+Everything streams; the near-dup drop step is a distributed
+``left_anti`` hash join against the per-batch-deduped b-side of the
+verified pairs — no pair id ever transits the driver (at 100 TB a
+dup-heavy crawl makes the drop set O(corpus), so a driver-side
+broadcast set is a scale-killer; VERDICT r2 what's-wrong #1).
 """
 
 from __future__ import annotations
@@ -97,15 +99,30 @@ def training_prep_pipeline(
 
     # near-dup removal: verified pairs over the EXACT-DEDUPED corpus;
     # drop the b side of every pair (a < b, so the min-id doc survives)
+    # via a streaming left_anti hash join — the drop set never lands on
+    # the driver (pattern: queries_joins.q_customers_without_orders).
+    import pyarrow as pa
+
     pairs = minhash_near_dup_pairs(
         exact.select_columns(["doc_id", "text"]), threshold=near_dup_threshold
     )
-    drop_ids = frozenset(pairs.to_pandas()["doc_id_b"])
-    dref = ray.put(drop_ids)
+
+    def b_keys(df: pd.DataFrame) -> pa.Table:
+        # typed Arrow out: an empty pandas frame would drop the key
+        # column's schema and break the downstream hash join
+        k = df["doc_id_b"].drop_duplicates()
+        return pa.Table.from_arrays([pa.array(list(k), pa.int64())], names=["doc_id_b"])
+
+    survivors = exact.join(
+        pairs.map_batches(b_keys, batch_format="pandas"),
+        join_type="left_anti",
+        num_partitions=16,
+        on=("doc_id",),
+        right_on=("doc_id_b",),
+    )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        drop = ray.get(dref)
-        out = df.loc[~df["doc_id"].isin(drop)].copy()
+        out = df.copy()
         if sample_keep < sample_mod:
             keep = [
                 hashlib.md5(str(d).encode()).digest()[0] % sample_mod < sample_keep
@@ -127,4 +144,4 @@ def training_prep_pipeline(
         )
         return out[["doc_id", "text", "lang_pred", "fingerprint", "n_bpe_tokens"]]
 
-    return exact.map_batches(finalize, batch_format="pandas")
+    return survivors.map_batches(finalize, batch_format="pandas")
