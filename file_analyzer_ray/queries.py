@@ -618,16 +618,44 @@ SELECT count(DISTINCT user_id) AS n_users, TRUE AS within_bound FROM events
 
 
 def q_events_value_percentiles_approx(sf_dir: str):
-    """Histogram-sketch approximate percentiles per event type
-    (rows-only: the sketch is deliberately approximate; pytest bounds
-    its error vs the exact quantiles at one bin width). The scale path
-    for events_value_percentiles — per-batch histograms merge by sum,
-    nothing sorts."""
+    """Histogram-sketch approximate percentiles per event type,
+    SELF-VERIFYING so the driver can oracle-check it (same pattern as
+    events_approx_users/HLL): emits the exact per-group quantiles plus
+    a flag that each sketch estimate landed within its deterministic
+    error bound (2 bin widths = 2·(max−min)/4096 — the interpolated
+    estimate mixes two order statistics, each inside its true bin).
+    The DuckDB oracle returns the exact quantiles and TRUE, so the
+    value-hash matches iff the exact side agrees AND the sketch is
+    in-bound. The scale path for events_value_percentiles — per-batch
+    histograms merge by sum, nothing sorts."""
     from .stages.sketches import approx_quantiles
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    out = approx_quantiles(ds, "value", by="event_type", qs=(0.5, 0.9))
+    approx = approx_quantiles(ds, "value", by="event_type", qs=(0.5, 0.9))
+    exact = q_events_value_percentiles(sf_dir).to_pandas()
+    m = exact.merge(approx, on="event_type")
+    ok = (
+        ((m["q50"] - m["median_value"]).abs() <= 2 * m["bin_width"] + 1e-9)
+        & ((m["q90"] - m["p90_value"]).abs() <= 2 * m["bin_width"] + 1e-9)
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": m["event_type"],
+            "median_value": m["median_value"],
+            "p90_value": m["p90_value"],
+            "approx_within_bound": ok.astype(bool),
+        }
+    )
     return ray.data.from_pandas(out)
+
+
+SQL_EVENTS_VALUE_PERCENTILES_APPROX = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS median_value,
+       quantile_cont(value, 0.9) AS p90_value,
+       TRUE AS approx_within_bound
+FROM events GROUP BY event_type
+"""
 
 
 def q_events_hopping_rollup(sf_dir: str):
@@ -1222,16 +1250,86 @@ def q_bucketed_customer_revenue(sf_dir: str):
 def q_training_prep(sf_dir: str):
     """Flagship training-data prep composition (pipelines/prep.py):
     quality+language gate -> exact dedup -> minhash near-dup removal ->
-    BPE token budget (rows-only: the near-dup stage is probabilistic;
-    pytest asserts the pipeline invariants — no duplicate fingerprints,
-    no surviving verified near-dup pair, languages gated)."""
+    BPE token budget. Oracle-checked end-to-end: the DuckDB oracle
+    recomputes the whole composition (token gate, stopword langid,
+    md5-of-normalized fingerprint keep-min-doc_id dedup, exact-Jaccard
+    char-5-shingle near-dup b-side drop, BPE pre-tokenizer count) —
+    the LSH banding stage has exact recall on the driver tiers, which
+    the hash equality itself certifies; pytest additionally asserts the
+    pipeline invariants at every tier."""
     from .pipelines.prep import training_prep_pipeline
 
     return training_prep_pipeline(sf_dir)
 
 
+def _build_sql_training_prep() -> str:
+    """The full prep composition in one DuckDB statement, built from
+    the same score/case fragments as SQL_DOCS_LANGID (single source of
+    truth for the language profiles)."""
+    tk, scores = _sql_langid_scores("text")
+    bpe = (
+        r"len(list_filter(regexp_extract_all(e.text, "
+        r"'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'), "
+        r"x -> NOT regexp_matches(x, '^\s+$')))"
+    )
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(text, '[\t\n\f\r ]+', ' ', 'g'))) AS norm
+  FROM documents
+  WHERE length(text) > 0
+    AND len(regexp_extract_all(text, '[A-Za-z0-9]+')) BETWEEN 5 AND 100000
+),
+tk AS (
+  SELECT doc_id, {tk} FROM gated
+),
+sc AS (
+  SELECT doc_id, _tk,
+    {scores}
+  FROM tk
+),
+lp AS (
+  SELECT doc_id,
+         {_sql_langid_case()} AS lang_pred
+  FROM sc
+),
+g2 AS (
+  SELECT g.doc_id, g.text, g.norm, lp.lang_pred, md5(g.norm) AS fingerprint
+  FROM gated g JOIN lp USING (doc_id)
+  WHERE lp.lang_pred IN ('en', 'und')
+),
+exact AS (
+  SELECT * FROM g2
+  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+),
+shl AS (
+  SELECT doc_id, list(DISTINCT substr(norm, i, 5)) AS sh
+  FROM exact, lateral (SELECT unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i)
+  GROUP BY doc_id
+),
+dropb AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+)
+SELECT e.doc_id, e.text, e.lang_pred, e.fingerprint,
+       {bpe} AS n_bpe_tokens
+FROM exact e
+WHERE e.doc_id NOT IN (SELECT doc_id FROM dropb)
+"""
+
+
+# (assigned below q_docs_langid — the shared langid SQL fragments are
+# defined there)
+
+
 def q_docs_langid(sf_dir: str):
-    """Language ID heuristic (rows-only check: not SQL-expressible)."""
+    """Language ID heuristic, oracle-checked: the DuckDB oracle
+    recomputes the stopword-profile scores exactly (same tokenizer
+    regex, integer-hit / token-count division is IEEE-identical, same
+    alphabetical tie-break and >0.02 threshold), so the value-hash pins
+    the full decision rule, not just determinism."""
     from .functions.text import detect_language
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
@@ -1246,6 +1344,65 @@ def q_docs_langid(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def _sql_langid_scores(text_expr: str = "text") -> str:
+    """Stopword-profile score columns (s_de..s_it) + token count n,
+    recomputing functions.text.detect_language in SQL: tokens =
+    lowered [A-Za-z0-9]+ runs, score = profile-hit fraction."""
+    from .functions.text import LANG_PROFILES
+
+    cols = [
+        "list_transform(regexp_extract_all("
+        + text_expr
+        + ", '[A-Za-z0-9]+'), t -> lower(t)) AS _tk"
+    ]
+    score_cols = []
+    for lang in sorted(LANG_PROFILES):
+        words = ",".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+        score_cols.append(
+            f"CASE WHEN len(_tk)=0 THEN 0.0 ELSE "
+            f"CAST(len(list_filter(_tk, x -> x IN ({words}))) AS DOUBLE)"
+            f"/len(_tk) END AS s_{lang}"
+        )
+    return ",\n    ".join(cols), ",\n    ".join(score_cols)
+
+
+def _sql_langid_case() -> str:
+    """CASE expression choosing the language exactly as the Python
+    loop does: alphabetically-first among the maxima, 'und' below the
+    0.02 score threshold or on empty token lists."""
+    from .functions.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    g = "greatest(" + ",".join(f"s_{l}" for l in langs) + ")"
+    case = [f"CASE WHEN len(_tk) = 0 THEN 'und'", f"WHEN {g} <= 0.02 THEN 'und'"]
+    for l in langs[:-1]:
+        case.append(f"WHEN s_{l} = {g} THEN '{l}'")
+    case.append(f"ELSE '{langs[-1]}' END")
+    return "\n       ".join(case)
+
+
+def _build_sql_docs_langid() -> str:
+    tk, scores = _sql_langid_scores("text")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, lang AS lang_actual, {tk}
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, lang_actual, _tk,
+    {scores}
+  FROM tk
+)
+SELECT doc_id, lang_actual,
+       {_sql_langid_case()} AS lang_pred
+FROM sc
+"""
+
+
+SQL_DOCS_LANGID = _build_sql_docs_langid()
+SQL_TRAINING_PREP = _build_sql_training_prep()
 
 
 def q_docs_simhash(sf_dir: str):
@@ -1509,12 +1666,64 @@ WHERE round(list_dot_product(a.embedding, b.embedding)
 
 
 def q_embeddings_lsh_near_dup(sf_dir: str):
-    """Random-hyperplane LSH near-dup (scale path; rows-only — recall
-    vs the exact baseline is pytest-verified, precision is 1.0 by
-    exact in-bucket verification)."""
+    """Random-hyperplane LSH near-dup (scale path), oracle-checked:
+    the DuckDB oracle replays the EXACT sign-hash banding — the seeded
+    hyperplanes are embedded as literals in the generated SQL (sign of
+    dot(v, plane) is normalization-invariant), candidates self-join on
+    the band key, and the in-bucket cosine verify applies the same
+    rounded threshold. The sim column is projected away for the same
+    last-ulp reason as embeddings_cosine_near_dup."""
     from .stages.ann import lsh_near_dup_pairs
 
-    return lsh_near_dup_pairs(sf_dir, threshold=0.35)
+    ds = lsh_near_dup_pairs(sf_dir, threshold=0.35)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["vec_id_a", "vec_id_b"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _build_sql_embeddings_lsh(
+    threshold: float = 0.35, n_tables: int = 8, n_bits: int = 6, dim: int = 64
+) -> str:
+    """Generate the LSH-banding oracle: the same seeded hyperplanes as
+    stages.ann.lsh_near_dup_pairs (default_rng(42)), embedded as SQL
+    list literals at full round-trip precision. dim=64 matches every
+    driver testdata tier; the stage itself reads dim from the data."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    bands = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(embedding, ["
+            + ",".join(repr(float(v)) for v in planes[t, j])
+            + f"]) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_bits)
+        )
+        bands.append(f"({bits} + {t << 32})")
+    cos = (
+        "round(list_dot_product(x.embedding, y.embedding)"
+        " / sqrt(list_dot_product(x.embedding, x.embedding))"
+        " / sqrt(list_dot_product(y.embedding, y.embedding)), 4)"
+    )
+    return f"""
+WITH expl AS (
+  SELECT vec_id, unnest([{", ".join(bands)}]) AS band FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM expl a JOIN expl b ON a.band = b.band AND a.vec_id < b.vec_id
+)
+SELECT cand.va AS vec_id_a, cand.vb AS vec_id_b
+FROM cand JOIN embeddings x ON x.vec_id = cand.va
+          JOIN embeddings y ON y.vec_id = cand.vb
+WHERE {cos} >= {threshold}
+"""
+
+
+SQL_EMBEDDINGS_LSH_NEAR_DUP = _build_sql_embeddings_lsh()
 
 
 def q_docs_simhash_near_dup(sf_dir: str):
@@ -1737,6 +1946,9 @@ ORACLE_SQL = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_props_extract": SQL_EVENTS_PROPS,
     "events_value_percentiles": SQL_EVENTS_VALUE_PERCENTILES,
+    "events_value_percentiles_approx": SQL_EVENTS_VALUE_PERCENTILES_APPROX,
+    "docs_langid": SQL_DOCS_LANGID,
+    "training_prep": SQL_TRAINING_PREP,
     "docs_token_stats": SQL_DOCS_TOKEN_STATS,
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_length_by_lang": SQL_DOCS_LENGTH_BY_LANG,
@@ -1748,6 +1960,7 @@ ORACLE_SQL = {
     "embeddings_knn": SQL_EMBEDDINGS_KNN,
     "embeddings_label_stats": SQL_EMBEDDINGS_LABEL_STATS,
     "embeddings_cosine_near_dup": SQL_EMBEDDINGS_COSINE_NEAR_DUP,
+    "embeddings_lsh_near_dup": SQL_EMBEDDINGS_LSH_NEAR_DUP,
     "events_approx_users": SQL_EVENTS_APPROX_USERS,
     "docs_simhash": SQL_DOCS_SIMHASH,
     "docs_simhash_near_dup": SQL_DOCS_SIMHASH_NEAR_DUP,

@@ -58,12 +58,18 @@ def knn_ivf(
     qvec = np.array(qrow["embedding"][0].as_py(), dtype=np.float64)
     # Train the coarse quantizer on a bounded head sample (first rows
     # only leave storage; at 10^12 scale switch to ds.random_sample).
+    # SPHERICAL k-means: the metric is cosine, so train and assign on
+    # UNIT vectors — Euclidean cells over raw norms don't align with
+    # cosine neighborhoods at all (r2 shipped that; recall at sf0.01
+    # was 0/10 because the query landed in a norm-cell, not an
+    # angle-cell).
     sample = np.stack(
         dset.head(2048, columns=["embedding"])["embedding"].to_pylist()
     ).astype(np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     centroids = kmeans_fit(sample, n_centroids)
     qn = qvec / np.linalg.norm(qvec)
-    probe_cells = np.argsort(((centroids - qvec) ** 2).sum(axis=1))[:n_probe]
+    probe_cells = np.argsort(((centroids - qn) ** 2).sum(axis=1))[:n_probe]
     ref = ray.put((qn, centroids, set(int(c) for c in probe_cells)))
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -71,7 +77,8 @@ def knn_ivf(
     def score(df: pd.DataFrame) -> pd.DataFrame:
         q, cents, cells = ray.get(ref)
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        d = ((matn[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
         keep = np.array([a in cells for a in assign])
         keep &= (df["vec_id"] != query_vec_id).to_numpy()

@@ -173,5 +173,9 @@ def approx_quantiles(
             row[f"q{int(q*100)}"] = (
                 (1 - frac) * est_order_stat(lo) + frac * est_order_stat(lo + 1)
             )
+        # per-group deterministic error bound (one bin width; the
+        # interpolated estimate mixes two order statistics, each inside
+        # its true bin) — lets callers self-verify the sketch.
+        row["bin_width"] = float(ed[1] - ed[0])
         out_rows.append(row)
     return pd.DataFrame(out_rows).sort_values(by).reset_index(drop=True)

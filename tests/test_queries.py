@@ -126,6 +126,10 @@ SQL_CHECKED = [
     "docs_ngram_dedup",
     "docs_bpe_tokens",
     "bucketed_customer_revenue",
+    "docs_langid",
+    "training_prep",
+    "embeddings_lsh_near_dup",
+    "events_value_percentiles_approx",
 ]
 
 
