@@ -205,40 +205,48 @@ def run_scaling() -> dict:
     one(8)  # warm-up pass: corpus generation + page cache, untimed
     src = corpus_path(n_docs)
     # This sandbox is a shared VM whose throughput fluctuates ~2x
-    # between noise windows. Two defenses: (a) best-of-k per
-    # configuration (min-of-k is the standard noise-floor estimator),
-    # (b) INTERLEAVE the Ray runs with the no-Ray multiprocessing
-    # calibration rounds so both see the same windows — round-1 ran
-    # all Ray first, then all mp, and a noisy window on one side
-    # skewed the ray-vs-hardware ratio either way.
-    lo = hi = None
-    cal: dict = {}
-    for _ in range(2):
+    # between noise windows. Defenses (VERDICT r2 #7): (a) >=5 rounds,
+    # each round INTERLEAVING the Ray 8/32 runs with the no-Ray
+    # multiprocessing calibration so both see the same windows;
+    # (b) every efficiency is computed PER ROUND from that round's own
+    # 8/32 pair (ADVICE r2: cross-round best-of mixes noise windows and
+    # can skew the ratio either way); (c) the reported headline is the
+    # MEDIAN round by scaling efficiency, with the full per-round
+    # distribution published so the spread is inspectable.
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "5"))
+    per_round = []
+    for i in range(rounds):
         r8, r32 = one(8), one(32)
-        lo = r8 if lo is None or r8["value"] < lo["value"] else lo
-        hi = r32 if hi is None or r32["value"] < hi["value"] else hi
         c = _mp_calibration(src)
-        if not cal or c["mp_docs_per_sec_32"] > cal["mp_docs_per_sec_32"]:
-            cal = {
-                **cal,
-                "mp_docs_per_sec_32": c["mp_docs_per_sec_32"],
-            }
-        if "mp_docs_per_sec_8" not in cal or c["mp_docs_per_sec_8"] > cal["mp_docs_per_sec_8"]:
-            cal["mp_docs_per_sec_8"] = c["mp_docs_per_sec_8"]
-    cal["hw_scaling_efficiency"] = round(
-        (cal["mp_docs_per_sec_32"] / cal["mp_docs_per_sec_8"]) / 4, 3
-    )
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+        ray_eff = (r8["value"] / r32["value"]) / (32 / 8)
+        hw_eff = c["hw_scaling_efficiency"]
+        per_round.append({
+            "round": i,
+            "sec_8": r8["value"],
+            "sec_32": r32["value"],
+            "docs_per_sec_8": r8["docs_per_sec"],
+            "docs_per_sec_32": r32["docs_per_sec"],
+            "scaling_efficiency": round(ray_eff, 3),
+            "mp_docs_per_sec_8": c["mp_docs_per_sec_8"],
+            "mp_docs_per_sec_32": c["mp_docs_per_sec_32"],
+            "hw_scaling_efficiency": hw_eff,
+            "ray_efficiency_vs_hw": round(ray_eff / hw_eff, 3),
+        })
+    med = sorted(per_round, key=lambda r: r["scaling_efficiency"])[len(per_round) // 2]
+    effs = sorted(r["scaling_efficiency"] for r in per_round)
+    ratios = sorted(r["ray_efficiency_vs_hw"] for r in per_round)
     return {
         "metric": "scaling_efficiency_8_to_32",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        **cal,
-        "ray_efficiency_vs_hw": round(eff / cal["hw_scaling_efficiency"], 3),
-        "docs": lo["docs"],
+        **{k: med[k] for k in (
+            "sec_8", "sec_32", "docs_per_sec_8", "docs_per_sec_32",
+            "scaling_efficiency", "mp_docs_per_sec_8", "mp_docs_per_sec_32",
+            "hw_scaling_efficiency", "ray_efficiency_vs_hw",
+        )},
+        "rounds": rounds,
+        "scaling_efficiency_spread": [effs[0], effs[-1]],
+        "ray_efficiency_vs_hw_spread": [ratios[0], ratios[-1]],
+        "per_round": per_round,
+        "docs": n_docs,
         "sf": SF_DIR,
     }
 

@@ -113,7 +113,33 @@ def score_doc(content_hash: str, words: list[str]) -> dict:
         "mode": mode,
         "description": description,
         "tags": tags,
+        "objects": clean_objects(result.get("objects")),
         "recommended_filename": filename,
         "model_status": "extracted" if result.get("extracted") else "fallback",
         "attempts": int(result.get("attempts", 1)),
     }
+
+
+def clean_objects(raw) -> list[dict]:
+    """Sanitize detect-mode ``objects`` to the reference's typed shape
+    ``[{name, location, confidence}]`` (reference
+    src/models/mock_adapter.py:190-218 emission, schema
+    src/utils/json_utils.py:190-196). Non-detect modes and fallback
+    rows yield []; a repaired emission truncated before ``confidence``
+    keeps the object with confidence=None (nullable in the Arrow
+    schema) rather than dropping detection evidence."""
+    if not isinstance(raw, list):
+        return []
+    out = []
+    for o in raw:
+        if not isinstance(o, dict) or "name" not in o:
+            continue
+        conf = o.get("confidence")
+        out.append(
+            {
+                "name": str(o.get("name") or ""),
+                "location": str(o.get("location") or ""),
+                "confidence": float(conf) if isinstance(conf, (int, float)) else None,
+            }
+        )
+    return out

@@ -196,48 +196,6 @@ GROUP BY c.c_mktsegment
 """
 
 
-def q_nation_region_rollup(sf_dir: str):
-    """Two-level broadcast join (customer ⋈ nation ⋈ region) → rollup."""
-    nation = _small_pdf(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
-    region = _small_pdf(sf_dir, "region", ["r_regionkey", "r_name"])
-    nk_to_region = dict(
-        zip(
-            nation["n_nationkey"],
-            nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"]))),
-        )
-    )
-    ref = ray.put(nk_to_region)
-    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        r = df["c_nationkey"].map(ray.get(ref))
-        out = pd.DataFrame({"region_name": r, "cents": _cents(df["c_acctbal"]), "n": 1})
-        return out.groupby("region_name", as_index=False).sum()
-
-    from ray.data.aggregate import Sum
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "region_name": df["region_name"],
-                "n_customers": df["sum(n)"].astype("int64"),
-                "total_acctbal": df["sum(cents)"] / 100.0,
-            }
-        )
-
-    return _preagg_native(ds, ["region_name"], partial, [Sum("cents"), Sum("n")], finalize)
-
-
-SQL_NATION_REGION_ROLLUP = """
-SELECT r.r_name AS region_name, count(*) AS n_customers,
-       CAST(sum(CAST(round(c.c_acctbal*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_acctbal
-FROM customer c
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY r.r_name
-"""
-
-
 def q_supplier_lineitem_agg(sf_dir: str):
     """Per-supplier revenue: pre-aggregated groupby on a fact table key."""
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity", "l_extendedprice", "l_discount"])
@@ -279,117 +237,6 @@ SQL_SUPPLIER_LINEITEM_AGG = """
 SELECT l_suppkey, count(*) AS n_items, sum(l_quantity) AS sum_qty,
        CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
 FROM lineitem GROUP BY l_suppkey
-"""
-
-
-def q_part_type_breakdown(sf_dir: str):
-    ds = _read(sf_dir, "part", ["p_type", "p_size", "p_retailprice"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "p_type": df["p_type"],
-                "cents": _cents(df["p_retailprice"]),
-                "max_size": df["p_size"],
-                "n": 1,
-            }
-        )
-        return out.groupby("p_type", as_index=False).agg(
-            cents=("cents", "sum"), max_size=("max_size", "max"), n=("n", "sum")
-        )
-
-    from ray.data.aggregate import Max, Sum
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "p_type": df["p_type"],
-                "n_parts": df["sum(n)"].astype("int64"),
-                "avg_retail": df["sum(cents)"] / 100.0 / df["sum(n)"],
-                "max_size": df["max(max_size)"].astype("int64"),
-            }
-        )
-
-    return _preagg_native(
-        ds, ["p_type"], partial, [Sum("cents"), Max("max_size"), Sum("n")], finalize
-    )
-
-
-SQL_PART_TYPE_BREAKDOWN = """
-SELECT p_type, count(*) AS n_parts,
-       CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_retail,
-       CAST(max(p_size) AS INTEGER) AS max_size
-FROM part GROUP BY p_type
-"""
-
-
-# ---------------------------------------------------------------------------
-# events: rollups, distinct, sessionization, JSON extraction
-
-
-def q_customer_name_format(sf_dir: str):
-    """String scalar functions over a projection (§2.8 family): case
-    fold, substring, concatenation, length — all pyarrow.compute
-    kernels, zero-copy Arrow in/out."""
-    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
-
-    def fn(t: pa.Table) -> pa.Table:
-        upper = pc.utf8_upper(t["c_name"])
-        prefix = pc.utf8_slice_codeunits(t["c_name"], 0, 8)
-        label = pc.binary_join_element_wise(
-            pc.utf8_lower(t["c_mktsegment"]), pc.cast(t["c_custkey"], pa.string()), ":"
-        )
-        return pa.Table.from_arrays(
-            [t["c_custkey"], upper, prefix,
-             pc.utf8_length(t["c_name"]).cast(pa.int64()), label],
-            names=["c_custkey", "name_upper", "name_prefix", "name_len", "seg_label"],
-        )
-
-    return ds.map_batches(fn, batch_format="pyarrow")
-
-
-SQL_CUSTOMER_NAME_FORMAT = """
-SELECT c_custkey,
-       upper(c_name) AS name_upper,
-       substr(c_name, 1, 8) AS name_prefix,
-       CAST(length(c_name) AS BIGINT) AS name_len,
-       lower(c_mktsegment) || ':' || CAST(c_custkey AS VARCHAR) AS seg_label
-FROM customer
-"""
-
-
-def q_events_dow_rollup(sf_dir: str):
-    """Date-part scalar functions + rollup: events per ISO weekday
-    (Mon=1..Sun=7) and type."""
-    ds = _read(sf_dir, "events", ["ts", "event_type"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "isodow": (df["ts"].dt.dayofweek + 1).astype("int64"),
-                "event_type": df["event_type"],
-                "n": 1,
-            }
-        )
-        return out.groupby(["isodow", "event_type"], as_index=False).sum()
-
-    from ray.data.aggregate import Sum
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "isodow": df["isodow"].astype("int64"),
-                "event_type": df["event_type"],
-                "n_events": df["sum(n)"].astype("int64"),
-            }
-        )
-
-    return _preagg_native(ds, ["isodow", "event_type"], partial, [Sum("n")], finalize)
-
-
-SQL_EVENTS_DOW_ROLLUP = """
-SELECT CAST(isodow(ts) AS BIGINT) AS isodow, event_type, count(*) AS n_events
-FROM events GROUP BY isodow(ts), event_type
 """
 
 
@@ -658,59 +505,6 @@ FROM events GROUP BY event_type
 """
 
 
-def q_events_hopping_rollup(sf_dir: str):
-    """Hopping window aggregate (1h window, 30min hop — each event
-    lands in exactly 2 overlapping windows): the window-start explode
-    is a vectorized per-batch flat map (no per-row Python), then the
-    standard two-level aggregation. Completes the window family
-    (tumbling=hourly, session, rolling RANGE, hopping)."""
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        epoch = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
-        base = (epoch // 1800) * 1800
-        starts = np.concatenate([base, base - 1800])
-        out = pd.DataFrame(
-            {
-                "window_start": pd.to_datetime(
-                    np.tile(starts, 1), unit="s"
-                ).astype("datetime64[us]"),
-                "event_type": np.tile(df["event_type"].to_numpy(), 2),
-                "cents": np.tile(_cents(df["value"]), 2),
-                "n": 1,
-            }
-        )
-        return out.groupby(["window_start", "event_type"], as_index=False).sum()
-
-    from ray.data.aggregate import Sum
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "window_start": df["window_start"],
-                "event_type": df["event_type"],
-                "n_events": df["sum(n)"].astype("int64"),
-                "sum_value": df["sum(cents)"] / 100.0,
-            }
-        )
-
-    from .query_utils import _meta_rows
-
-    return _preagg_native(
-        ds, ["window_start", "event_type"], partial, [Sum("cents"), Sum("n")], finalize,
-        input_rows=_meta_rows(sf_dir, "events"),
-    )
-
-
-SQL_EVENTS_HOPPING = """
-SELECT to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800)::TIMESTAMP AS window_start,
-       event_type, count(*) AS n_events,
-       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
-FROM events, (SELECT unnest(generate_series(0, 1)) AS k) k
-GROUP BY 1, 2
-"""
-
-
 def q_events_clicks_before_purchase(sf_dir: str):
     """Interval/range join (self): for every purchase, the number of
     clicks by the same user in the preceding 10 minutes. One sort
@@ -773,36 +567,44 @@ GROUP BY p.event_id
 
 
 def q_events_dow_type_cube(sf_dir: str):
-    """CUBE / GROUPING SETS: counts at every grouping level of
-    (isodow, event_type) — (both), (dow), (type), (grand total) —
-    derived from ONE set of fine-level partials; the three coarser
-    levels are re-aggregations of the merged fine level, so the input
-    is scanned exactly once."""
-    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    """CUBE / GROUPING SETS: counts + value sums at every grouping
+    level of (isodow, event_type) — (both), (dow), (type), (grand
+    total) — derived from ONE set of fine-level partials; the three
+    coarser levels are re-aggregations of the merged fine level, so
+    the input is scanned exactly once. Subsumes the retired
+    events_dow_rollup (= the fine level) and events_rollup_total
+    (= the type margin + grand total)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
             {
                 "dow": df["ts"].dt.isocalendar().day.astype("int64").astype(str),
                 "event_type": df["event_type"],
+                "cents": _cents(df["value"]),
                 "n": 1,
             }
         )
         return out.groupby(["dow", "event_type"], as_index=False).sum()
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        fine = df.groupby(["dow", "event_type"], as_index=False).agg(n=("n", "sum"))
-        by_dow = fine.groupby("dow", as_index=False).agg(n=("n", "sum"))
+        agg = {"n": ("n", "sum"), "cents": ("cents", "sum")}
+        fine = df.groupby(["dow", "event_type"], as_index=False).agg(**agg)
+        by_dow = fine.groupby("dow", as_index=False).agg(**agg)
         by_dow["event_type"] = "ALL"
-        by_type = fine.groupby("event_type", as_index=False).agg(n=("n", "sum"))
+        by_type = fine.groupby("event_type", as_index=False).agg(**agg)
         by_type["dow"] = "ALL"
-        total = pd.DataFrame([{"dow": "ALL", "event_type": "ALL", "n": int(fine["n"].sum())}])
+        total = pd.DataFrame(
+            [{"dow": "ALL", "event_type": "ALL", "n": int(fine["n"].sum()),
+              "cents": int(fine["cents"].sum())}]
+        )
         out = pd.concat([fine, by_dow, by_type, total], ignore_index=True)
         return pd.DataFrame(
             {
                 "dow": out["dow"],
                 "event_type": out["event_type"],
                 "n_events": out["n"].astype("int64"),
+                "sum_value": out["cents"] / 100.0,
             }
         )
 
@@ -813,7 +615,8 @@ def q_events_dow_type_cube(sf_dir: str):
 SQL_EVENTS_DOW_TYPE_CUBE = """
 SELECT coalesce(CAST(isodow(ts) AS VARCHAR), 'ALL') AS dow,
        coalesce(event_type, 'ALL') AS event_type,
-       count(*) AS n_events
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM events GROUP BY CUBE (isodow(ts), event_type)
 """
 
@@ -927,42 +730,6 @@ SELECT lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
        CAST(max(n_chars) AS BIGINT) AS max_chars
 FROM documents GROUP BY lang
-"""
-
-
-def q_docs_top_terms(sf_dir: str):
-    """Corpus-level tag/term frequency top-k (A4/O1 analog): explode →
-    pre-count per batch → groupby sum → sort/limit."""
-    ds = _read(sf_dir, "documents", ["text"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        counts: dict[str, int] = {}
-        for text in df["text"]:
-            for tok in text.lower().split():
-                t = "".join(c for c in tok if c.isalnum())
-                if len(t) > 2:
-                    counts[t] = counts.get(t, 0) + 1
-        return pd.DataFrame({"term": list(counts), "n": list(counts.values())})
-
-    from ray.data.aggregate import Sum
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"term": df["term"], "n_occurrences": df["sum(n)"].astype("int64")}
-        )
-
-    from .query_utils import _meta_rows
-
-    agg = _preagg_native(ds, ["term"], partial, [Sum("n")], finalize,
-                         input_rows=_meta_rows(sf_dir, "documents"))
-    return agg.sort(["n_occurrences", "term"], descending=[True, False]).limit(10)
-
-
-SQL_DOCS_TOP_TERMS = """
-SELECT tok AS term, count(*) AS n_occurrences
-FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
-WHERE length(tok) > 2
-GROUP BY tok ORDER BY n_occurrences DESC, term LIMIT 10
 """
 
 
@@ -1208,8 +975,17 @@ def q_bucketed_customer_revenue(sf_dir: str):
     from ray.data.aggregate import Sum
 
     from .state.bucketed import bucketed_join, write_bucketed
+    from .state.shards import input_file_fingerprint
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # Cache tag covers the INPUT CONTENT, not just the path: if the
+    # parquet under the same sf_dir is regenerated, the fingerprint
+    # changes and a fresh layout is written (ADVICE r2: a path-only tag
+    # silently joined stale bucket data after input regeneration).
+    fp = "|".join(
+        [sf_dir]
+        + [input_file_fingerprint(f"{sf_dir}/{t}.parquet") for t in ("orders", "customer")]
+    )
+    tag = hashlib.md5(fp.encode()).hexdigest()[:8]
     base = f"/tmp/fa_bucketed_{tag}"
     od, cd = base + "/orders", base + "/customer"
     nb = 16
@@ -1405,27 +1181,6 @@ SQL_DOCS_LANGID = _build_sql_docs_langid()
 SQL_TRAINING_PREP = _build_sql_training_prep()
 
 
-def q_docs_simhash(sf_dir: str):
-    """SimHash per document, oracle-checked: the DuckDB oracle
-    recomputes the exact Charikar fingerprint in SQL (sha256 token
-    hashes, little-endian u64, per-bit signed sums), so the value-hash
-    pins the full sketch, not just determinism."""
-    from .functions.hashing import simhash64
-    from .functions.text import tokenize
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "simhash": [f"{simhash64(tokenize(t.lower())):016x}" for t in df["text"]],
-            }
-        )
-
-    return ds.map_batches(fn, batch_format="pandas")
-
-
 # Shared CTE prefix: per-doc SimHash recomputed in pure SQL — token
 # hash = first 8 bytes of sha256('simhash:'+tok) little-endian (the
 # stable_u64 contract), bit b of the fingerprint = sign of the ±1 sum
@@ -1456,10 +1211,6 @@ sh AS (
                        ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS h
   FROM bitsum GROUP BY doc_id
 )
-"""
-
-SQL_DOCS_SIMHASH = _SQL_SIMHASH_CTE + """
-SELECT doc_id, lower(lpad(to_hex(h), 16, '0')) AS simhash FROM sh
 """
 
 SQL_DOCS_SIMHASH_NEAR_DUP = _SQL_SIMHASH_CTE + """
@@ -1736,41 +1487,72 @@ def q_docs_simhash_near_dup(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal chain on the interleaved corpus: explode media spans
-    → actor-pool decode/resize/feature stage (decode is the documented
-    deterministic stub; plumbing is real). Rows-only."""
+    """Multimodal chain on the interleaved corpus, ALL THREE
+    modalities in one union result (image decode/resize, per-frame
+    video sampling, audio waveform descriptors — the r2-separate
+    media_frame_features / media_audio_features entries fold in here
+    so the whole family gets one driver row): explode media spans →
+    three actor-pool feature stages → project to a common schema →
+    union. Decode is the documented deterministic stub; the Ray-side
+    plumbing (schemas, actor pools, batch sizes) is real. Rows-only."""
     from .pipelines.extract import corpus_path
-    from .stages.multimodal import media_features
-
-    src = corpus_path(_extract_docs_count(sf_dir))
-    docs = ray.data.read_parquet(src, file_extensions=["parquet"])
-    feats = media_features(docs)
-
-    def project(t: pa.Table) -> pa.Table:
-        return t.select(
-            ["doc_id", "media_ref", "media_type", "height", "width",
-             "n_frames_sampled", "status"]
-        )
-
-    return feats.map_batches(project, batch_format="pyarrow")
-
-
-def q_media_frame_features(sf_dir: str):
-    """Per-frame multimodal features (video analog; rows-only)."""
-    from .pipelines.extract import corpus_path
-    from .stages.multimodal import frame_features
+    from .stages.multimodal import audio_features, frame_features, media_features
 
     src = corpus_path(_extract_docs_count(sf_dir))
     docs = ray.data.read_parquet(src, file_extensions=["parquet"])
 
-    def project(t: pa.Table) -> pa.Table:
-        n = pc.list_value_length(t["features"])
+    def proj_image(t: pa.Table) -> pa.Table:
+        n = len(t)
         return pa.Table.from_arrays(
-            [t["doc_id"], t["media_ref"], t["frame_idx"], n.cast(pa.int64())],
-            names=["doc_id", "media_ref", "frame_idx", "n_features"],
+            [
+                t["doc_id"], t["media_ref"],
+                pa.array(["image"] * n, pa.string()),
+                pa.array([0] * n, pa.int64()),
+                t["height"].combine_chunks().cast(pa.int64()),
+                t["width"].combine_chunks().cast(pa.int64()),
+                t["n_frames_sampled"].combine_chunks().cast(pa.int64()),
+                t["status"],
+            ],
+            names=["doc_id", "media_ref", "modality", "idx", "d1", "d2",
+                   "n_units", "status"],
         )
 
-    return frame_features(docs).map_batches(project, batch_format="pyarrow")
+    def proj_frame(t: pa.Table) -> pa.Table:
+        n = len(t)
+        nf = pc.list_value_length(t["features"]).cast(pa.int64())
+        zeros = pa.array([0] * n, pa.int64())
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"], t["media_ref"],
+                pa.array(["frame"] * n, pa.string()),
+                t["frame_idx"].combine_chunks().cast(pa.int64()),
+                zeros, zeros, nf.combine_chunks() if nf.num_chunks > 1 else nf,
+                pa.array(["ok"] * n, pa.string()),
+            ],
+            names=["doc_id", "media_ref", "modality", "idx", "d1", "d2",
+                   "n_units", "status"],
+        )
+
+    def proj_audio(t: pa.Table) -> pa.Table:
+        n = len(t)
+        zeros = pa.array([0] * n, pa.int64())
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"], t["media_ref"],
+                pa.array(["audio"] * n, pa.string()),
+                t["dominant_freq_bin"].combine_chunks().cast(pa.int64()),
+                t["n_samples"].combine_chunks().cast(pa.int64()),
+                zeros, zeros,
+                t["status"],
+            ],
+            names=["doc_id", "media_ref", "modality", "idx", "d1", "d2",
+                   "n_units", "status"],
+        )
+
+    img = media_features(docs).map_batches(proj_image, batch_format="pyarrow")
+    frm = frame_features(docs).map_batches(proj_frame, batch_format="pyarrow")
+    aud = audio_features(docs).map_batches(proj_audio, batch_format="pyarrow")
+    return img.union(frm).union(aud)
 
 
 def q_embeddings_knn_ivf(sf_dir: str):
@@ -1833,29 +1615,14 @@ def q_extract_carve(sf_dir: str):
     return carve_exploded(ds).map_batches(summarize, batch_format="pyarrow")
 
 
-def q_extract_near_dup(sf_dir: str):
-    from .pipelines.extract import corpus_path
-    from .stages.dedup import phash_near_dup_pairs
-
-    src = corpus_path(_extract_docs_count(sf_dir))
-    return phash_near_dup_pairs(ray.data.read_parquet(src, file_extensions=["parquet"]))
-
-
-def q_media_audio_features(sf_dir: str):
-    """Audio-analog feature extraction over media spans (rows-only;
-    deterministic waveform descriptors over the payload bytes)."""
-    from .pipelines.extract import corpus_path
-    from .stages.multimodal import audio_features
-
-    src = corpus_path(_extract_docs_count(sf_dir))
-    return audio_features(ray.data.read_parquet(src, file_extensions=["parquet"]))
-
-
 def q_extract_pairwise_compare(sf_dir: str):
     """SSIM + pixel-diff pairwise comparison over phash candidate pairs
     (reference ``fa validate images``, src/cli/validate/main.py:275-418;
     rows-only — the metric kernels are pytest-verified against a naive
-    serial implementation and the identical/perturbed invariants)."""
+    serial implementation and the identical/perturbed invariants). The
+    emitted rows carry the phash candidate pair ids themselves, so this
+    entry also covers the r2-separate extract_near_dup demonstration
+    (phash banding → hamming verify)."""
     from .pipelines.extract import corpus_path
     from .stages.compare import pairwise_image_compare
     from .stages.dedup import phash_near_dup_pairs
@@ -1873,14 +1640,9 @@ QUERIES = {
     "lineitem_filter_project": q_lineitem_filter_project,
     "orders_topk": q_orders_topk,
     "customer_order_revenue": q_customer_order_revenue,
-    "nation_region_rollup": q_nation_region_rollup,
     "supplier_lineitem_agg": q_supplier_lineitem_agg,
-    "part_type_breakdown": q_part_type_breakdown,
-    "customer_name_format": q_customer_name_format,
-    "events_dow_rollup": q_events_dow_rollup,
     "events_type_stats": q_events_type_stats,
     "events_hourly_rollup": q_events_hourly_rollup,
-    "events_hopping_rollup": q_events_hopping_rollup,
     "events_clicks_before_purchase": q_events_clicks_before_purchase,
     "events_dow_type_cube": q_events_dow_type_cube,
     "events_sessionize": q_events_sessionize,
@@ -1891,7 +1653,6 @@ QUERIES = {
     "docs_token_stats": q_docs_token_stats,
     "docs_quality": q_docs_quality,
     "docs_length_by_lang": q_docs_length_by_lang,
-    "docs_top_terms": q_docs_top_terms,
     "docs_top_terms_per_lang": q_docs_top_terms_per_lang,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_fingerprint": q_docs_fingerprint,
@@ -1900,7 +1661,6 @@ QUERIES = {
     "docs_bpe_tokens": q_docs_bpe_tokens,
     "bucketed_customer_revenue": q_bucketed_customer_revenue,
     "training_prep": q_training_prep,
-    "docs_simhash": q_docs_simhash,
     "docs_minhash_near_dup": q_docs_minhash_near_dup,
     "docs_ngram_dedup": q_docs_ngram_dedup,
     "embeddings_knn": q_embeddings_knn,
@@ -1910,13 +1670,10 @@ QUERIES = {
     "embeddings_lsh_near_dup": q_embeddings_lsh_near_dup,
     "docs_simhash_near_dup": q_docs_simhash_near_dup,
     "media_features": q_media_features,
-    "media_frame_features": q_media_frame_features,
     "extract_spans": q_extract_spans,
     "extract_dedup_clusters": q_extract_dedup_clusters,
     "extract_carve": q_extract_carve,
-    "extract_near_dup": q_extract_near_dup,
     "extract_pairwise_compare": q_extract_pairwise_compare,
-    "media_audio_features": q_media_audio_features,
 }
 
 def _merge_registries() -> None:
@@ -1933,14 +1690,9 @@ ORACLE_SQL = {
     "lineitem_filter_project": SQL_LINEITEM_FILTER,
     "orders_topk": SQL_ORDERS_TOPK,
     "customer_order_revenue": SQL_CUSTOMER_ORDER_REVENUE,
-    "nation_region_rollup": SQL_NATION_REGION_ROLLUP,
     "supplier_lineitem_agg": SQL_SUPPLIER_LINEITEM_AGG,
-    "part_type_breakdown": SQL_PART_TYPE_BREAKDOWN,
-    "customer_name_format": SQL_CUSTOMER_NAME_FORMAT,
-    "events_dow_rollup": SQL_EVENTS_DOW_ROLLUP,
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_hourly_rollup": SQL_EVENTS_HOURLY,
-    "events_hopping_rollup": SQL_EVENTS_HOPPING,
     "events_clicks_before_purchase": SQL_EVENTS_CLICKS_BEFORE_PURCHASE,
     "events_dow_type_cube": SQL_EVENTS_DOW_TYPE_CUBE,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
@@ -1952,7 +1704,6 @@ ORACLE_SQL = {
     "docs_token_stats": SQL_DOCS_TOKEN_STATS,
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_length_by_lang": SQL_DOCS_LENGTH_BY_LANG,
-    "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "docs_top_terms_per_lang": SQL_DOCS_TOP_TERMS_PER_LANG,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
     "docs_fingerprint": SQL_DOCS_FINGERPRINT,
@@ -1962,7 +1713,6 @@ ORACLE_SQL = {
     "embeddings_cosine_near_dup": SQL_EMBEDDINGS_COSINE_NEAR_DUP,
     "embeddings_lsh_near_dup": SQL_EMBEDDINGS_LSH_NEAR_DUP,
     "events_approx_users": SQL_EVENTS_APPROX_USERS,
-    "docs_simhash": SQL_DOCS_SIMHASH,
     "docs_simhash_near_dup": SQL_DOCS_SIMHASH_NEAR_DUP,
     "docs_minhash_near_dup": SQL_DOCS_MINHASH_NEAR_DUP,
     "docs_ngram_dedup": SQL_DOCS_NGRAM_DEDUP,

@@ -223,53 +223,6 @@ GROUP BY c_mktsegment
 """
 
 
-def q_supplier_revenue_named(sf_dir: str):
-    """Broadcast dimension join: lineitem revenue per supplier NAME —
-    the supplier table is ``ray.put`` once and looked up per batch; the
-    fact table is pre-aggregated by s_name before the one small
-    groupby."""
-    supp = _small_pdf(sf_dir, "supplier", ["s_suppkey", "s_name"])
-    ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_name"])))
-    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        names = df["l_suppkey"].map(ray.get(ref))
-        out = pd.DataFrame(
-            {
-                "s_name": names,
-                "rev4": np.round(
-                    (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy() * 10000
-                ).astype(np.int64),
-                "n": 1,
-            }
-        )
-        return out.groupby("s_name", as_index=False).sum()
-
-    from ray.data.aggregate import Sum
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "s_name": df["s_name"],
-                "n_items": df["sum(n)"].astype("int64"),
-                "revenue": df["sum(rev4)"] / 10000.0,
-            }
-        )
-
-    from .query_utils import _meta_rows
-
-    return _preagg_native(li, ["s_name"], partial, [Sum("rev4"), Sum("n")], finalize,
-                          input_rows=_meta_rows(sf_dir, "lineitem"))
-
-
-SQL_SUPPLIER_REVENUE_NAMED = """
-SELECT s.s_name, count(*) AS n_items,
-       CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
-FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-GROUP BY s.s_name
-"""
-
-
 # ---------------------------------------------------------------------------
 # window functions
 
@@ -433,32 +386,6 @@ FROM clicks c ASOF JOIN buys b ON c.user_id = b.user_id AND c.ts >= b.ts
 # distinct / set ops
 
 
-def q_events_distinct_users(sf_dir: str):
-    """Global exact distinct count: per-batch dedup (the partial
-    combiner) → native ``groupby(user_id).count()`` — only distinct
-    keys cross the shuffle and no per-group Python runs anywhere."""
-    ds = _read(sf_dir, "events", ["user_id"])
-    n = _distinct_native(ds, ["user_id"]).count()
-    return ray.data.from_pandas(pd.DataFrame([{"n_users": int(n)}]))
-
-
-SQL_EVENTS_DISTINCT_USERS = """
-SELECT count(DISTINCT user_id) AS n_users FROM events
-"""
-
-
-def q_orders_status_distinct(sf_dir: str):
-    """DISTINCT over a categorical column (D4 analog): per-batch dedup
-    → native groupby().count() → key projection (no per-group Python)."""
-    ds = _read(sf_dir, "orders", ["o_orderstatus"])
-    return _distinct_native(ds, ["o_orderstatus"])
-
-
-SQL_ORDERS_STATUS_DISTINCT = """
-SELECT DISTINCT o_orderstatus FROM orders
-"""
-
-
 def q_events_union_split(sf_dir: str):
     """Set op: union of two filtered streams (high-value purchases ∪
     error events) → count per type (``Dataset.union`` keeps both sides
@@ -494,77 +421,6 @@ SELECT event_type, count(*) AS n_events FROM (
 """
 
 
-def q_segment_top_orders(sf_dir: str):
-    """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) →
-    top-10 orders by revenue within one market segment. Broadcast the
-    filtered customer keys (small side), hash-join the two large
-    tables with the fact side pre-aggregated, then global sort+limit."""
-    cust = _small_pdf(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    keys = frozenset(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    kref = ray.put(keys)
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-
-    def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(kref)
-        return df.loc[df["o_custkey"].isin(ks), ["o_orderkey", "o_orderdate"]]
-
-    bld_orders = orders.map_batches(filter_orders, batch_format="pandas")
-
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "l_orderkey": df["l_orderkey"],
-                "rev4": np.round(
-                    (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy() * 10000
-                ).astype(np.int64),
-            }
-        )
-        return out.groupby("l_orderkey", as_index=False).sum()
-
-    from ray.data.aggregate import Sum
-
-    def li_finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"l_orderkey": df["l_orderkey"], "revenue": df["sum(rev4)"] / 10000.0}
-        )
-
-    from .query_utils import _meta_rows
-
-    per_order = _preagg_native(li, ["l_orderkey"], li_partial, [Sum("rev4")], li_finalize,
-                               input_rows=_meta_rows(sf_dir, "lineitem"))
-    joined = bld_orders.join(
-        per_order,
-        join_type="inner",
-        num_partitions=16,
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
-    )
-
-    def project(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["o_orderkey", "o_orderdate", "revenue"]]
-
-    return (
-        joined.map_batches(project, batch_format="pandas")
-        .sort(["revenue", "o_orderkey"], descending=[True, False])
-        .limit(10)
-    )
-
-
-SQL_SEGMENT_TOP_ORDERS = """
-SELECT o.o_orderkey, o.o_orderdate,
-       CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
-FROM customer c
-JOIN orders o ON o.o_custkey = c.c_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-GROUP BY o.o_orderkey, o.o_orderdate
-ORDER BY revenue DESC, o.o_orderkey LIMIT 10
-"""
-
-
 def q_docs_deterministic_sample(sf_dir: str):
     """Content-addressed deterministic sampling (~25%): keep a doc iff
     the first byte of md5(doc_id) < 64. Unlike seeded random_sample,
@@ -588,120 +444,6 @@ SQL_DOCS_DETERMINISTIC_SAMPLE = """
 SELECT doc_id, lang, n_chars
 FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 64
-"""
-
-
-def q_users_click_and_purchase(sf_dir: str):
-    """INTERSECT: users who both clicked and purchased — a
-    ``left_semi`` hash join between the two filtered key streams, both
-    sides per-batch deduped so only batch-distinct keys cross the
-    exchange; the final DISTINCT is a native groupby().count(). Fully
-    streaming: the fact table is never materialized anywhere (the
-    round-1 version read the whole events table driver-side — the
-    anti-pattern VERDICT.md flagged first)."""
-
-    def side(event_type: str, col: str):
-        ev = _read(sf_dir, "events", ["user_id", "event_type"])
-
-        def keys(df: pd.DataFrame):
-            k = df.loc[df["event_type"] == event_type, "user_id"].drop_duplicates()
-            return _typed_key_table(k, col)
-
-        return ev.map_batches(keys, batch_format="pandas")
-
-    semi = side("click", "user_id").join(
-        side("purchase", "buy_user_id"),
-        join_type="left_semi",
-        num_partitions=16,
-        on=("user_id",),
-        right_on=("buy_user_id",),
-    )
-    return _distinct_native(semi, ["user_id"])
-
-
-SQL_USERS_CLICK_AND_PURCHASE = """
-SELECT user_id FROM events WHERE event_type = 'click'
-INTERSECT
-SELECT user_id FROM events WHERE event_type = 'purchase'
-"""
-
-
-def q_users_click_no_purchase(sf_dir: str):
-    """EXCEPT: users who clicked but never made a high-value (>80)
-    purchase — the ``left_anti`` twin of the INTERSECT above, same
-    streaming semi-join shape with the value predicate pushed below
-    the exchange; predicate chosen to be non-empty at every sf tier."""
-    clicks_ev = _read(sf_dir, "events", ["user_id", "event_type"])
-
-    def click_keys(df: pd.DataFrame):
-        k = df.loc[df["event_type"] == "click", "user_id"].drop_duplicates()
-        return _typed_key_table(k, "user_id")
-
-    buys_ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
-
-    def buy_keys(df: pd.DataFrame):
-        k = df.loc[
-            (df["event_type"] == "purchase") & (df["value"] > 80), "user_id"
-        ].drop_duplicates()
-        return _typed_key_table(k, "buy_user_id")
-
-    anti = clicks_ev.map_batches(click_keys, batch_format="pandas").join(
-        buys_ev.map_batches(buy_keys, batch_format="pandas"),
-        join_type="left_anti",
-        num_partitions=16,
-        on=("user_id",),
-        right_on=("buy_user_id",),
-    )
-    return _distinct_native(anti, ["user_id"])
-
-
-SQL_USERS_CLICK_NO_PURCHASE = """
-SELECT user_id FROM events WHERE event_type = 'click'
-EXCEPT
-SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 80
-"""
-
-
-def q_events_rollup_total(sf_dir: str):
-    """ROLLUP-style aggregate: per-type counts plus an ALL grand-total
-    row (computed from the same partials, no second pass)."""
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {"event_type": df["event_type"], "cents": _cents(df["value"]), "n": 1}
-        )
-        return out.groupby("event_type", as_index=False).sum()
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("event_type", as_index=False).sum()
-        rows = pd.DataFrame(
-            {
-                "event_type": g["event_type"],
-                "n_events": g["n"].astype("int64"),
-                "sum_value": g["cents"] / 100.0,
-            }
-        )
-        total = pd.DataFrame(
-            [
-                {
-                    "event_type": "ALL",
-                    "n_events": int(g["n"].sum()),
-                    "sum_value": g["cents"].sum() / 100.0,
-                }
-            ]
-        )
-        return pd.concat([rows, total], ignore_index=True)
-
-    part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    return part.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
-
-
-SQL_EVENTS_ROLLUP_TOTAL = """
-SELECT coalesce(event_type, 'ALL') AS event_type,
-       count(*) AS n_events,
-       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
-FROM events GROUP BY ROLLUP(event_type)
 """
 
 
@@ -800,24 +542,89 @@ SELECT l_orderkey, l_linenumber, l_extendedprice, price_rank FROM (
 """
 
 
+def q_users_click_setops(sf_dir: str):
+    """INTERSECT + EXCEPT in one tagged result (r2's separate
+    users_click_and_purchase / users_click_no_purchase entries fold in
+    here so both set ops get one driver row each round):
+
+    - op='intersect' — users who both clicked and purchased: a
+      ``left_semi`` hash join between the two filtered key streams.
+    - op='except' — users who clicked but never made a high-value
+      (>80) purchase: the ``left_anti`` twin, value predicate pushed
+      below the exchange.
+
+    Both sides are per-batch deduped so only batch-distinct keys cross
+    the exchange; the final DISTINCT is a native groupby().count().
+    Fully streaming — the fact table is never materialized anywhere."""
+
+    def keys_side(col: str, predicate):
+        ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+        def keys(df: pd.DataFrame):
+            k = df.loc[predicate(df), "user_id"].drop_duplicates()
+            return _typed_key_table(k, col)
+
+        return ev.map_batches(keys, batch_format="pandas")
+
+    clicks = lambda df: df["event_type"] == "click"  # noqa: E731
+    buys = lambda df: df["event_type"] == "purchase"  # noqa: E731
+    big_buys = lambda df: (df["event_type"] == "purchase") & (df["value"] > 80)  # noqa: E731
+
+    semi = keys_side("user_id", clicks).join(
+        keys_side("buy_user_id", buys),
+        join_type="left_semi", num_partitions=16,
+        on=("user_id",), right_on=("buy_user_id",),
+    )
+    anti = keys_side("user_id", clicks).join(
+        keys_side("buy_user_id", big_buys),
+        join_type="left_anti", num_partitions=16,
+        on=("user_id",), right_on=("buy_user_id",),
+    )
+
+    def tag(op: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["op"] = op
+            return out
+
+        return fn
+
+    both = _distinct_native(semi, ["user_id"]).map_batches(
+        tag("intersect"), batch_format="pandas"
+    )
+    only = _distinct_native(anti, ["user_id"]).map_batches(
+        tag("except"), batch_format="pandas"
+    )
+    return both.union(only)
+
+
+SQL_USERS_CLICK_SETOPS = """
+SELECT user_id, 'intersect' AS op FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT user_id, 'except' AS op FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 80
+)
+"""
+
+
 JOIN_QUERIES = {
     "lineitem_rank_in_order": q_lineitem_rank_in_order,
     "orders_lineitem_join_agg": q_orders_lineitem_join_agg,
     "orders_semi_lineitem_returns": q_orders_semi_lineitem_returns,
     "customers_without_orders": q_customers_without_orders,
-    "supplier_revenue_named": q_supplier_revenue_named,
     "top_customer_per_nation": q_top_customer_per_nation,
     "events_user_rolling_1h": q_events_user_rolling_1h,
     "events_asof_purchase": q_events_asof_purchase,
-    "events_distinct_users": q_events_distinct_users,
-    "orders_status_distinct": q_orders_status_distinct,
     "events_union_split": q_events_union_split,
-    "segment_top_orders": q_segment_top_orders,
     "docs_deterministic_sample": q_docs_deterministic_sample,
-    "events_rollup_total": q_events_rollup_total,
     "orders_status_pivot": q_orders_status_pivot,
-    "users_click_and_purchase": q_users_click_and_purchase,
-    "users_click_no_purchase": q_users_click_no_purchase,
+    "users_click_setops": q_users_click_setops,
 }
 
 JOIN_ORACLE_SQL = {
@@ -825,17 +632,11 @@ JOIN_ORACLE_SQL = {
     "orders_lineitem_join_agg": SQL_ORDERS_LINEITEM_JOIN_AGG,
     "orders_semi_lineitem_returns": SQL_ORDERS_SEMI_LINEITEM_RETURNS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
-    "supplier_revenue_named": SQL_SUPPLIER_REVENUE_NAMED,
     "top_customer_per_nation": SQL_TOP_CUSTOMER_PER_NATION,
     "events_user_rolling_1h": SQL_EVENTS_USER_ROLLING_1H,
     "events_asof_purchase": SQL_EVENTS_ASOF_PURCHASE,
-    "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
-    "orders_status_distinct": SQL_ORDERS_STATUS_DISTINCT,
     "events_union_split": SQL_EVENTS_UNION_SPLIT,
-    "segment_top_orders": SQL_SEGMENT_TOP_ORDERS,
     "docs_deterministic_sample": SQL_DOCS_DETERMINISTIC_SAMPLE,
-    "events_rollup_total": SQL_EVENTS_ROLLUP_TOTAL,
     "orders_status_pivot": SQL_ORDERS_STATUS_PIVOT,
-    "users_click_and_purchase": SQL_USERS_CLICK_AND_PURCHASE,
-    "users_click_no_purchase": SQL_USERS_CLICK_NO_PURCHASE,
+    "users_click_setops": SQL_USERS_CLICK_SETOPS,
 }

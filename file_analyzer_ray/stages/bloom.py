@@ -64,15 +64,30 @@ class BloomFilter:
         return self
 
 
+def keys_i64(arr) -> np.ndarray:
+    """Key array → int64 for the hash family: integer keys pass
+    through; string/object keys get a deterministic vectorized 64-bit
+    hash (pandas ``hash_array`` — siphash with a fixed key, stable
+    across processes regardless of PYTHONHASHSEED). Build and probe
+    must use the same conversion."""
+    a = np.asarray(arr)
+    if a.dtype.kind in "iu":
+        return a.astype(np.int64, copy=False)
+    import pandas as pd
+
+    return pd.util.hash_array(a.astype(object)).view(np.int64)
+
+
 def build_bloom(ds, column: str, log2_m: int = 24, k: int = 4) -> BloomFilter:
     """Distributed build: per-batch partial filters (vectorized add),
     merged by OR on the driver — each batch contributes one fixed-size
-    bit array regardless of row count."""
+    bit array regardless of row count. Keys may be integers or strings
+    (see :func:`keys_i64`)."""
     import pandas as pd
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         bf = BloomFilter(log2_m, k)
-        bf.add(df[column].to_numpy().astype(np.int64))
+        bf.add(keys_i64(df[column].to_numpy()))
         return pd.DataFrame({"bits": [bf.bits.tobytes()]})
 
     parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).take_all()
@@ -94,7 +109,6 @@ def bloom_semi_filter(probe_ds, column: str, bloom: "BloomFilter"):
 
     def filt(df: pd.DataFrame) -> pd.DataFrame:
         bf = ray.get(bref)
-        keys = df[column].to_numpy().astype(np.int64)
-        return df.loc[bf.contains(keys)]
+        return df.loc[bf.contains(keys_i64(df[column].to_numpy()))]
 
     return probe_ds.map_batches(filt, batch_format="pandas")

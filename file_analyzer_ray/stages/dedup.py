@@ -102,11 +102,13 @@ def add_phash(batch: pa.Table) -> pa.Table:
 
 
 def _explode_bands(batch: pa.Table, n_bands: int = 4) -> pa.Table:
-    """Band rows: key = (band index, band value) packed into int64.
-    Band widths ≤ 16 bits for any n_bands ≥ 4, so ``bi << 16 | bv`` is
-    collision-free across band positions. Fully vectorized: all bands
-    of the whole batch come from numpy shifts on the uint64 hash array
-    (no per-row dicts; semantics identical to ``phash_bands``)."""
+    """Band rows: key = (band index, band value) packed into int64 by
+    shifting the band index past the WIDEST band (not a fixed 16 bits —
+    ADVICE r2: with n_bands ≤ 3 band values exceed 16 bits and a fixed
+    shift collides keys across band positions, inflating candidate pair
+    counts). Fully vectorized: all bands of the whole batch come from
+    numpy shifts on the uint64 hash array (no per-row dicts; semantics
+    identical to ``phash_bands``)."""
     import numpy as np
 
     h_all = batch.column("phash").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -114,12 +116,15 @@ def _explode_bands(batch: pa.Table, n_bands: int = 4) -> pa.Table:
     h = h_all[keep]
     ids = batch.column("doc_id").filter(pa.array(keep))
     base, extra = divmod(64, n_bands)
+    max_width = base + (1 if extra else 0)
+    # n_bands == 1 → single 64-bit band; index shift degenerates to 0.
+    idx_shift = np.int64(max_width if n_bands > 1 else 0)
     band_cols = []
     shift = 0
     for i in range(n_bands):
         width = base + (1 if i < extra else 0)
         bv = (h >> np.uint64(shift)) & np.uint64((1 << width) - 1)
-        band_cols.append((np.int64(i) << np.int64(16)) | bv.astype(np.int64))
+        band_cols.append((np.int64(i) << idx_shift) | bv.astype(np.int64))
         shift += width
     n = len(h)
     if n == 0:

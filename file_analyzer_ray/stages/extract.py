@@ -64,12 +64,26 @@ EXTRACTED_SCHEMA = pa.schema(
     ]
 )
 
+# Detect-mode objects (reference src/models/mock_adapter.py:190-218;
+# typed per src/utils/json_utils.py:190-196). confidence is nullable:
+# a repaired truncated emission can lose it without losing the object.
+OBJECTS_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("name", pa.string()),
+            ("location", pa.string()),
+            ("confidence", pa.float64()),
+        ]
+    )
+)
+
 SCORED_SCHEMA = pa.schema(
     list(EXTRACTED_SCHEMA)
     + [
         ("mode", pa.string()),
         ("description", pa.string()),
         ("tags", pa.list_(pa.string())),
+        ("objects", OBJECTS_TYPE),
         ("recommended_filename", pa.string()),
         ("model_status", pa.string()),
         ("attempts", pa.int32()),
@@ -80,6 +94,7 @@ _EMPTY_SCORE = {
     "mode": "",
     "description": "",
     "tags": [],
+    "objects": [],
     "recommended_filename": "",
     "model_status": "skipped",
     "attempts": 0,
@@ -310,6 +325,7 @@ class ExtractStage:
             pa.array([s["mode"] for s in scores], pa.string()),
             pa.array([s["description"] for s in scores], pa.string()),
             pa.array([s["tags"] for s in scores], pa.list_(pa.string())),
+            pa.array([s["objects"] for s in scores], OBJECTS_TYPE),
             pa.array([s["recommended_filename"] for s in scores], pa.string()),
             pa.array([s["model_status"] for s in scores], pa.string()),
             pa.array([s["attempts"] for s in scores], pa.int32()),

@@ -37,14 +37,17 @@ class ScorerStage:
         return words[: self.max_words]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .extract import OBJECTS_TYPE
+
         hashes = batch.column("content_hash").to_pylist()
         spans_col = batch.column("spans").to_pylist()
-        modes, descs, tags, names, statuses, attempts = [], [], [], [], [], []
+        modes, descs, tags, objs, names, statuses, attempts = [], [], [], [], [], [], []
         for h, spans in zip(hashes, spans_col):
             res = score_doc(h or "0" * 12, self._doc_words(spans or []))
             modes.append(res["mode"])
             descs.append(res["description"])
             tags.append(res["tags"])
+            objs.append(res["objects"])
             names.append(res["recommended_filename"])
             statuses.append(res["model_status"])
             attempts.append(res["attempts"])
@@ -52,6 +55,7 @@ class ScorerStage:
             batch.append_column("mode", pa.array(modes, pa.string()))
             .append_column("description", pa.array(descs, pa.string()))
             .append_column("tags", pa.array(tags, pa.list_(pa.string())))
+            .append_column("objects", pa.array(objs, OBJECTS_TYPE))
             .append_column("recommended_filename", pa.array(names, pa.string()))
             .append_column("model_status", pa.array(statuses, pa.string()))
             .append_column("attempts", pa.array(attempts, pa.int32()))

@@ -407,6 +407,10 @@ def cc_min_label_propagation(
 
     def init_state(df: pd.DataFrame) -> pd.DataFrame:
         nodes = pd.concat([df["doc_id_a"], df["doc_id_b"]], ignore_index=True)
+        # -1 tags adjacency rows in the propagation rounds; a negative
+        # node id would alias the sentinel and corrupt its labels.
+        if len(nodes) and nodes.min() < 0:
+            raise ValueError("cc_min_label_propagation requires nonnegative node ids")
         return pd.DataFrame({"node": nodes, "label": nodes}).drop_duplicates()
 
     state = edges.map_batches(init_state, batch_format="pandas").materialize()
@@ -473,11 +477,14 @@ def cc_min_label_propagation(
         s = combined.sort(["node", "label"]).materialize()
 
         def forward(df: pd.DataFrame) -> pd.DataFrame:
-            """Per complete node-run: first row (label != -1, sorted
-            first since label ≥ 0 < ... wait state rows sorted by label
-            ascending with -1 adj rows first) → recover node label as
-            max of label column per run; emit (nbr, label) for each adj
-            row plus (node, label)."""
+            """Per complete node-run: adjacency rows carry label = -1
+            and the single state row carries the node's current label
+            (≥ 0), so ``max.reduceat`` over each run recovers the state
+            label regardless of row order within the run. Emit
+            (nbr, label) for each adjacency row plus (node, label) for
+            the node itself. Requires nonnegative node ids — the -1
+            sentinel in the label column would be indistinguishable
+            from a real label otherwise (asserted at entry)."""
             if df.empty:
                 return pd.DataFrame({"node": df["node"], "label": df["node"]})
             nodes = df["node"].to_numpy()

@@ -244,12 +244,12 @@ def test_preagg_merge_paths_equivalent(ray_session):
             }
         )
 
-    def run(threshold):
+    def run(windowed_threshold):
         ds = _read(SF_DIR, "lineitem", ["l_orderkey", "l_quantity"])
         return (
             _preagg_native(
                 ds, ["l_orderkey"], partial, [Sum("qty"), Sum("n")], finalize,
-                merge_threshold=threshold,
+                input_rows=ds.count(), windowed_threshold=windowed_threshold,
             )
             .to_pandas()
             .sort_values("l_orderkey")

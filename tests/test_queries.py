@@ -78,12 +78,9 @@ SQL_CHECKED = [
     "lineitem_filter_project",
     "orders_topk",
     "customer_order_revenue",
-    "nation_region_rollup",
     "supplier_lineitem_agg",
-    "part_type_breakdown",
     "events_type_stats",
     "events_hourly_rollup",
-    "events_hopping_rollup",
     "events_clicks_before_purchase",
     "events_dow_type_cube",
     "events_sessionize",
@@ -91,7 +88,6 @@ SQL_CHECKED = [
     "docs_token_stats",
     "docs_quality",
     "docs_length_by_lang",
-    "docs_top_terms",
     "docs_top_terms_per_lang",
     "docs_exact_dedup",
     "docs_fingerprint",
@@ -101,25 +97,16 @@ SQL_CHECKED = [
     "orders_lineitem_join_agg",
     "orders_semi_lineitem_returns",
     "customers_without_orders",
-    "supplier_revenue_named",
     "top_customer_per_nation",
     "events_user_rolling_1h",
     "events_asof_purchase",
-    "events_distinct_users",
-    "orders_status_distinct",
     "events_union_split",
     "embeddings_cosine_near_dup",
     "events_value_percentiles",
-    "segment_top_orders",
     "docs_deterministic_sample",
-    "customer_name_format",
-    "events_dow_rollup",
-    "events_rollup_total",
     "orders_status_pivot",
-    "users_click_and_purchase",
-    "users_click_no_purchase",
+    "users_click_setops",
     "events_approx_users",
-    "docs_simhash",
     "docs_simhash_near_dup",
     "docs_minhash_near_dup",
     "lineitem_rank_in_order",
@@ -143,18 +130,11 @@ def test_query_vs_duckdb(name, registry, con):
 
 
 ROWS_ONLY = [
-    "events_value_percentiles_approx",
-    "docs_langid",
     "embeddings_knn_ivf",
-    "embeddings_lsh_near_dup",
     "media_features",
-    "media_audio_features",
-    "training_prep",
-    "media_frame_features",
     "extract_spans",
     "extract_dedup_clusters",
     "extract_carve",
-    "extract_near_dup",
     "extract_pairwise_compare",
 ]
 
