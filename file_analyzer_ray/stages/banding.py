@@ -16,63 +16,72 @@ block's first/last band key (the only buckets that can straddle a
 block boundary) are routed down a small side-channel and processed in
 one extra task. Cross-band duplicate pairs are deduped by the caller
 (``_distinct_native`` or a verify step).
+
+Arrow end to end (VERDICT r2 #4): blocks stay ``pyarrow`` through the
+split/sort plumbing — the kernels read columns as numpy views and
+emit ``pa.Table.from_arrays`` directly, never paying a pandas
+BlockManager construction per block.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
-from ..query_utils import _edge_key_mask
+from ..query_utils import _edge_key_mask_arrow
+
+
+def _col_np(t: pa.Table, name: str) -> np.ndarray:
+    return t.column(name).to_numpy(zero_copy_only=False)
 
 
 def banded_pairs(
     bands: "ray.data.Dataset",
     pair_kernel,
-    out_columns: dict[str, str],
+    out_schema: "pa.Schema | dict",
 ) -> "ray.data.Dataset":
     """bands(band, doc_id, <value cols>) → pair dataset.
 
-    ``pair_kernel(df)`` receives rows of one or more COMPLETE buckets
-    sorted by band and must return a DataFrame with ``out_columns``
-    (name → pandas dtype, used for empty blocks). It must be
-    vectorized over bucket runs (use :func:`run_bounds`)."""
-
-    def _empty() -> pd.DataFrame:
-        return pd.DataFrame(
-            {c: pd.Series([], dtype=t) for c, t in out_columns.items()}
+    ``pair_kernel(t)`` receives a ``pa.Table`` of one or more COMPLETE
+    buckets sorted by band and must return a ``pa.Table`` with
+    ``out_schema`` (used for empty blocks). It must be vectorized over
+    bucket runs (use :func:`run_bounds`)."""
+    if isinstance(out_schema, dict):  # legacy name→dtype-string spec
+        out_schema = pa.schema(
+            [(c, pa.from_numpy_dtype(np.dtype(d))) for c, d in out_schema.items()]
         )
+
+    def _empty() -> pa.Table:
+        return out_schema.empty_table()
 
     s = bands.sort("band").materialize()
 
-    def interior(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
+    def interior(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return _empty()
-        keep = df.loc[~_edge_key_mask(df, ["band"])].reset_index(drop=True)
-        if keep.empty:
+        keep = t.filter(pa.array(~_edge_key_mask_arrow(t, ["band"])))
+        if keep.num_rows == 0:
             return _empty()
         return pair_kernel(keep)
 
-    def boundary(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df
-        return df.loc[_edge_key_mask(df, ["band"])]
+    def boundary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(pa.array(_edge_key_mask_arrow(t, ["band"])))
 
-    def boundary_apply(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
+    def boundary_apply(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return _empty()
-        return pair_kernel(
-            df.sort_values("band", kind="stable").reset_index(drop=True)
-        )
+        return pair_kernel(t.sort_by("band"))
 
     b = (
-        s.map_batches(boundary, batch_format="pandas", batch_size=None)
+        s.map_batches(boundary, batch_format="pyarrow", batch_size=None)
         .repartition(1)
-        .map_batches(boundary_apply, batch_format="pandas", batch_size=None)
+        .map_batches(boundary_apply, batch_format="pyarrow", batch_size=None)
     )
-    return s.map_batches(interior, batch_format="pandas", batch_size=None).union(b)
+    return s.map_batches(interior, batch_format="pyarrow", batch_size=None).union(b)
 
 
 def run_bounds(bvals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -86,9 +95,9 @@ def hamming_pair_kernel(value_col: str, max_hamming: int, out_val: str = "hammin
     """Pair kernel: all in-bucket pairs of 64-bit values within
     ``max_hamming`` (vectorized XOR popcount per run)."""
 
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy()
-        raw = df[value_col].to_numpy()
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = _col_np(t, "doc_id")
+        raw = _col_np(t, value_col)
         if raw.dtype.kind == "f":
             # A float-typed hash column means an upstream stage let
             # uint64 fingerprints decay through object→float64 Arrow
@@ -99,7 +108,7 @@ def hamming_pair_kernel(value_col: str, max_hamming: int, out_val: str = "hammin
                 "uint64 column upstream (lossy float inference)"
             )
         vals = raw.astype(np.uint64)
-        starts, ends = run_bounds(df["band"].to_numpy())
+        starts, ends = run_bounds(_col_np(t, "band"))
         multi = (ends - starts) >= 2  # vectorized singleton skip: a
         # Python loop over every run costs ~16 µs/iteration on numpy
         # scalars — at b bands/doc that's O(N·b) wasted iterations
@@ -117,12 +126,14 @@ def hamming_pair_kernel(value_col: str, max_hamming: int, out_val: str = "hammin
             out_a.extend(rid[r])
             out_b.extend(rid[c])
             out_d.extend(d[r, c])
-        return pd.DataFrame(
-            {
-                "doc_id_a": np.asarray(out_a, dtype=ids.dtype),
-                "doc_id_b": np.asarray(out_b, dtype=ids.dtype),
-                out_val: np.asarray(out_d, dtype=np.int64),
-            }
+        id_type = t.schema.field("doc_id").type
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_a, id_type),
+                pa.array(out_b, id_type),
+                pa.array(np.asarray(out_d, dtype=np.int64)),
+            ],
+            names=["doc_id_a", "doc_id_b", out_val],
         )
 
     return kernel

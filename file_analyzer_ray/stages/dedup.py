@@ -172,6 +172,7 @@ def phash_near_dup_pairs(
     pairs = banded_pairs(
         bands,
         hamming_pair_kernel("phash", max_hamming),
-        {"doc_id_a": "object", "doc_id_b": "object", "hamming": "int64"},
+        pa.schema([("doc_id_a", pa.string()), ("doc_id_b", pa.string()),
+                   ("hamming", pa.int64())]),
     )
     return _distinct_native(pairs, ["doc_id_a", "doc_id_b", "hamming"])

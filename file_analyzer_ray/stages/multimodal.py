@@ -332,7 +332,10 @@ def audio_features(
 
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (2, max(2, cpus - 4))
+        # min=1, not 2: three of these pools can run concurrently in a
+        # union plan, and 3 pools x min-2 actors deadlocks a 4-CPU test
+        # session (all CPUs claimed, the next task never schedules).
+        concurrency = (1, max(2, cpus - 4))
     media = docs.map_batches(explode_media, batch_format="pyarrow")
     return media.map_batches(
         AudioFeatureStage,
@@ -394,7 +397,10 @@ def frame_features(
 
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (2, max(2, cpus - 4))
+        # min=1, not 2: three of these pools can run concurrently in a
+        # union plan, and 3 pools x min-2 actors deadlocks a 4-CPU test
+        # session (all CPUs claimed, the next task never schedules).
+        concurrency = (1, max(2, cpus - 4))
     media = docs.map_batches(explode_media, batch_format="pyarrow")
     return media.map_batches(
         FrameFeatureStage,
@@ -422,7 +428,10 @@ def media_features(
 
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (2, max(2, cpus - 4))
+        # min=1, not 2: three of these pools can run concurrently in a
+        # union plan, and 3 pools x min-2 actors deadlocks a 4-CPU test
+        # session (all CPUs claimed, the next task never schedules).
+        concurrency = (1, max(2, cpus - 4))
     media = docs.map_batches(explode_media, batch_format="pyarrow")
     return media.map_batches(
         DecodeStage,

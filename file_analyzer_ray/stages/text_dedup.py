@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -124,10 +125,10 @@ def _run_bounds(bvals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, ends
 
 
-def _pairs_from_runs(ids, sigs_bytes, starts, ends, cutoff) -> pd.DataFrame:
+def _pairs_from_runs(ids, sigs_bytes, starts, ends, cutoff, id_type) -> pa.Table:
     """Estimate-prefiltered candidate pairs for the given bucket runs
     (vectorized per run; singleton runs cost one comparison, not a
-    pandas object)."""
+    per-group frame)."""
     out_a: list = []
     out_b: list = []
     multi = (ends - starts) >= 2  # vectorized singleton skip
@@ -140,11 +141,9 @@ def _pairs_from_runs(ids, sigs_bytes, starts, ends, cutoff) -> pd.DataFrame:
         r, c = np.nonzero(keep)
         out_a.extend(rid[r])
         out_b.extend(rid[c])
-    return pd.DataFrame(
-        {
-            "doc_id_a": np.asarray(out_a, dtype=ids.dtype),
-            "doc_id_b": np.asarray(out_b, dtype=ids.dtype),
-        }
+    return pa.Table.from_arrays(
+        [pa.array(out_a, id_type), pa.array(out_b, id_type)],
+        names=["doc_id_a", "doc_id_b"],
     )
 
 
@@ -170,37 +169,42 @@ def _lsh_candidate_pairs(docs, hash_fn, threshold: float) -> "ray.data.Dataset":
     bands = sigs.map_batches(_explode_bands, batch_format="pandas")
     sorted_bands = bands.sort("band").materialize()
 
-    def interior_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        b = df["band"].to_numpy()
-        ids = df["doc_id"].to_numpy()
-        sb = df["sig"].to_numpy()
+    def interior_pairs(t: pa.Table) -> pa.Table:
+        b = t.column("band").to_numpy()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sb = t.column("sig").to_numpy(zero_copy_only=False)
         starts, ends = _run_bounds(b)
         # runs touching either block edge go to the boundary pass
         inner = (starts > 0) & (ends < len(b))
-        return _pairs_from_runs(ids, sb, starts[inner], ends[inner], cutoff)
+        return _pairs_from_runs(
+            ids, sb, starts[inner], ends[inner], cutoff,
+            t.schema.field("doc_id").type,
+        )
 
-    def boundary_rows(df: pd.DataFrame) -> pd.DataFrame:
-        b = df["band"].to_numpy()
+    def boundary_rows(t: pa.Table) -> pa.Table:
+        b = t.column("band").to_numpy()
         if not len(b):
-            return df
+            return t
         edge = (b == b[0]) | (b == b[-1])
-        return df.loc[edge]
+        return t.filter(pa.array(edge))
 
-    def boundary_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("band", kind="stable")
-        b = df["band"].to_numpy()
+    def boundary_pairs(t: pa.Table) -> pa.Table:
+        t = t.sort_by("band")
+        b = t.column("band").to_numpy()
         starts, ends = _run_bounds(b)
         return _pairs_from_runs(
-            df["doc_id"].to_numpy(), df["sig"].to_numpy(), starts, ends, cutoff
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            t.column("sig").to_numpy(zero_copy_only=False),
+            starts, ends, cutoff, t.schema.field("doc_id").type,
         )
 
     interior = sorted_bands.map_batches(
-        interior_pairs, batch_format="pandas", batch_size=None
+        interior_pairs, batch_format="pyarrow", batch_size=None
     )
     boundary = (
-        sorted_bands.map_batches(boundary_rows, batch_format="pandas", batch_size=None)
+        sorted_bands.map_batches(boundary_rows, batch_format="pyarrow", batch_size=None)
         .repartition(1)
-        .map_batches(boundary_pairs, batch_format="pandas", batch_size=None)
+        .map_batches(boundary_pairs, batch_format="pyarrow", batch_size=None)
     )
     return interior.union(boundary)
 
@@ -380,7 +384,8 @@ def simhash_near_dup_pairs(
     pairs = banded_pairs(
         bands,
         hamming_pair_kernel("simhash", max_hamming),
-        {"doc_id_a": "int64", "doc_id_b": "int64", "hamming": "int64"},
+        pa.schema([("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()),
+                   ("hamming", pa.int64())]),
     )
     return _distinct_native(pairs, ["doc_id_a", "doc_id_b", "hamming"])
 
