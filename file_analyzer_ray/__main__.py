@@ -125,6 +125,9 @@ def cmd_validate(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from .registry import load_plugins
+
+    load_plugins()  # entry_points-discovered third-party stages
     p = argparse.ArgumentParser(prog="file_analyzer_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -41,13 +41,46 @@ def _mode_and_style(h: int) -> tuple[str, int]:
     return MODES[h % 3], (h // 3) % 100
 
 
-def raw_model_output(content_hash: str, words: list[str]) -> tuple[str, str]:
+# Escalating prompt ladder (reference src/models/fastvlm/json.py:118-253:
+# the model is re-asked up to 3x, each time with a stricter JSON-only
+# instruction). The prompt TEXT feeds the deterministic emission below —
+# a stricter prompt makes a non-compliant "model" comply with a fixed
+# per-document probability, so the escalation path (different prompt →
+# different emission → retry success) is exercised for real.
+PROMPTS_BY_MODE = {
+    "describe": "Describe this image. Return JSON with description and tags.",
+    "detect": "Detect objects. Return JSON with description and objects.",
+    "document": "Transcribe this document. Return JSON with text and document_type.",
+}
+_STRICT_SUFFIXES = [
+    "",  # attempt 1: the mode prompt as-is
+    " Respond with ONLY the JSON object, no prose.",  # attempt 2
+    " OUTPUT EXACTLY ONE JSON OBJECT AND NOTHING ELSE.",  # attempt 3
+]
+
+
+def prompt_for(mode: str, attempt: int = 1) -> str:
+    """Prompt-by-mode with escalation (attempt is 1-based, capped at 3)."""
+    i = min(max(attempt, 1), len(_STRICT_SUFFIXES)) - 1
+    return PROMPTS_BY_MODE[mode] + _STRICT_SUFFIXES[i]
+
+
+def raw_model_output(
+    content_hash: str, words: list[str], attempt: int = 1
+) -> tuple[str, str]:
     """(mode, raw_text): the deterministic 'model' emission for a doc.
 
     Style buckets (per 100): <80 valid JSON, <90 malformed truncated JSON
     with a repeated tag run (the 512-token failure mode from reference
     tests/test_fastvlm_json_parsing.py:30-32), <97 JSON embedded in
     chatter, else plain text (no JSON at all).
+
+    ``attempt`` models the re-ask: a plain-text emitter complies with
+    the stricter attempt-2 prompt iff bit 7 of the doc hash is 0, and
+    with the strictest attempt-3 prompt iff bit 8 is 0 — deterministic
+    per document, so roughly half the initial failures recover per
+    escalation level and the rest fall back after 3 attempts (the
+    reference's max_retries behavior).
     """
     h = int(content_hash[:12], 16)
     mode, style = _mode_and_style(h)
@@ -96,6 +129,9 @@ def raw_model_output(content_hash: str, words: list[str]) -> tuple[str, str]:
         return mode, broken
     if style < 97:
         return mode, f"Sure! Here is the JSON you asked for:\n{valid}\nHope this helps."
+    # Plain-text emitter: complies only under a stricter re-ask prompt.
+    if (attempt >= 2 and (h >> 7) & 1 == 0) or (attempt >= 3 and (h >> 8) & 1 == 0):
+        return mode, valid
     return mode, f"# Analysis\nThis {cat} appears to show a {obj}. No JSON available."
 
 
@@ -104,8 +140,14 @@ def score_doc(content_hash: str, words: list[str]) -> dict:
     emission through the robust parsing chain, clean tags, derive the
     recommended filename (reference flow §3.1 steps 4-7, fused into one
     pass instead of a second model call)."""
-    mode, raw = raw_model_output(content_hash, words)
-    result = process_model_output(raw, mode)
+    mode = MODES[int(content_hash[:12], 16) % 3]
+    max_retries = 3
+    for attempt in range(1, max_retries + 1):
+        _mode, raw = raw_model_output(content_hash, words, attempt=attempt)
+        result = process_model_output(raw, mode)
+        if result.get("extracted"):
+            break
+    result["attempts"] = attempt  # model re-asks, reference T2 semantics
     description = str(result.get("description") or result.get("text") or "")
     tags = clean_tags(result.get("tags") or [])
     filename = suggest_filename(None, description, "")

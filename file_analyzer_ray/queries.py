@@ -355,6 +355,59 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_events_hopping_rollup(sf_dir: str):
+    """Hopping window aggregate (1h window, 30min hop — each event
+    lands in exactly 2 overlapping windows): the window-start explode
+    is a vectorized per-batch flat map (no per-row Python), then the
+    standard two-level aggregation. Completes the window family
+    (tumbling=hourly, session, rolling RANGE, hopping)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        base = (epoch // 1800) * 1800
+        starts = np.concatenate([base, base - 1800])
+        out = pd.DataFrame(
+            {
+                "window_start": pd.to_datetime(
+                    np.tile(starts, 1), unit="s"
+                ).astype("datetime64[us]"),
+                "event_type": np.tile(df["event_type"].to_numpy(), 2),
+                "cents": np.tile(_cents(df["value"]), 2),
+                "n": 1,
+            }
+        )
+        return out.groupby(["window_start", "event_type"], as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": df["window_start"],
+                "event_type": df["event_type"],
+                "n_events": df["sum(n)"].astype("int64"),
+                "sum_value": df["sum(cents)"] / 100.0,
+            }
+        )
+
+    from .query_utils import _meta_rows
+
+    return _preagg_native(
+        ds, ["window_start", "event_type"], partial, [Sum("cents"), Sum("n")], finalize,
+        input_rows=_meta_rows(sf_dir, "events"),
+    )
+
+
+SQL_EVENTS_HOPPING = """
+SELECT to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800)::TIMESTAMP AS window_start,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events, (SELECT unnest(generate_series(0, 1)) AS k) k
+GROUP BY 1, 2
+"""
+
+
 def q_events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the engine's
     session-window operator (new vs reference; SURVEY.md §2.9).
@@ -1643,6 +1696,7 @@ QUERIES = {
     "supplier_lineitem_agg": q_supplier_lineitem_agg,
     "events_type_stats": q_events_type_stats,
     "events_hourly_rollup": q_events_hourly_rollup,
+    "events_hopping_rollup": q_events_hopping_rollup,
     "events_clicks_before_purchase": q_events_clicks_before_purchase,
     "events_dow_type_cube": q_events_dow_type_cube,
     "events_sessionize": q_events_sessionize,
@@ -1693,6 +1747,7 @@ ORACLE_SQL = {
     "supplier_lineitem_agg": SQL_SUPPLIER_LINEITEM_AGG,
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_hourly_rollup": SQL_EVENTS_HOURLY,
+    "events_hopping_rollup": SQL_EVENTS_HOPPING,
     "events_clicks_before_purchase": SQL_EVENTS_CLICKS_BEFORE_PURCHASE,
     "events_dow_type_cube": SQL_EVENTS_DOW_TYPE_CUBE,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

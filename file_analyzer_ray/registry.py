@@ -88,6 +88,45 @@ def build_pipeline(
     return ds
 
 
+PLUGIN_GROUP = "file_analyzer_ray.stages"
+
+
+def load_plugins(group: str = PLUGIN_GROUP) -> list[str]:
+    """Packaging-level plugin discovery (reference
+    src/cli/main.py:103-167, src/cli/test/main.py:34-80: commands are
+    discovered via ``entry_points``): any installed distribution
+    exposing ``[project.entry-points."file_analyzer_ray.stages"]``
+    gets its stages auto-registered. Each entry point must load to a
+    batch function / callable class (registered directly) or to a
+    zero-arg factory returning ``(fn_or_cls, default_opts)``.
+
+    Returns the names registered. Errors in one plugin are isolated —
+    a broken third-party package must not take the engine down."""
+    from importlib.metadata import entry_points
+
+    loaded: list[str] = []
+    try:
+        eps = entry_points(group=group)
+    except TypeError:  # pre-3.10 signature
+        eps = entry_points().get(group, [])  # pragma: no cover
+    for ep in eps:
+        try:
+            obj = ep.load()
+            if (
+                not inspect.isclass(obj)
+                and callable(obj)
+                and getattr(obj, "__fa_stage_factory__", False)
+            ):
+                fn_or_cls, opts = obj()
+                register_stage(ep.name, fn_or_cls, **opts)
+            else:
+                register_stage(ep.name, obj)
+            loaded.append(ep.name)
+        except Exception:  # noqa: BLE001 — plugin isolation
+            continue
+    return loaded
+
+
 def _register_builtins() -> None:
     """Built-in stage names (the engine's own operators, exposed the
     same way a user extension would be)."""

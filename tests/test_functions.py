@@ -237,3 +237,61 @@ def test_raw_model_output_matches_json_dumps_formulation():
         if style < 80:
             # the valid-JSON bucket must parse and round-trip via dumps
             assert got == _json.dumps(_json.loads(got))
+
+
+class TestEscalatingRetry:
+    """T2 re-ask semantics (reference src/models/fastvlm/json.py:118-253):
+    a non-compliant emission is re-asked up to 3x with stricter prompts;
+    a stricter prompt deterministically flips a subset of plain-text
+    emitters to compliance, and the rest fall back after 3 attempts."""
+
+    def test_prompt_ladder_escalates(self):
+        from file_analyzer_ray.functions.scoring import prompt_for
+
+        p1, p2, p3 = (prompt_for("describe", a) for a in (1, 2, 3))
+        assert p1 != p2 != p3
+        assert p1 in p2 or p2.startswith(p1.split(".")[0])
+        assert "ONLY" in p2 and "NOTHING ELSE" in p3
+        assert prompt_for("describe", 99) == p3  # capped
+
+    def test_retry_success_on_second_attempt(self):
+        from file_analyzer_ray.functions.scoring import score_doc
+
+        # style>=97 (plain text at attempt 1), hash bit 7 == 0 → the
+        # strict attempt-2 prompt produces valid JSON.
+        r = score_doc("65a699905c026193", ["alpha", "beta"])
+        assert r["model_status"] == "extracted"
+        assert r["attempts"] == 2
+
+    def test_retry_success_on_third_attempt(self):
+        from file_analyzer_ray.functions.scoring import score_doc
+
+        # bit 7 == 1, bit 8 == 0 → only the strictest prompt lands.
+        r = score_doc("f5ca38f748a1d6ea", ["alpha", "beta"])
+        assert r["model_status"] == "extracted"
+        assert r["attempts"] == 3
+
+    def test_fallback_after_max_retries(self):
+        from file_analyzer_ray.functions.scoring import score_doc
+
+        # bits 7 and 8 both set → never complies; falls back after 3.
+        r = score_doc("2c624232cdd22177", ["alpha", "beta"])
+        assert r["model_status"] == "fallback"
+        assert r["attempts"] == 3
+
+    def test_compliant_docs_never_reasked(self):
+        import hashlib
+
+        from file_analyzer_ray.functions.scoring import (
+            _mode_and_style,
+            score_doc,
+        )
+
+        n = 0
+        for i in range(500):
+            ch = hashlib.sha256(str(i).encode()).hexdigest()
+            h = int(ch[:12], 16)
+            if _mode_and_style(h)[1] < 80:  # valid-JSON emitters
+                assert score_doc(ch, ["w"])["attempts"] == 1
+                n += 1
+        assert n > 100

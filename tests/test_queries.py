@@ -81,6 +81,7 @@ SQL_CHECKED = [
     "supplier_lineitem_agg",
     "events_type_stats",
     "events_hourly_rollup",
+    "events_hopping_rollup",
     "events_clicks_before_purchase",
     "events_dow_type_cube",
     "events_sessionize",
