@@ -133,10 +133,16 @@ def run_bench() -> dict:
 
 
 def _mp_worker(paths, outdir, q):
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from file_analyzer_ray.stages.extract import ExtractStage
 
+    # Match the engine's per-worker Arrow thread cap (see
+    # ShardWorker.__init__): n single-core workers each spawning a
+    # cpu_count-wide Arrow pool oversubscribes the box n×.
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
     st = ExtractStage(score=True)
     n = 0
     for p in paths:

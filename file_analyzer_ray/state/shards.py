@@ -106,6 +106,13 @@ class ShardWorker:
         from ..stages.extract import ExtractStage
         from .guard import validate_sink_dir
 
+        # This worker is scheduled at num_cpus=1, but pyarrow's default
+        # thread pool is cpu_count-wide — 30 such actors × 32 threads
+        # oversubscribe the box ~30x and the parquet read of a 14 MB
+        # shard measures 0.35 s threaded vs 0.026 s single-threaded
+        # under that contention. Cap Arrow to the CPU this actor owns.
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
         self.out_dir = validate_sink_dir(out_dir)
         self.stage = ExtractStage(score=score)
         self.run_meta = run_meta or {}
