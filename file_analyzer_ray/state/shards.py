@@ -128,6 +128,9 @@ class ShardWorker:
             table = pq.read_table(path)
             out = self.stage(table)
             data_file = f"shard-{stem}.parquet"
+            # per-call, not per-actor: a warm pooled worker (keep_pool)
+            # outlives an out_dir that the caller deleted and recreated
+            os.makedirs(self.out_dir, exist_ok=True)
             final = os.path.join(self.out_dir, data_file)
             tmp = final + f".tmp{os.getpid()}"
             pq.write_table(out, tmp)
@@ -163,6 +166,27 @@ class ShardWorker:
         return pa.Table.from_pylist(rows)
 
 
+#: Process-global warm worker pool (Spark-executor analog): repeated
+#: ``run_sharded(..., keep_pool=True)`` calls with identical worker
+#: parameters reuse live actors instead of paying ~0.5-1 s of actor
+#: spin-up per run. At most ONE pool is cached; a call with a different
+#: key kills the old pool first. Default is still kill-per-run —
+#: a cached num_cpus=1 × n pool would pin every CPU of a small test
+#: session and deadlock later Dataset executions.
+_POOL_CACHE: "tuple[tuple, list] | None" = None
+
+
+def shutdown_pool() -> None:
+    """Kill the cached warm pool (idempotent)."""
+    global _POOL_CACHE
+    if _POOL_CACHE is not None:
+        import ray
+
+        for a in _POOL_CACHE[1]:
+            ray.kill(a)
+        _POOL_CACHE = None
+
+
 def run_sharded(
     src_dir: str,
     out_dir: str,
@@ -173,6 +197,7 @@ def run_sharded(
     run_meta: dict | None = None,
     fail_shards: frozenset[str] = frozenset(),
     dispatch: str = "actor_pool",
+    keep_pool: bool = False,
 ) -> dict:
     """Extract every parquet shard under ``src_dir`` into fenced output
     shards. Resume skips fenced shards BEFORE any read is scheduled
@@ -224,12 +249,22 @@ def run_sharded(
         "fail_shards": fail_shards,
     }
     if dispatch == "actor_pool":
+        global _POOL_CACHE
         from ray.util import ActorPool
 
         n_actors = concurrency[1] if isinstance(concurrency, tuple) else concurrency
         n_actors = min(n_actors, len(todo))
-        worker_cls = ray.remote(num_cpus=1)(_PooledShardWorker)
-        actors = [worker_cls.remote(ctor_kwargs) for _ in range(n_actors)]
+        key = (
+            n_actors, out_dir, score,
+            json.dumps(run_meta or {}, sort_keys=True),
+            tuple(sorted(fail_shards)),
+        )
+        if keep_pool and _POOL_CACHE is not None and _POOL_CACHE[0] == key:
+            actors = _POOL_CACHE[1]
+        else:
+            shutdown_pool()
+            worker_cls = ray.remote(num_cpus=1)(_PooledShardWorker)
+            actors = [worker_cls.remote(ctor_kwargs) for _ in range(n_actors)]
         try:
             pool = ActorPool(actors)
             results = [
@@ -239,7 +274,22 @@ def run_sharded(
                 )
                 for row in rows
             ]
-        finally:
+        except ray.exceptions.RayActorError:
+            # a cached actor died between runs — rebuild once, cold
+            _POOL_CACHE = None
+            worker_cls = ray.remote(num_cpus=1)(_PooledShardWorker)
+            actors = [worker_cls.remote(ctor_kwargs) for _ in range(n_actors)]
+            pool = ActorPool(actors)
+            results = [
+                row
+                for rows in pool.map_unordered(
+                    lambda a, p: a.run.remote(p), todo
+                )
+                for row in rows
+            ]
+        if keep_pool:
+            _POOL_CACHE = (key, actors)
+        else:
             for a in actors:
                 ray.kill(a)
     else:

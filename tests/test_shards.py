@@ -61,6 +61,33 @@ def test_sharded_fingerprints_stable_across_runs(ray_session, tmp_path):
     assert fa == fb  # identity independent of pool size / scheduling
 
 
+def test_warm_pool_rerun_identical_and_cleaned_up(ray_session, tmp_path):
+    """keep_pool=True: a second run with the same key reuses live
+    workers and produces byte-identical output even after the caller
+    deleted and recreated the out_dir between runs (the warm worker
+    must not rely on init-time makedirs)."""
+    import shutil
+
+    from file_analyzer_ray.pipelines.extract import corpus_path
+    from file_analyzer_ray.state import shards as sh
+
+    src = corpus_path(4000)
+    out = str(tmp_path / "warm")
+    cold = str(tmp_path / "cold")
+    try:
+        sh.run_sharded(src, out, resume=False, concurrency=2, keep_pool=True)
+        assert sh._POOL_CACHE is not None
+        first = _read_sorted(out)
+        shutil.rmtree(out)
+        sh.run_sharded(src, out, resume=False, concurrency=2, keep_pool=True)
+        assert first.equals(_read_sorted(out))
+        sh.run_sharded(src, cold, resume=False, concurrency=2)  # no keep
+        assert sh._POOL_CACHE is None  # default path killed the pool
+        assert first.equals(_read_sorted(cold))
+    finally:
+        sh.shutdown_pool()
+
+
 def test_resume_reprocesses_regenerated_input_shard(ray_session, tmp_path):
     """A changed input shard with the SAME filename must NOT be skipped
     on resume (the fence records the input file's fingerprint)."""
