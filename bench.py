@@ -252,7 +252,13 @@ def run_scaling() -> dict:
             "hw_scaling_efficiency", "ray_efficiency_vs_hw",
         )},
         "rounds": rounds,
+        # headline fields above come from ONE round (the median round by
+        # scaling efficiency, so its 8/32/calibration numbers are a
+        # consistent same-window set); these are the per-metric medians
+        # across all rounds, each with its full observed spread:
+        "median_scaling_efficiency": effs[len(effs) // 2],
         "scaling_efficiency_spread": [effs[0], effs[-1]],
+        "median_ray_efficiency_vs_hw": ratios[len(ratios) // 2],
         "ray_efficiency_vs_hw_spread": [ratios[0], ratios[-1]],
         "per_round": per_round,
         "docs": n_docs,

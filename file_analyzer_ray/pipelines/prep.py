@@ -35,7 +35,7 @@ import ray
 import ray.data
 
 from ..functions.text import detect_language, normalize_ws, bpe_token_count
-from ..query_utils import _window_by_key
+from ..query_utils import _run_starts_mask_arrow, _window_by_key_arrow
 from ..stages.text_dedup import minhash_near_dup_pairs
 
 KEEP_LANGS = ("en", "und")
@@ -63,12 +63,15 @@ def _fingerprint(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _keep_first_per_fingerprint(df: pd.DataFrame) -> pd.DataFrame:
+def _keep_first_per_fingerprint(t):
     """Complete fingerprint groups, sorted by (fingerprint, doc_id):
-    keep the first (min doc_id) of each run."""
-    if df.empty:
-        return df
-    return df.drop_duplicates("fingerprint", keep="first").reset_index(drop=True)
+    keep the first (min doc_id) of each run. Arrow-native — the md5
+    strings never become pandas object arrays."""
+    import pyarrow as pa
+
+    if t.num_rows == 0:
+        return t
+    return t.filter(pa.array(_run_starts_mask_arrow(t, ["fingerprint"])))
 
 
 def training_prep_pipeline(
@@ -93,7 +96,7 @@ def training_prep_pipeline(
     ).map_batches(_fingerprint, batch_format="pandas")
 
     # exact dedup: ONE sort by content fingerprint, keep-first per run
-    exact = _window_by_key(
+    exact = _window_by_key_arrow(
         gated, ["fingerprint"], ["fingerprint", "doc_id"], _keep_first_per_fingerprint
     ).materialize()
 

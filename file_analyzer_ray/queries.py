@@ -412,37 +412,39 @@ def q_events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the engine's
     session-window operator (new vs reference; SURVEY.md §2.9).
     Executed as ONE sort by (user_id, ts, event_id) + run-boundary
-    numpy aggregation vectorized ACROSS users (``_window_by_key``) —
-    no per-user Python dispatch, so user cardinality scaling is free."""
-    from .query_utils import _window_by_key
+    numpy aggregation vectorized ACROSS users (``_window_by_key_arrow``
+    — zero-copy Arrow blocks, no per-user Python dispatch), so user
+    cardinality scaling is free."""
+    from .query_utils import _window_by_key_arrow
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "n_sessions": pd.Series([], dtype="int64"),
-                    "n_events": pd.Series([], dtype="int64"),
-                }
+    def sessions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3,
+                names=["user_id", "n_sessions", "n_events"],
             )
-        u = df["user_id"].to_numpy()
-        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        u = t.column("user_id").to_numpy()
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
         new_user = np.r_[True, u[1:] != u[:-1]]
         gap_us = np.r_[np.int64(0), ts[1:] - ts[:-1]]
         new_session = new_user | (gap_us > 1800 * 1_000_000)
         starts = np.flatnonzero(new_user)
         ends = np.r_[starts[1:], len(u)]
-        return pd.DataFrame(
-            {
-                "user_id": u[starts].astype("int64"),
-                "n_sessions": np.add.reduceat(new_session.astype(np.int64), starts),
-                "n_events": (ends - starts).astype("int64"),
-            }
+        return pa.Table.from_arrays(
+            [
+                pa.array(u[starts].astype(np.int64)),
+                pa.array(np.add.reduceat(new_session.astype(np.int64), starts)),
+                pa.array((ends - starts).astype(np.int64)),
+            ],
+            names=["user_id", "n_sessions", "n_events"],
         )
 
-    return _window_by_key(ds, ["user_id"], ["user_id", "ts", "event_id"], sessions)
+    return _window_by_key_arrow(ds, ["user_id"], ["user_id", "ts", "event_id"], sessions)
 
 
 SQL_EVENTS_SESSIONIZE = """
@@ -565,23 +567,28 @@ def q_events_clicks_before_purchase(sf_dir: str):
     the range lookup is two vectorized searchsorted calls — the
     engine's range-join shape (no per-user dispatch, no quadratic
     pair explosion)."""
-    from .query_utils import _window_by_key
+    from .query_utils import _window_by_key_arrow
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
     ds = ds.filter(expr="event_type == 'click' or event_type == 'purchase'")
 
-    def range_count(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "n_clicks_10m": pd.Series([], dtype="int64"),
-                }
+    def range_count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 2,
+                names=["event_id", "n_clicks_10m"],
             )
-        u = df["user_id"].to_numpy()
-        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        eid = df["event_id"].to_numpy()
-        is_click = (df["event_type"] == "click").to_numpy()
+        import pyarrow.compute as pc
+
+        u = t.column("user_id").to_numpy()
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        eid = t.column("event_id").to_numpy()
+        is_click = pc.equal(t.column("event_type"), "click").to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
         ends = np.r_[starts[1:], len(u)]
         out_id: list = []
@@ -597,14 +604,15 @@ def q_events_clicks_before_purchase(sf_dir: str):
             hi = np.searchsorted(ct, pt, side="left")  # strictly before
             out_id.extend(eid[s:e][~cm])
             out_n.extend(hi - lo)
-        return pd.DataFrame(
-            {
-                "event_id": np.asarray(out_id, dtype=np.int64),
-                "n_clicks_10m": np.asarray(out_n, dtype=np.int64),
-            }
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.asarray(out_id, dtype=np.int64)),
+                pa.array(np.asarray(out_n, dtype=np.int64)),
+            ],
+            names=["event_id", "n_clicks_10m"],
         )
 
-    return _window_by_key(ds, ["user_id"], ["user_id", "ts", "event_id"], range_count)
+    return _window_by_key_arrow(ds, ["user_id"], ["user_id", "ts", "event_id"], range_count)
 
 
 SQL_EVENTS_CLICKS_BEFORE_PURCHASE = """
@@ -794,8 +802,6 @@ def q_docs_top_terms_per_lang(sf_dir: str):
     cardinality)."""
     from ray.data.aggregate import Sum
 
-    from .query_utils import _window_by_key
-
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -830,25 +836,23 @@ def q_docs_top_terms_per_lang(sf_dir: str):
     counts = _preagg_native(ds, ["lang", "term"], partial, [Sum("n")], finalize,
                             input_rows=_meta_rows(sf_dir, "documents"))
 
-    def rank_fn(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(
-                {
-                    "lang": pd.Series([], dtype="object"),
-                    "term": pd.Series([], dtype="object"),
-                    "n_occurrences": pd.Series([], dtype="int64"),
-                    "term_rank": pd.Series([], dtype="int64"),
-                }
-            )
-        k = df["lang"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-        run_of = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(k)]))
-        rank = np.arange(len(k)) - starts[run_of] + 1
-        out = df.copy()
-        out["term_rank"] = rank.astype("int64")
-        return out.loc[out["term_rank"] <= 3].reset_index(drop=True)
+    from .query_utils import _run_starts_mask_arrow, _window_by_key_arrow
 
-    return _window_by_key(
+    def rank_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["lang", "term", "n_occurrences", "term_rank"],
+            )
+        new = _run_starts_mask_arrow(t, ["lang"])  # string key stays Arrow
+        starts = np.flatnonzero(new)
+        run_of = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, t.num_rows]))
+        rank = np.arange(t.num_rows) - starts[run_of] + 1
+        out = t.append_column("term_rank", pa.array(rank.astype(np.int64)))
+        return out.filter(pa.array(rank <= 3))
+
+    return _window_by_key_arrow(
         counts, ["lang"], ["lang", "n_occurrences", "term"], rank_fn,
         descending=[False, True, False],
     )

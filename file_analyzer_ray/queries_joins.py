@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -268,42 +269,40 @@ def q_events_user_rolling_1h(sf_dir: str):
     prefix sums + searchsorted inside each block (``_window_by_key``
     — no Ray per-group dispatch; the inner loop is over user RUNS
     with vectorized ops, ~µs each)."""
-    from .query_utils import _window_by_key
+    from .query_utils import _window_by_key_arrow
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
 
-    def rolling(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "n_1h": pd.Series([], dtype="int64"),
-                    "sum_1h": pd.Series([], dtype="float64"),
-                }
+    def rolling(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=["event_id", "n_1h", "sum_1h"],
             )
-        u = df["user_id"].to_numpy()
-        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        u = t.column("user_id").to_numpy()
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        cents = np.round(t.column("value").to_numpy() * 100).astype(np.int64)
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
         ends = np.r_[starts[1:], len(u)]
         n_1h = np.empty(len(u), dtype=np.int64)
         sum_1h = np.empty(len(u), dtype=np.float64)
         for s, e in zip(starts, ends):
-            t = ts[s:e]
+            w = ts[s:e]
             csum = np.concatenate(([0], np.cumsum(cents[s:e])))
-            lo = np.searchsorted(t, t - 3_600_000_000, side="left")
-            hi = np.searchsorted(t, t, side="right")
+            lo = np.searchsorted(w, w - 3_600_000_000, side="left")
+            hi = np.searchsorted(w, w, side="right")
             n_1h[s:e] = hi - lo
             sum_1h[s:e] = (csum[hi] - csum[lo]) / 100.0
-        return pd.DataFrame(
-            {
-                "event_id": df["event_id"].to_numpy(),
-                "n_1h": n_1h,
-                "sum_1h": sum_1h,
-            }
+        return pa.Table.from_arrays(
+            [t.column("event_id"), pa.array(n_1h), pa.array(sum_1h)],
+            names=["event_id", "n_1h", "sum_1h"],
         )
 
-    return _window_by_key(ds, ["user_id"], ["user_id", "ts", "event_id"], rolling)
+    return _window_by_key_arrow(ds, ["user_id"], ["user_id", "ts", "event_id"], rolling)
 
 
 SQL_EVENTS_USER_ROLLING_1H = """
@@ -326,22 +325,29 @@ def q_events_asof_purchase(sf_dir: str):
     Purchases are pre-deduped to one row per (user, ts) (max event_id,
     i.e. the last row of each ts run) so tie-handling is
     engine-independent."""
-    from .query_utils import _window_by_key
+    from .query_utils import _window_by_key_arrow
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
     ds = ds.filter(
         expr="event_type == 'click' or event_type == 'purchase'"
     )
 
-    def asof(df: pd.DataFrame) -> pd.DataFrame:
+    def asof(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         out_click: list = []
         out_buy: list = []
         out_gap: list = []
-        if not df.empty:
-            u = df["user_id"].to_numpy()
-            ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            eid = df["event_id"].to_numpy()
-            is_click = (df["event_type"] == "click").to_numpy()
+        if t.num_rows:
+            u = t.column("user_id").to_numpy()
+            ts = (
+                t.column("ts").to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+            )
+            eid = t.column("event_id").to_numpy()
+            is_click = pc.equal(t.column("event_type"), "click").to_numpy(
+                zero_copy_only=False
+            ).astype(bool)
             starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
             ends = np.r_[starts[1:], len(u)]
             for s, e in zip(starts, ends):
@@ -358,15 +364,16 @@ def q_events_asof_purchase(sf_dir: str):
                 out_click.extend(ci[ok])
                 out_buy.extend(bi[idx[ok]])
                 out_gap.extend(ct[ok] - bt[idx[ok]])
-        return pd.DataFrame(
-            {
-                "event_id": np.asarray(out_click, dtype=np.int64),
-                "purchase_event_id": np.asarray(out_buy, dtype=np.int64),
-                "gap_us": np.asarray(out_gap, dtype=np.int64),
-            }
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.asarray(out_click, dtype=np.int64)),
+                pa.array(np.asarray(out_buy, dtype=np.int64)),
+                pa.array(np.asarray(out_gap, dtype=np.int64)),
+            ],
+            names=["event_id", "purchase_event_id", "gap_us"],
         )
 
-    return _window_by_key(ds, ["user_id"], ["user_id", "ts", "event_id"], asof)
+    return _window_by_key_arrow(ds, ["user_id"], ["user_id", "ts", "event_id"], asof)
 
 
 SQL_EVENTS_ASOF_PURCHASE = """
@@ -495,35 +502,26 @@ def q_lineitem_rank_in_order(sf_dir: str):
     by (l_orderkey, l_extendedprice DESC, l_linenumber) + run-boundary
     arange — rank-per-group over millions of orders with no per-group
     dispatch (``_window_by_key`` descending support)."""
-    from .query_utils import _window_by_key
+    from .query_utils import _window_by_key_arrow
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
 
-    def rank_fn(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(
-                {
-                    "l_orderkey": pd.Series([], dtype="int64"),
-                    "l_linenumber": pd.Series([], dtype="int64"),
-                    "l_extendedprice": pd.Series([], dtype="float64"),
-                    "price_rank": pd.Series([], dtype="int64"),
-                }
+    def rank_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64()), pa.array([], pa.int64())],
+                names=["l_orderkey", "l_linenumber", "l_extendedprice",
+                       "price_rank"],
             )
-        k = df["l_orderkey"].to_numpy()
+        k = t.column("l_orderkey").to_numpy()
         starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
         run_of = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(k)]))
         rank = np.arange(len(k)) - starts[run_of] + 1
-        out = pd.DataFrame(
-            {
-                "l_orderkey": k,
-                "l_linenumber": df["l_linenumber"].to_numpy(),
-                "l_extendedprice": df["l_extendedprice"].to_numpy(),
-                "price_rank": rank.astype("int64"),
-            }
-        )
-        return out.loc[out["price_rank"] <= 2].reset_index(drop=True)
+        out = t.append_column("price_rank", pa.array(rank.astype(np.int64)))
+        return out.filter(pa.array(rank <= 2))
 
-    return _window_by_key(
+    return _window_by_key_arrow(
         ds,
         ["l_orderkey"],
         ["l_orderkey", "l_extendedprice", "l_linenumber"],

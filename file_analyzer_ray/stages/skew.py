@@ -109,31 +109,30 @@ def scan_chunks(batch: pa.Table, chunk_size: int = 1 << 20) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=HIT_SCHEMA)
 
 
-def _assemble_runs(df) -> pa.Table:
+def _assemble_runs(t: pa.Table) -> pa.Table:
     """Complete doc runs (sorted by doc_id, payload_idx, offset, sig) →
     one row per doc with its ordered hit list. Vectorized run-boundary
-    assembly — no per-doc dispatch (doc count scales with the corpus)."""
+    assembly, Arrow end to end — the string doc_id/name columns never
+    become Python objects; the hit struct children are the input
+    columns re-wrapped behind list offsets (zero-copy)."""
     import numpy as np
 
-    if len(df) == 0:
+    if t.num_rows == 0:
         return pa.Table.from_pylist([], schema=CARVE_SCHEMA)
-    doc = df["doc_id"].to_numpy()
-    starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
-    ends = np.r_[starts[1:], len(doc)]
-    pis = df["payload_idx"].to_numpy()
-    offs = df["offset"].to_numpy()
-    names = df["name"].to_numpy()
+    from ..query_utils import _run_starts_mask_arrow
+
+    starts = np.flatnonzero(_run_starts_mask_arrow(t, ["doc_id"]))
     hit_struct = pa.StructArray.from_arrays(
         [
-            pa.array(pis, pa.int32()),
-            pa.array(offs, pa.int64()),
-            pa.array(names, pa.string()),
+            t.column("payload_idx").combine_chunks(),
+            t.column("offset").combine_chunks(),
+            t.column("name").combine_chunks(),
         ],
         fields=list(CARVE_SCHEMA.field("hits").type.value_type),
     )
-    offsets = pa.array(np.r_[starts, len(doc)].astype("int32"))
+    offsets = pa.array(np.r_[starts, t.num_rows].astype("int32"))
     return pa.Table.from_arrays(
-        [pa.array(doc[starts], pa.string()),
+        [t.column("doc_id").take(pa.array(starts)),
          pa.ListArray.from_arrays(offsets, hit_struct)],
         schema=CARVE_SCHEMA,
     )
@@ -143,10 +142,10 @@ def carve_exploded(
     docs: "ray.data.Dataset", chunk_size: int = 1 << 20
 ) -> "ray.data.Dataset":
     """Full explode → scan → reassemble carve over (doc_id, binary).
-    Reassembly is the sort + run-boundary pattern (``_window_by_key``)
-    — per-doc ``map_groups`` would pay Ray's per-group dispatch at
-    O(corpus) group count."""
-    from ..query_utils import _window_by_key
+    Reassembly is the sort + run-boundary pattern
+    (``_window_by_key_arrow``) — per-doc ``map_groups`` would pay Ray's
+    per-group dispatch at O(corpus) group count."""
+    from ..query_utils import _window_by_key_arrow
 
     chunks = docs.select_columns(["doc_id", "binary"]).map_batches(
         lambda b: explode_chunks(b, chunk_size), batch_format="pyarrow"
@@ -154,6 +153,6 @@ def carve_exploded(
     hits = chunks.map_batches(
         lambda b: scan_chunks(b, chunk_size), batch_format="pyarrow"
     )
-    return _window_by_key(
+    return _window_by_key_arrow(
         hits, ["doc_id"], ["doc_id", "payload_idx", "offset", "sig"], _assemble_runs
     )

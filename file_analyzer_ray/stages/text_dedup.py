@@ -564,36 +564,41 @@ def ngram_dedup_clusters(
         )
 
     if assembly == "distributed":
-        from ..query_utils import _window_by_key
+        from ..query_utils import _window_by_key_arrow
 
         labels = cc_min_label_propagation(pairs)
 
-        def clusters_fn(df: pd.DataFrame) -> pd.DataFrame:
-            if df.empty:
-                return pd.DataFrame(
-                    {
-                        "canonical_doc_id": pd.Series([], dtype="int64"),
-                        "cluster_size": pd.Series([], dtype="int64"),
-                        "member_ids": pd.Series([], dtype="object"),
-                    }
+        def clusters_fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                     pa.array([], pa.list_(pa.int64()))],
+                    names=["canonical_doc_id", "cluster_size", "member_ids"],
                 )
-            lab = df["label"].to_numpy()
-            node = df["node"].to_numpy()
+            lab = t.column("label").to_numpy()
+            node = t.column("node").to_numpy()
             starts = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
             ends = np.r_[starts[1:], len(lab)]
-            keep = (ends - starts) >= 2
-            return pd.DataFrame(
-                {
-                    "canonical_doc_id": lab[starts[keep]],
-                    "cluster_size": (ends - starts)[keep].astype("int64"),
-                    "member_ids": [
-                        sorted(node[s:e].tolist())
-                        for s, e in zip(starts[keep], ends[keep])
-                    ],
-                }
+            sizes = ends - starts
+            keep = sizes >= 2
+            # rows arrive sorted by (label, node): each kept run is
+            # already an ascending member list — assemble ALL lists with
+            # one repeat-mask + ListArray offsets, no per-run Python.
+            members = node[np.repeat(keep, sizes)]
+            offsets = np.concatenate(([0], np.cumsum(sizes[keep])))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(lab[starts[keep]].astype(np.int64)),
+                    pa.array(sizes[keep].astype(np.int64)),
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, pa.int32()),
+                        pa.array(members.astype(np.int64)),
+                    ),
+                ],
+                names=["canonical_doc_id", "cluster_size", "member_ids"],
             )
 
-        return _window_by_key(labels, ["label"], ["label", "node"], clusters_fn)
+        return _window_by_key_arrow(labels, ["label"], ["label", "node"], clusters_fn)
 
     pair_rows = pairs.take_all()  # verified pairs only: provably small
 
@@ -625,8 +630,6 @@ def ngram_dedup_clusters(
         for root, members in sorted(clusters.items())
         if len(members) >= 2
     ]
-    import pyarrow as pa
-
     schema = pa.schema(
         [
             ("canonical_doc_id", pa.int64()),

@@ -196,3 +196,62 @@ def test_runscan_helpers_invariant_under_block_splits(ray_session):
     assert len(got) == 5
     gw = _window_by_key(ds1, ["k"], ["k", "v"], window_fn).to_pandas()
     assert len(gw) == 1 and int(gw["n_rows"].iloc[0]) == 100
+
+
+def test_window_by_key_arrow_matches_pandas_twin(ray_session):
+    """_window_by_key_arrow must equal _window_by_key under every block
+    split, including with STRING keys (the Arrow run-boundary mask works
+    on the raw string buffers — this pins that path)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from file_analyzer_ray.query_utils import _window_by_key_arrow
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    keys = np.where(rng.random(n) < 0.35, 7, rng.integers(0, 150, n))
+    df = pd.DataFrame(
+        {
+            "k": np.array([f"key_{k:04d}" for k in keys]),  # string key
+            "v": rng.integers(0, 50, n).astype("int64"),
+        }
+    )
+    exp = (
+        df.groupby("k", as_index=False)
+        .agg(n_rows=("v", "size"), v_sum=("v", "sum"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+    def window_fn(t: pa.Table) -> pa.Table:
+        from file_analyzer_ray.query_utils import _run_starts_mask_arrow
+
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["k", "n_rows", "v_sum"],
+            )
+        starts = np.flatnonzero(_run_starts_mask_arrow(t, ["k"]))
+        ends = np.r_[starts[1:], t.num_rows]
+        v = t.column("v").to_numpy()
+        return pa.Table.from_arrays(
+            [
+                t.column("k").take(pa.array(starts)),
+                pa.array((ends - starts).astype(np.int64)),
+                pa.array(np.add.reduceat(v, starts).astype(np.int64)),
+            ],
+            names=["k", "n_rows", "v_sum"],
+        )
+
+    for nblocks in (1, 3, 17):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = (
+            _window_by_key_arrow(ds, ["k"], ["k", "v"], window_fn).to_pandas()
+            .sort_values("k").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"n_rows": "int64", "v_sum": "int64"}), exp
+        )
