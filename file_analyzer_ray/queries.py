@@ -1317,9 +1317,13 @@ def q_docs_minhash_near_dup(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs with verified Jaccard
     (rows-only): shingle → signature (per batch, vectorized) → band
     explode → groupby(band) candidates → exact-Jaccard verify."""
+    from .query_utils import _meta_rows
     from .stages.text_dedup import minhash_near_dup_pairs
 
-    return minhash_near_dup_pairs(_read_docs_coalesced(sf_dir), threshold=0.8)
+    return minhash_near_dup_pairs(
+        _read_docs_coalesced(sf_dir), threshold=0.8,
+        input_rows=_meta_rows(sf_dir, "documents"),
+    )
 
 
 def q_docs_ngram_dedup(sf_dir: str):

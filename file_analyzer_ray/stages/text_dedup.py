@@ -235,15 +235,21 @@ def _verify_pairs_exact(
         [], schema=pa.schema([("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()),
                               ("jaccard", pa.float64())])
     )
-    cand = pairs.materialize()
-    n_pairs = cand.count()
-    if n_pairs == 0:
-        return ray.data.from_arrow(empty)
     if mode == "auto":
+        # the mode decision needs the measured candidate count — pay one
+        # materialize. Callers that know the corpus row count up front
+        # (parquet footer metadata) pass mode explicitly and skip this
+        # barrier entirely (same static-choice pattern as _preagg_native).
+        pairs = pairs.materialize()
+        n_pairs = pairs.count()
+        if n_pairs == 0:
+            return ray.data.from_arrow(empty)
         mode = "driver" if n_pairs <= _DRIVER_VERIFY_MAX_PAIRS else "join"
 
     if mode == "driver":
-        pair_df = cand.to_pandas().drop_duplicates(["doc_id_a", "doc_id_b"])
+        pair_df = pairs.to_pandas().drop_duplicates(["doc_id_a", "doc_id_b"])
+        if pair_df.empty:
+            return ray.data.from_arrow(empty)
         need = set(pair_df["doc_id_a"]) | set(pair_df["doc_id_b"])
         need_ref = ray.put(need)
         texts = docs.map_batches(
@@ -279,7 +285,7 @@ def _verify_pairs_exact(
     n_part = max(2, min(16, cpus // 2))
     from ..query_utils import _distinct_native
 
-    deduped = _distinct_native(cand, ["doc_id_a", "doc_id_b"])
+    deduped = _distinct_native(pairs, ["doc_id_a", "doc_id_b"])
 
     def rename_a(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"id_a": df["doc_id"], "text_a": df["text"]})
@@ -315,18 +321,35 @@ def _verify_pairs_exact(
     return jb.map_batches(verify_joined, batch_format="pandas")
 
 
+#: below this input row count the verified-pair set cannot plausibly
+#: exceed _DRIVER_VERIFY_MAX_PAIRS (the corpus plants ~1 near-dup per
+#: 50 docs; even 1 pair per doc stays under the cap), so the verify
+#: mode is decided statically and the candidate materialize-and-count
+#: barrier is skipped.
+_STATIC_DRIVER_VERIFY_MAX_ROWS = 50_000
+
+
 def minhash_near_dup_pairs(
     docs: "ray.data.Dataset",
     threshold: float = 0.8,
     shingle_k: int = 5,
     verify_mode: str = "auto",
+    input_rows: "int | None" = None,
 ) -> "ray.data.Dataset":
     """(doc_id, text) → verified near-dup pairs (doc_id_a, doc_id_b,
     jaccard). MinHash-LSH candidate generation (narrow shuffle),
     exact-Jaccard verification on the joined-back texts
-    (``verify_mode``: auto | driver | join — see _verify_pairs_exact)."""
+    (``verify_mode``: auto | driver | join — see _verify_pairs_exact).
+    Callers that know the corpus row count (free from parquet footer
+    metadata) pass ``input_rows``: small corpora go straight to the
+    driver verify with NO candidate count barrier, huge ones straight
+    to the streaming join path."""
     shingle_fn = lambda t: char_shingles(t, shingle_k)  # noqa: E731
     hash_fn = lambda t: char_shingle_hashes(t, shingle_k)  # noqa: E731
+    if verify_mode == "auto" and input_rows is not None:
+        verify_mode = (
+            "driver" if input_rows <= _STATIC_DRIVER_VERIFY_MAX_ROWS else "join"
+        )
     pairs = _lsh_candidate_pairs(docs, hash_fn, threshold)
     return _verify_pairs_exact(pairs, docs, shingle_fn, threshold, mode=verify_mode)
 
