@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .query_utils import _cents, _preagg, _preagg_native, _read, _small_pdf  # noqa: F401
+from .query_utils import _cents, _preagg_native, _read, _small_pdf  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # helpers

@@ -31,18 +31,6 @@ def _cents(x: pd.Series) -> pd.Series:
     return np.round(x.to_numpy() * 100).astype(np.int64)
 
 
-def _preagg(ds, keys: list[str], partial, combine):
-    """Partial-aggregate inside map_batches, then a small groupby over
-    the per-batch partials (SURVEY.md §4: pre-aggregate before the
-    shuffle). ``combine`` runs per group — use only when the final
-    merge is not expressible as native aggregates (e.g. set unions);
-    otherwise prefer :func:`_preagg_native`."""
-    part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    return part.groupby(keys if len(keys) > 1 else keys[0]).map_groups(
-        combine, batch_format="pandas"
-    )
-
-
 _WINDOWED_MERGE_INPUT_ROWS = 8_000_000
 
 
