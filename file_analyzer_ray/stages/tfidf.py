@@ -1,0 +1,120 @@
+"""TF-IDF top-k terms per document — corpus-statistics scoring over an
+unbounded term vocabulary, composed entirely from the engine's scale
+primitives:
+
+    read (pruned)
+      → per-batch (doc_id, term, tf) rollup        map_batches, combiner
+      → document frequency per term                two-level aggregation
+      → idf join back onto the tf rows             Dataset hash join
+      → per-doc top-k                              ONE sort + run-scan
+                                                   rank (_window_by_key_arrow)
+
+Both the term-df aggregation and the per-doc rank run with no per-key
+Python dispatch; term cardinality and doc cardinality both scale with
+the corpus. The df table is joined (not broadcast): at web scale the
+vocabulary is O(100M) terms and does not fit a broadcast side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.text import TOKEN_RE
+from ..query_utils import _run_starts_mask_arrow, _window_by_key_arrow
+
+
+def _tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) batch → one (doc_id, term, tf) row per distinct
+    term per doc (the combiner: raw token occurrences never leave the
+    batch)."""
+    ids: list = []
+    terms: list = []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        for m in TOKEN_RE.finditer((text or "").lower()):
+            ids.append(doc_id)
+            terms.append(m.group())
+    if not ids:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "term": pd.Series([], dtype="object"),
+             "tf": pd.Series([], dtype="int64")}
+        )
+    out = pd.DataFrame({"doc_id": ids, "term": terms})
+    return out.groupby(["doc_id", "term"], as_index=False).size().rename(
+        columns={"size": "tf"}
+    )
+
+
+def tfidf_top_terms(
+    docs: "ray.data.Dataset", n_docs: int, k: int = 3,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """docs(doc_id:int64, text) → (doc_id, term, tfidf, term_rank ≤ k).
+
+    idf = ln(n_docs / df(term)); ties broken by term ascending.
+    ``n_docs`` comes from parquet footer metadata at the caller — no
+    count pass."""
+    tf = docs.map_batches(_tf_rows, batch_format="pandas", batch_size=4096)
+
+    # document frequency: tf already has one row per (doc, term) — df is
+    # a per-term row count. Per-batch partial counts, then sort+run-scan
+    # merge (term cardinality scales with the corpus; no per-key agg).
+    def df_partial(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("term", as_index=False).size().rename(columns={"size": "df"})
+
+    part = tf.map_batches(df_partial, batch_format="pandas", batch_size=65536)
+
+    def df_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.float64())],
+                names=["term", "idf"],
+            )
+        starts = np.flatnonzero(_run_starts_mask_arrow(t, ["term"]))
+        dfs = np.add.reduceat(t.column("df").to_numpy(), starts)
+        idf = np.log(float(n_docs) / dfs.astype(np.float64))
+        return pa.Table.from_arrays(
+            [t.column("term").take(pa.array(starts)), pa.array(idf)],
+            names=["term", "idf"],
+        )
+
+    idf = _window_by_key_arrow(part, ["term"], ["term"], df_merge)
+
+    scored = tf.join(
+        idf, join_type="inner", num_partitions=num_partitions,
+        on=("term",),
+    )
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].astype("int64"),
+                "term": d["term"],
+                "tfidf": d["tf"].to_numpy() * d["idf"].to_numpy(),
+            }
+        )
+
+    scored = scored.map_batches(score, batch_format="pandas")
+
+    def rank_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.string()),
+                 pa.array([], pa.float64()), pa.array([], pa.int64())],
+                names=["doc_id", "term", "tfidf", "term_rank"],
+            )
+        d = t.column("doc_id").to_numpy()
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        run_of = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(d)]))
+        rank = np.arange(len(d)) - starts[run_of] + 1
+        out = t.append_column("term_rank", pa.array(rank.astype(np.int64)))
+        return out.filter(pa.array(rank <= k))
+
+    return _window_by_key_arrow(
+        scored, ["doc_id"], ["doc_id", "tfidf", "term"], rank_fn,
+        descending=[False, True, False],
+    )
