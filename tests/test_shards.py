@@ -176,9 +176,11 @@ def test_bucketed_layout_join_matches_duckdb(ray_session, tmp_path):
         ray.data.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"]),
         db, "c_custkey", num_buckets=8,
     )
+    # Arrow join semantics: the right key column is coalesced into the
+    # left key (o_custkey), not duplicated the way pandas merge does.
     got = (
         bucketed_join(da, db, "o_custkey", "c_custkey", 8)
-        .to_pandas()[["o_orderkey", "c_custkey", "c_mktsegment"]]
+        .to_pandas()[["o_orderkey", "o_custkey", "c_mktsegment"]]
         .sort_values(["o_orderkey"])
         .reset_index(drop=True)
     )
@@ -189,6 +191,7 @@ def test_bucketed_layout_join_matches_duckdb(ray_session, tmp_path):
             ORDER BY o_orderkey"""
     ).df()
     assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    assert got["o_custkey"].tolist() == exp["c_custkey"].tolist()
     assert got["c_mktsegment"].tolist() == exp["c_mktsegment"].tolist()
     # bucketing is deterministic and stable
     assert bucket_of(42, 8) == bucket_of(42, 8)
