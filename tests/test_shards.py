@@ -88,6 +88,31 @@ def test_warm_pool_rerun_identical_and_cleaned_up(ray_session, tmp_path):
         sh.shutdown_pool()
 
 
+def test_warm_pool_rebuilds_after_actor_death(ray_session, tmp_path):
+    """A cached pooled worker killed between runs (node loss analog)
+    must not poison the pool: the next keep_pool run detects the dead
+    actor, rebuilds cold, and still produces identical output."""
+    import ray
+
+    from file_analyzer_ray.pipelines.extract import corpus_path
+    from file_analyzer_ray.state import shards as sh
+
+    src = corpus_path(4000)
+    out = str(tmp_path / "o")
+    try:
+        sh.run_sharded(src, out, resume=False, concurrency=2, keep_pool=True)
+        first = _read_sorted(out)
+        assert sh._POOL_CACHE is not None
+        ray.kill(sh._POOL_CACHE[1][0])  # simulate losing a worker
+        import shutil
+
+        shutil.rmtree(out)
+        sh.run_sharded(src, out, resume=False, concurrency=2, keep_pool=True)
+        assert first.equals(_read_sorted(out))
+    finally:
+        sh.shutdown_pool()
+
+
 def test_resume_reprocesses_regenerated_input_shard(ray_session, tmp_path):
     """A changed input shard with the SAME filename must NOT be skipped
     on resume (the fence records the input file's fingerprint)."""
