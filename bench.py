@@ -101,13 +101,21 @@ def run_bench() -> dict:
     # Best-of-2: this shared VM has ~2x window-to-window noise and the
     # recorded artifact is a single line — min-of-2 is the standard
     # noise-floor estimator and costs ~3 s.
+    from file_analyzer_ray.state import shards as _shards
+
     t_extract, rows = None, 0
     for _ in range(2):
         shutil.rmtree(out, ignore_errors=True)
+        # keep_pool amortizes actor spin-up (Spark-executor analog, the
+        # 100 TB steady state) — but the workers' per-content score memo
+        # would replay the FIRST run's results when the same corpus goes
+        # through again, so drop result caches before every timed run:
+        # we measure steady-state compute, not a content-cache hit.
+        if _shards._POOL_CACHE is not None:
+            import ray as _ray
+
+            _ray.get([a.reset_caches.remote() for a in _shards._POOL_CACHE[1]])
         t0 = time.monotonic()
-        # keep_pool: the second best-of-2 run reuses live workers
-        # (Spark-executor analog) — measures steady-state throughput,
-        # not per-run actor spin-up, which a 100 TB run amortizes to 0.
         metrics = run_sharded(src, out, score=True, resume=False,
                               run_meta={"bench": True}, keep_pool=True)
         dt = time.monotonic() - t0

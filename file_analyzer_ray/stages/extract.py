@@ -126,6 +126,12 @@ class ExtractStage:
             for name, magic in MAGIC_SIGNATURES
         ]
         self._max_magic = max(len(m) for _, m in MAGIC_SIGNATURES)
+        # Scoring is a pure function of the content hash (the mock model
+        # is content-seeded, tags/filename derive from its output), so
+        # exact duplicates — ~10% of web crawls, planted at that rate in
+        # the corpus — score once per actor. Bounded: worst case ~100 B
+        # per entry × 100k.
+        self._score_memo: dict[str, dict] = {}
         self._chunk = max(chunk_size, 4 * self._max_magic)
 
     # -- scanning helpers -------------------------------------------------
@@ -228,16 +234,20 @@ class ExtractStage:
         chash = _content_hash(norm_pairs, hash_payloads)
         score_row = None
         if self.score:
-            from ..functions.scoring import score_doc
-            from ..functions.text import TOKEN_RE
+            score_row = self._score_memo.get(chash)
+            if score_row is None:
+                from ..functions.scoring import score_doc
+                from ..functions.text import TOKEN_RE
 
-            words: list[str] = []
-            for j in range(start, start + n):
-                if out_k[j] in ("text", "ocr"):
-                    words.extend(TOKEN_RE.findall(out_t[j]))
-                    if len(words) >= self.max_words:
-                        break
-            score_row = score_doc(chash or "0" * 12, words[: self.max_words])
+                words: list[str] = []
+                for j in range(start, start + n):
+                    if out_k[j] in ("text", "ocr"):
+                        words.extend(TOKEN_RE.findall(out_t[j]))
+                        if len(words) >= self.max_words:
+                            break
+                score_row = score_doc(chash or "0" * 12, words[: self.max_words])
+                if len(self._score_memo) < 100_000:
+                    self._score_memo[chash] = score_row
         return n, chash, score_row
 
     # -- batch entry ------------------------------------------------------
