@@ -35,7 +35,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .query_utils import _cents, _distinct_native, _preagg_native, _read, _small_pdf
+from .query_utils import _cents, _preagg_native, _read
 
 # ---------------------------------------------------------------------------
 # distributed hash joins (Dataset.join — the real exchange)
