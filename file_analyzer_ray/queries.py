@@ -1389,24 +1389,38 @@ def q_embeddings_knn(sf_dir: str):
     qref = ray.put(qvec / np.linalg.norm(qvec))
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
+    def fn(t: pa.Table) -> pa.Table:
+        # zero-copy matrix: the list<float> column's flat value buffer
+        # reshaped (n, d) — no pandas object array of per-row ndarrays.
         q = ray.get(qref)
-        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        sims = (mat @ q) / np.linalg.norm(mat, axis=1)
-        out = pd.DataFrame({"vec_id": df["vec_id"], "cosine_sim": np.round(sims, 4)})
-        out = out[out["vec_id"] != 0]
-        return out.sort_values(
-            ["cosine_sim", "vec_id"], ascending=[False, True]
-        ).head(k)
+        col = t.column("embedding").combine_chunks()
+        ids = t.column("vec_id").to_numpy()
+        n = len(col)
+        # list_flatten (not .values): respects the array's slice offset
+        vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        mat = vals.reshape(n, len(vals) // n).astype(np.float64)
+        sims = np.round((mat @ q) / np.linalg.norm(mat, axis=1), 4)
+        keep = ids != 0
+        ids, sims = ids[keep], sims[keep]
+        # partial top-k, same (sim DESC, vec_id ASC) order as the merge
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.Table.from_arrays(
+            [pa.array(ids[order]), pa.array(sims[order])],
+            names=["vec_id", "cosine_sim"],
+        )
 
-    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(
-            ["cosine_sim", "vec_id"], ascending=[False, True]
-        ).head(k).reset_index(drop=True)
+    def merge_topk(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        sims = t.column("cosine_sim").to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.Table.from_arrays(
+            [pa.array(ids[order]), pa.array(sims[order])],
+            names=["vec_id", "cosine_sim"],
+        )
 
-    scored = ds.map_batches(fn, batch_format="pandas")
+    scored = ds.map_batches(fn, batch_format="pyarrow")
     return scored.repartition(1).map_batches(
-        merge_topk, batch_format="pandas", batch_size=None
+        merge_topk, batch_format="pyarrow", batch_size=None
     )
 
 
