@@ -1,0 +1,90 @@
+"""Deterministic sampling operators vs DuckDB oracles (in-repo oracle:
+the driver registry is at its 50-entry cap)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+SQL_STRAT = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UINT32)
+      < CASE lang WHEN 'en' THEN 0.25 * 4294967296.0
+                  WHEN 'de' THEN 1.0 * 4294967296.0
+                  ELSE 0.5 * 4294967296.0 END
+"""
+
+SQL_K_PER_GROUP = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UINT32) AS hk
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rk <= 7
+"""
+
+
+def test_stratified_rate_matches_duckdb(ray_session):
+    import ray.data
+
+    from file_analyzer_ray.stages.sampling import stratified_sample_rate
+
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang"],
+        override_num_blocks=4,
+    )
+    got = (
+        stratified_sample_rate(
+            ds, "lang", "doc_id", {"en": 0.25, "de": 1.0}, default_rate=0.5
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.execute(SQL_STRAT).df().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["lang"].tolist() == exp["lang"].tolist()
+    # the sample is a real subsample, not empty and not everything
+    n_all = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(got) < n_all
+
+
+def test_k_per_group_matches_duckdb(ray_session):
+    import ray.data
+
+    from file_analyzer_ray.stages.sampling import sample_k_per_group
+
+    for nblocks in (1, 4):
+        ds = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "lang"],
+            override_num_blocks=nblocks,
+        )
+        got = (
+            sample_k_per_group(ds, "lang", "doc_id", k=7)
+            .to_pandas()
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+        )
+        exp = (
+            con.execute(SQL_K_PER_GROUP).df()
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        # every language contributes, none above k
+        sizes = got.groupby("lang").size()
+        assert (sizes <= 7).all() and len(sizes) >= 2
