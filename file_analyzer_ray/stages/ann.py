@@ -36,6 +36,36 @@ def kmeans_fit(x: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.nda
     return centroids
 
 
+def _point_read_query_vec(sf_dir: str, query_vec_id: int) -> np.ndarray:
+    """PUSHDOWN POINT-READ of one embedding (predicate on vec_id →
+    parquet row-group pruning; the driver never materializes the table)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+
+    qrow = pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["embedding"], filter=pc.field("vec_id") == query_vec_id
+    )
+    return np.array(qrow["embedding"][0].as_py(), dtype=np.float64)
+
+
+def train_quantizer(sf_dir: str, n_centroids: int) -> np.ndarray:
+    """Deterministic spherical-k-means coarse quantizer from a bounded
+    head sample (first rows only leave storage; at 10^12 scale switch
+    to ds.random_sample). SPHERICAL: the metric is cosine, so train and
+    assign on UNIT vectors — Euclidean cells over raw norms don't align
+    with cosine neighborhoods at all (r2 shipped that; recall at sf0.01
+    was 0/10 because the query landed in a norm-cell, not an
+    angle-cell)."""
+    import pyarrow.dataset as pds
+
+    dset = pds.dataset(f"{sf_dir}/embeddings.parquet")
+    sample = np.stack(
+        dset.head(2048, columns=["embedding"])["embedding"].to_pylist()
+    ).astype(np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    return kmeans_fit(sample, n_centroids)
+
+
 def knn_ivf(
     sf_dir: str,
     k: int = 10,
@@ -44,30 +74,11 @@ def knn_ivf(
     query_vec_id: int = 0,
 ) -> "ray.data.Dataset":
     """Top-k cosine neighbors of ``query_vec_id``'s embedding, probing
-    only the nearest ``n_probe`` IVF cells. The query vector is a
-    PUSHDOWN POINT-READ (predicate on vec_id → parquet row-group
-    pruning) and the quantizer trains on a bounded head sample — the
-    driver never materializes the table (round-1 read it whole)."""
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pds
-
-    dset = pds.dataset(f"{sf_dir}/embeddings.parquet")
-    qrow = dset.to_table(
-        columns=["embedding"], filter=pc.field("vec_id") == query_vec_id
-    )
-    qvec = np.array(qrow["embedding"][0].as_py(), dtype=np.float64)
-    # Train the coarse quantizer on a bounded head sample (first rows
-    # only leave storage; at 10^12 scale switch to ds.random_sample).
-    # SPHERICAL k-means: the metric is cosine, so train and assign on
-    # UNIT vectors — Euclidean cells over raw norms don't align with
-    # cosine neighborhoods at all (r2 shipped that; recall at sf0.01
-    # was 0/10 because the query landed in a norm-cell, not an
-    # angle-cell).
-    sample = np.stack(
-        dset.head(2048, columns=["embedding"])["embedding"].to_pylist()
-    ).astype(np.float64)
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
-    centroids = kmeans_fit(sample, n_centroids)
+    only the nearest ``n_probe`` IVF cells (cell membership evaluated
+    per scan batch — the whole table is still READ; see
+    :func:`knn_ivf_layout` for the layout that prunes the read)."""
+    qvec = _point_read_query_vec(sf_dir, query_vec_id)
+    centroids = train_quantizer(sf_dir, n_centroids)
     qn = qvec / np.linalg.norm(qvec)
     probe_cells = np.argsort(((centroids - qn) ** 2).sum(axis=1))[:n_probe]
     ref = ray.put((qn, centroids, set(int(c) for c in probe_cells)))
@@ -108,6 +119,107 @@ def knn_ivf(
 
     scored = ds.map_batches(score, batch_format="pandas")
     return scored.repartition(1).map_batches(
+        merge_topk, batch_format="pandas", batch_size=None
+    )
+
+
+def write_ivf_layout(
+    sf_dir: str, out_dir: str, n_centroids: int = 8
+) -> str:
+    """Write the embeddings table IVF-bucketed by quantizer cell
+    (hive layout ``out_dir/cell=N/`` + ``centroids.npy``) — the 100 TB
+    ANN path: :func:`knn_ivf` evaluates cell membership per scan batch
+    but still READS every row; with this layout a probe reads ONLY its
+    cells' files from storage. Pay the exchange once at write time,
+    reuse it for every query (same doctrine as state/bucketed.py).
+    Deterministic: the quantizer is the same seeded spherical k-means
+    as the scan-based path, so both agree on cell membership."""
+    import os
+
+    from ..state.guard import validate_sink_dir
+
+    out_dir = validate_sink_dir(out_dir)
+    centroids = train_quantizer(sf_dir, n_centroids)
+    cref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        d = ((matn[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        out = df.copy()
+        out["cell"] = d.argmin(axis=1).astype(np.int64)
+        return out
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ds.map_batches(assign, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    return out_dir
+
+
+def knn_ivf_layout(
+    layout_dir: str,
+    sf_dir: str,
+    k: int = 10,
+    n_probe: int = 2,
+    query_vec_id: int = 0,
+) -> "ray.data.Dataset":
+    """Top-k cosine neighbors over a :func:`write_ivf_layout` layout:
+    ONLY the ``n_probe`` nearest cells' files are read (the read is
+    pruned at storage, not filtered after). Result is identical to
+    :func:`knn_ivf` with the same quantizer params — pytest pins the
+    equality."""
+    import os
+
+    centroids = np.load(os.path.join(layout_dir, "centroids.npy"))
+    qvec = _point_read_query_vec(sf_dir, query_vec_id)
+    qn = qvec / np.linalg.norm(qvec)
+    import glob as _glob
+
+    probe = np.argsort(((centroids - qn) ** 2).sum(axis=1))[:n_probe]
+    paths = [
+        f
+        for c in probe
+        for f in sorted(
+            _glob.glob(os.path.join(layout_dir, f"cell={int(c)}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.Table.from_pylist(
+            [], schema=pa.schema([("vec_id", pa.int64()),
+                                  ("cosine_sim", pa.float64())])
+        ))
+    qref = ray.put(qn)
+    ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        keep = (df["vec_id"] != query_vec_id).to_numpy()
+        if not keep.any():
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "cosine_sim": pd.Series([], dtype="float64")})
+        mat = np.stack(df["embedding"].to_numpy()[keep]).astype(np.float64)
+        sims = (mat @ q) / np.linalg.norm(mat, axis=1)
+        out = pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy()[keep],
+             "cosine_sim": np.round(sims, 4)}
+        )
+        return out.sort_values(
+            ["cosine_sim", "vec_id"], ascending=[False, True]
+        ).head(k)
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["cosine_sim", "vec_id"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
+
+    return ds.map_batches(score, batch_format="pandas").repartition(1).map_batches(
         merge_topk, batch_format="pandas", batch_size=None
     )
 

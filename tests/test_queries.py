@@ -164,6 +164,28 @@ def test_ivf_recall_vs_bruteforce(registry):
     assert recall >= 0.5, f"IVF recall {recall} too low"
 
 
+def test_ivf_layout_equals_scan_path(registry, tmp_path):
+    """The bucketed IVF layout (probe reads ONLY its cells' files) must
+    return exactly the scan-based knn_ivf result — same quantizer, same
+    probes, pruned at storage instead of filtered after the read."""
+    from file_analyzer_ray.stages.ann import (
+        knn_ivf,
+        knn_ivf_layout,
+        write_ivf_layout,
+    )
+
+    layout = write_ivf_layout(SF_DIR, str(tmp_path / "ivf"), n_centroids=8)
+    a = _to_pandas(knn_ivf(SF_DIR, k=10, n_centroids=8, n_probe=2))
+    b = _to_pandas(knn_ivf_layout(layout, SF_DIR, k=10, n_probe=2))
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert a["cosine_sim"].tolist() == b["cosine_sim"].tolist()
+    # the quantizer actually split the space (so the probe is a real prune)
+    import glob
+
+    all_cells = glob.glob(str(tmp_path / "ivf" / "cell=*"))
+    assert len(all_cells) >= 4
+
+
 def test_langid_predictions_sensible(registry):
     """The testdata's ``lang`` labels are synthetic and uncorrelated with
     the (English word-soup) text, so accuracy-vs-label is meaningless
