@@ -135,6 +135,28 @@ def run_bench() -> dict:
         _consume(QUERIES[name](SF_DIR))
         q_times[name] = round(time.monotonic() - t0, 3)
 
+    if bench_queries:
+        # library operators outside the 50-entry driver registry —
+        # timed here so their per-round perf is on the record too
+        import pyarrow.parquet as _pq
+
+        import ray.data as _rd
+
+        from file_analyzer_ray.stages.packing import pack_sequences
+        from file_analyzer_ray.stages.tfidf import tfidf_top_terms
+
+        n_docs_tbl = _pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+        docs = _rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
+            override_num_blocks=8,
+        )
+        t0 = time.monotonic()
+        _consume(tfidf_top_terms(docs, n_docs=n_docs_tbl, k=3))
+        q_times["docs_tfidf_top_terms"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        _consume(pack_sequences(docs, seq_len=2048))
+        q_times["docs_pack_sequences"] = round(time.monotonic() - t0, 3)
+
     result = {
         "metric": "end_to_end_extraction_sec",
         "value": round(t_extract, 3),
