@@ -122,6 +122,12 @@ def run_bench() -> dict:
         if t_extract is None or dt < t_extract:
             t_extract, rows = dt, metrics["rows"]
 
+    # Release the warm pool BEFORE the query block: its num_cpus=1
+    # actors pin every core on a <=8-CPU session, and the query block's
+    # Ray Data tasks then never schedule (observed as a hard deadlock
+    # inside read_parquet's metadata sampling at num_cpus=8).
+    _shards.shutdown_pool()
+
     q_times: dict[str, float] = {}
     bench_queries = [] if os.environ.get("GRAFT_BENCH_NO_QUERIES") else BENCH_QUERIES
     if bench_queries:

@@ -1566,68 +1566,19 @@ def q_media_features(sf_dir: str):
     modalities in one union result (image decode/resize, per-frame
     video sampling, audio waveform descriptors — the r2-separate
     media_frame_features / media_audio_features entries fold in here
-    so the whole family gets one driver row): explode media spans →
-    three actor-pool feature stages → project to a common schema →
-    union. Decode is the documented deterministic stub; the Ray-side
-    plumbing (schemas, actor pools, batch sizes) is real. Rows-only."""
+    so the whole family gets one driver row). Runs the FUSED one-pass
+    plan: explode media spans ONCE → one actor pool computing all
+    three projections per payload (frame-0 decode shared between the
+    image and frame paths). Equality against the three-pool union plan
+    is pytest-verified (test_fused_media_equals_union). Decode is the
+    documented deterministic stub; the Ray-side plumbing (schemas,
+    actor pool, batch sizes) is real. Rows-only."""
     from .pipelines.extract import corpus_path
-    from .stages.multimodal import audio_features, frame_features, media_features
+    from .stages.multimodal import fused_media_features
 
     src = corpus_path(_extract_docs_count(sf_dir))
     docs = ray.data.read_parquet(src, file_extensions=["parquet"])
-
-    def proj_image(t: pa.Table) -> pa.Table:
-        n = len(t)
-        return pa.Table.from_arrays(
-            [
-                t["doc_id"], t["media_ref"],
-                pa.array(["image"] * n, pa.string()),
-                pa.array([0] * n, pa.int64()),
-                t["height"].combine_chunks().cast(pa.int64()),
-                t["width"].combine_chunks().cast(pa.int64()),
-                t["n_frames_sampled"].combine_chunks().cast(pa.int64()),
-                t["status"],
-            ],
-            names=["doc_id", "media_ref", "modality", "idx", "d1", "d2",
-                   "n_units", "status"],
-        )
-
-    def proj_frame(t: pa.Table) -> pa.Table:
-        n = len(t)
-        nf = pc.list_value_length(t["features"]).cast(pa.int64())
-        zeros = pa.array([0] * n, pa.int64())
-        return pa.Table.from_arrays(
-            [
-                t["doc_id"], t["media_ref"],
-                pa.array(["frame"] * n, pa.string()),
-                t["frame_idx"].combine_chunks().cast(pa.int64()),
-                zeros, zeros, nf.combine_chunks() if nf.num_chunks > 1 else nf,
-                pa.array(["ok"] * n, pa.string()),
-            ],
-            names=["doc_id", "media_ref", "modality", "idx", "d1", "d2",
-                   "n_units", "status"],
-        )
-
-    def proj_audio(t: pa.Table) -> pa.Table:
-        n = len(t)
-        zeros = pa.array([0] * n, pa.int64())
-        return pa.Table.from_arrays(
-            [
-                t["doc_id"], t["media_ref"],
-                pa.array(["audio"] * n, pa.string()),
-                t["dominant_freq_bin"].combine_chunks().cast(pa.int64()),
-                t["n_samples"].combine_chunks().cast(pa.int64()),
-                zeros, zeros,
-                t["status"],
-            ],
-            names=["doc_id", "media_ref", "modality", "idx", "d1", "d2",
-                   "n_units", "status"],
-        )
-
-    img = media_features(docs).map_batches(proj_image, batch_format="pyarrow")
-    frm = frame_features(docs).map_batches(proj_frame, batch_format="pyarrow")
-    aud = audio_features(docs).map_batches(proj_audio, batch_format="pyarrow")
-    return img.union(frm).union(aud)
+    return fused_media_features(docs)
 
 
 def q_embeddings_knn_ivf(sf_dir: str):

@@ -131,7 +131,7 @@ def _register_builtins() -> None:
     """Built-in stage names (the engine's own operators, exposed the
     same way a user extension would be)."""
     from .stages.extract import ExtractStage
-    from .stages.multimodal import DecodeStage, explode_media
+    from .stages.multimodal import DecodeStage, FusedMediaStage, explode_media
     from .stages.scorer import ScorerStage
 
     register_stage("extract", ExtractStage)
@@ -140,6 +140,7 @@ def _register_builtins() -> None:
     register_stage("score", ScorerStage)
     register_stage("explode_media", explode_media)
     register_stage("decode_media", DecodeStage, batch_size=64)
+    register_stage("fused_media", FusedMediaStage, batch_size=64)
 
 
 _register_builtins()

@@ -274,50 +274,50 @@ class AudioFeatureStage:
         wave = np.frombuffer(payload[:n], dtype="<i2")
         return wave[: self.max_samples]
 
+    def _row(self, doc_id: str, ref: str, payload: bytes) -> dict:
+        try:
+            w = self._decode_waveform(payload or b"").astype(np.float64)
+            if not len(w):
+                raise ValueError("empty waveform")
+            rms = float(np.sqrt(np.mean(w * w)))
+            signs = np.signbit(w)
+            zcr = float(np.mean(signs[1:] != signs[:-1])) if len(w) > 1 else 0.0
+            spec = np.abs(np.fft.rfft(w))
+            dom = int(np.argmax(spec[1:]) + 1) if len(spec) > 1 else 0
+            freqs = np.arange(len(spec))
+            denom = float(spec.sum())
+            centroid = float((freqs * spec).sum() / denom) if denom else 0.0
+            return {
+                "doc_id": doc_id,
+                "media_ref": ref,
+                "n_samples": len(w),
+                "rms": round(rms, 3),
+                "zero_crossing_rate": round(zcr, 5),
+                "dominant_freq_bin": dom,
+                "spectral_centroid": round(centroid, 3),
+                "status": "success",
+            }
+        except Exception as exc:  # error channel, never a failed block
+            return {
+                "doc_id": doc_id,
+                "media_ref": ref,
+                "n_samples": 0,
+                "rms": 0.0,
+                "zero_crossing_rate": 0.0,
+                "dominant_freq_bin": 0,
+                "spectral_centroid": 0.0,
+                "status": f"error: {type(exc).__name__}"[:100],
+            }
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
-        for doc_id, ref, payload in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("media_ref").to_pylist(),
-            batch.column("payload").to_pylist(),
-        ):
-            try:
-                w = self._decode_waveform(payload or b"").astype(np.float64)
-                if not len(w):
-                    raise ValueError("empty waveform")
-                rms = float(np.sqrt(np.mean(w * w)))
-                signs = np.signbit(w)
-                zcr = float(np.mean(signs[1:] != signs[:-1])) if len(w) > 1 else 0.0
-                spec = np.abs(np.fft.rfft(w))
-                dom = int(np.argmax(spec[1:]) + 1) if len(spec) > 1 else 0
-                freqs = np.arange(len(spec))
-                denom = float(spec.sum())
-                centroid = float((freqs * spec).sum() / denom) if denom else 0.0
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "media_ref": ref,
-                        "n_samples": len(w),
-                        "rms": round(rms, 3),
-                        "zero_crossing_rate": round(zcr, 5),
-                        "dominant_freq_bin": dom,
-                        "spectral_centroid": round(centroid, 3),
-                        "status": "success",
-                    }
-                )
-            except Exception as exc:  # error channel, never a failed block
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "media_ref": ref,
-                        "n_samples": 0,
-                        "rms": 0.0,
-                        "zero_crossing_rate": 0.0,
-                        "dominant_freq_bin": 0,
-                        "spectral_centroid": 0.0,
-                        "status": f"error: {type(exc).__name__}"[:100],
-                    }
-                )
+        rows = [
+            self._row(doc_id, ref, payload)
+            for doc_id, ref, payload in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("media_ref").to_pylist(),
+                batch.column("payload").to_pylist(),
+            )
+        ]
         return pa.Table.from_pylist(rows, schema=AUDIO_SCHEMA)
 
 
@@ -438,5 +438,205 @@ def media_features(
         fn_constructor_kwargs={"target": target, "mode": mode},
         batch_format="pyarrow",
         batch_size=batch_size if mode is None else 16,
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# fused one-pass union of all three modalities
+
+UNION_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("modality", pa.string()),
+        ("idx", pa.int64()),
+        ("d1", pa.int64()),
+        ("d2", pa.int64()),
+        ("n_units", pa.int64()),
+        ("status", pa.string()),
+    ]
+)
+
+
+class FusedMediaStage(DecodeStage):
+    """One actor pool computing ALL THREE modality projections per media
+    span (image decode-dims, per-sampled-frame feature counts, audio
+    descriptors) in a single pass over the payload, emitting the common
+    union schema directly. Semantically identical to running
+    DecodeStage + FrameFeatureStage + AudioFeatureStage and unioning
+    their projections (equality-tested in
+    tests/test_ml_ops.py::test_fused_media_equals_union), but reads and
+    explodes the corpus ONCE and shares the frame-0 decode between the
+    image and frame paths — one pool instead of three competing
+    autoscaling pools."""
+
+    def __init__(self, target: int = 64, frame_bytes: int = 4096, stride: int = 4,
+                 max_samples: int = 1 << 15):
+        super().__init__(target=target, frame_bytes=frame_bytes, stride=stride)
+        self._audio = AudioFeatureStage(max_samples=max_samples)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        out_doc: list[str] = []
+        out_ref: list[str] = []
+        out_mod: list[str] = []
+        out_idx: list[int] = []
+        out_d1: list[int] = []
+        out_d2: list[int] = []
+        out_nu: list[int] = []
+        out_st: list[str] = []
+
+        def emit(doc, ref, mod, idx, d1, d2, nu, st):
+            out_doc.append(doc)
+            out_ref.append(ref)
+            out_mod.append(mod)
+            out_idx.append(idx)
+            out_d1.append(d1)
+            out_d2.append(d2)
+            out_nu.append(nu)
+            out_st.append(st)
+
+        n_feat = self.N_BINS + 2
+        for doc_id, ref, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("media_ref").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            payload = payload or b""
+            frames = frame_sample(payload, self.frame_bytes, self.stride)
+            # image projection (DecodeStage row → proj_image mapping)
+            frame0_ok = False
+            try:
+                img = self._decode(frames[0] if frames else b"")
+                boxed = resize_letterbox(img, self.target)
+                self._features(boxed)
+                emit(doc_id, ref, "image", 0, int(img.shape[0]),
+                     int(img.shape[1]), len(frames), "success")
+                frame0_ok = True
+            except Exception as exc:
+                emit(doc_id, ref, "image", 0, 0, 0, 0,
+                     f"error: {type(exc).__name__}"[:100])
+            # frame projection (FrameFeatureStage rows → proj_frame):
+            # n_units = len(features) (N_BINS+2 on success, 0 on error)
+            for fi, frame in enumerate(frames):
+                if fi == 0 and frame0_ok:
+                    emit(doc_id, ref, "frame", 0, 0, 0, n_feat, "ok")
+                    continue
+                try:
+                    self._features(resize_letterbox(self._decode(frame), self.target))
+                    nu = n_feat
+                except Exception:
+                    nu = 0
+                emit(doc_id, ref, "frame", fi, 0, 0, nu, "ok")
+            # audio projection (AudioFeatureStage row → proj_audio)
+            a = self._audio._row(doc_id, ref, payload)
+            emit(doc_id, ref, "audio", a["dominant_freq_bin"],
+                 a["n_samples"], 0, 0, a["status"])
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_doc, pa.string()),
+                pa.array(out_ref, pa.string()),
+                pa.array(out_mod, pa.string()),
+                pa.array(out_idx, pa.int64()),
+                pa.array(out_d1, pa.int64()),
+                pa.array(out_d2, pa.int64()),
+                pa.array(out_nu, pa.int64()),
+                pa.array(out_st, pa.string()),
+            ],
+            schema=UNION_SCHEMA,
+        )
+
+
+def union_media_features(
+    docs: "ray.data.Dataset",
+    concurrency: "int | tuple[int, int] | None" = None,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Three-pool reference plan for the multimodal union: run
+    DecodeStage + FrameFeatureStage + AudioFeatureStage as separate
+    actor pools and project each output onto UNION_SCHEMA. Kept as the
+    equality oracle for ``fused_media_features`` (which computes the
+    same rows in ONE pass); prefer the fused path in real pipelines —
+    this one reads and explodes the corpus three times."""
+    import pyarrow.compute as pc
+
+    def proj_image(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].combine_chunks(),
+                t["media_ref"].combine_chunks(),
+                pa.array(["image"] * n, pa.string()),
+                pa.array([0] * n, pa.int64()),
+                t["height"].combine_chunks().cast(pa.int64()),
+                t["width"].combine_chunks().cast(pa.int64()),
+                t["n_frames_sampled"].combine_chunks().cast(pa.int64()),
+                t["status"].combine_chunks(),
+            ],
+            schema=UNION_SCHEMA,
+        )
+
+    def proj_frame(t: pa.Table) -> pa.Table:
+        n = len(t)
+        nf = pc.list_value_length(t["features"]).cast(pa.int64())
+        zeros = pa.array([0] * n, pa.int64())
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].combine_chunks(),
+                t["media_ref"].combine_chunks(),
+                pa.array(["frame"] * n, pa.string()),
+                t["frame_idx"].combine_chunks().cast(pa.int64()),
+                zeros, zeros,
+                nf.combine_chunks() if isinstance(nf, pa.ChunkedArray) else nf,
+                pa.array(["ok"] * n, pa.string()),
+            ],
+            schema=UNION_SCHEMA,
+        )
+
+    def proj_audio(t: pa.Table) -> pa.Table:
+        n = len(t)
+        zeros = pa.array([0] * n, pa.int64())
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].combine_chunks(),
+                t["media_ref"].combine_chunks(),
+                pa.array(["audio"] * n, pa.string()),
+                t["dominant_freq_bin"].combine_chunks().cast(pa.int64()),
+                t["n_samples"].combine_chunks().cast(pa.int64()),
+                zeros, zeros,
+                t["status"].combine_chunks(),
+            ],
+            schema=UNION_SCHEMA,
+        )
+
+    img = media_features(docs, concurrency=concurrency, batch_size=batch_size)
+    frm = frame_features(docs, concurrency=concurrency, batch_size=batch_size)
+    aud = audio_features(docs, concurrency=concurrency, batch_size=batch_size)
+    return (
+        img.map_batches(proj_image, batch_format="pyarrow")
+        .union(frm.map_batches(proj_frame, batch_format="pyarrow"))
+        .union(aud.map_batches(proj_audio, batch_format="pyarrow"))
+    )
+
+
+def fused_media_features(
+    docs: "ray.data.Dataset",
+    concurrency: "int | tuple[int, int] | None" = None,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Single-pool multimodal union: explode once → FusedMediaStage.
+    The pool can start above one actor because it is the ONLY pool in
+    the plan (unlike the three-way union path)."""
+    import ray
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (max(1, cpus // 8), max(2, cpus - 2))
+    media = docs.map_batches(explode_media, batch_format="pyarrow")
+    return media.map_batches(
+        FusedMediaStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
         concurrency=concurrency,
     )

@@ -378,6 +378,33 @@ def test_media_features_pipeline_covers_all_media_spans(ray_session):
     assert feats["media_ref"].is_unique
 
 
+def test_fused_media_equals_union(ray_session):
+    """FusedMediaStage (one pool, one pass, shared frame-0 decode) must
+    emit EXACTLY the rows of the three-pool DecodeStage +
+    FrameFeatureStage + AudioFeatureStage union plan."""
+    import ray.data
+
+    from file_analyzer_ray.pipelines.extract import corpus_path
+    from file_analyzer_ray.stages.multimodal import (
+        fused_media_features,
+        union_media_features,
+    )
+
+    src = corpus_path(200)
+    key = ["doc_id", "media_ref", "modality", "idx"]
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values(key).reset_index(drop=True)
+        assert not df.duplicated(key).any()
+        return df
+
+    fused = norm(fused_media_features(ray.data.read_parquet(src)))
+    union = norm(union_media_features(ray.data.read_parquet(src)))
+    pd.testing.assert_frame_equal(fused, union)
+    assert (fused["modality"].value_counts()[["image", "audio"]] > 0).all()
+    assert (fused["modality"] == "frame").any()
+
+
 def test_audio_feature_stage_deterministic_and_sane(ray_session):
     import pyarrow as pa
 
