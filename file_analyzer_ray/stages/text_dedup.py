@@ -31,7 +31,6 @@ from ..functions.hashing import (
     MinHasher,
     char_shingle_hashes,
     jaccard,
-    stable_u64,
     word_ngram_hashes,
 )
 from ..functions.text import char_shingles, word_ngrams
@@ -62,30 +61,63 @@ class SignatureStage:
     def __init__(self, hash_fn):
         self.hash_fn = hash_fn
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         mh = _hasher()
         sigs = [
             mh.signature_from_hashes(self.hash_fn(t)).tobytes()
-            for t in df["text"]
+            for t in batch.column("text").to_pylist()
         ]
-        return pd.DataFrame({"doc_id": df["doc_id"], "text": df["text"], "sig": sigs})
+        return batch.select(["doc_id", "text"]).append_column(
+            "sig", pa.array(sigs, pa.binary())
+        )
 
 
-def _explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+# splitmix64 finalizer constants — the band-key mixer below only needs
+# "equal chunks → equal key" plus decent spread; cross-chunk collisions
+# merely add candidates that the exact-Jaccard verify removes.
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _explode_bands(batch: pa.Table) -> pa.Table:
     """Band rows (band, doc_id, sig): text never crosses the candidate
     shuffle; the signature (512 B) rides along so buckets can prefilter
-    pairs by estimated Jaccard before the exact verify."""
+    pairs by estimated Jaccard before the exact verify. Fully
+    vectorized: the batch's signatures form ONE (n, _N_PERM) uint64
+    matrix and every band key comes from a splitmix64-style mix over
+    that matrix — no per-doc Python loop, no per-band sha256 call
+    (the old path paid 16 hashlib round-trips per document)."""
+    n = batch.num_rows
     rows_per_band = _N_PERM // _N_BANDS
-    out_band, out_doc, out_sig = [], [], []
-    for doc_id, sig in zip(df["doc_id"], df["sig"]):
-        arr = np.frombuffer(sig, dtype=np.uint64)
-        for b in range(_N_BANDS):
-            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
-            key = (b << 48) | (stable_u64(chunk.tobytes(), b"band:") & ((1 << 48) - 1))
-            out_band.append(key)
-            out_doc.append(doc_id)
-            out_sig.append(sig)
-    return pd.DataFrame({"band": out_band, "doc_id": out_doc, "sig": out_sig})
+    sig_arr = batch.column("sig")
+    if isinstance(sig_arr, pa.ChunkedArray):
+        sig_arr = sig_arr.combine_chunks()
+    mat = np.frombuffer(
+        b"".join(sig_arr.to_pylist()), dtype=np.uint64
+    ).reshape(n, _N_PERM)
+    chunks = mat.reshape(n, _N_BANDS, rows_per_band)
+    h = np.zeros((n, _N_BANDS), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(rows_per_band):
+            h = (h ^ chunks[:, :, j]) * _MIX1
+            h ^= h >> np.uint64(29)
+            h *= _MIX2
+            h ^= h >> np.uint64(32)
+    band_idx = np.arange(_N_BANDS, dtype=np.uint64)
+    key = (band_idx[None, :] << np.uint64(48)) | (h & np.uint64((1 << 48) - 1))
+    rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), _N_BANDS))
+    return pa.Table.from_arrays(
+        [
+            pa.array(key.reshape(-1).astype(np.int64)),
+            (
+                batch.column("doc_id").combine_chunks()
+                if isinstance(batch.column("doc_id"), pa.ChunkedArray)
+                else batch.column("doc_id")
+            ).take(rep),
+            sig_arr.take(rep),
+        ],
+        names=["band", "doc_id", "sig"],
+    )
 
 
 def _make_bucket_candidates(threshold: float, est_margin: float = 0.15):
@@ -164,9 +196,9 @@ def _lsh_candidate_pairs(docs, hash_fn, threshold: float) -> "ray.data.Dataset":
     """
     cutoff = threshold - 0.15  # see _make_bucket_candidates
     sigs = docs.map_batches(
-        SignatureStage(hash_fn), batch_format="pandas", batch_size=1024,
+        SignatureStage(hash_fn), batch_format="pyarrow", batch_size=1024,
     )
-    bands = sigs.map_batches(_explode_bands, batch_format="pandas")
+    bands = sigs.map_batches(_explode_bands, batch_format="pyarrow")
     sorted_bands = bands.sort("band").materialize()
 
     def interior_pairs(t: pa.Table) -> pa.Table:
