@@ -1561,6 +1561,61 @@ def q_docs_simhash_near_dup(sf_dir: str):
     return simhash_near_dup_pairs(ds, max_hamming=3)
 
 
+def q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3-style n-gram overlap rule):
+    docs with doc_id % 37 == 0 play the benchmark/probe set; every
+    OTHER doc is flagged with the count of its DISTINCT word 3-grams
+    that appear anywhere in the probe set. Probe grams are built on
+    the driver and broadcast once via ray.put (the 100 TB shape —
+    benchmarks are MBs, the corpus is TBs); the distributed join path
+    for huge probe sets is equality-tested in pytest
+    (stages/decontaminate.py)."""
+    from .stages.decontaminate import decontaminate, probe_gram_set
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(t: pa.Table, probe: bool) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = ids % 37 == 0
+        return t.filter(pa.array(m if probe else ~m))
+
+    probe_texts = (
+        ds.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+        .to_pandas()["text"]
+        .tolist()
+    )
+    corpus = ds.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    return decontaminate(corpus, probe_gram_set(probe_texts, n=3), n=3)
+
+
+SQL_DOCS_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                        t -> lower(t)) AS tk
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g FROM idx
+),
+probe AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+matched AS (
+  SELECT c.doc_id, count(*) AS n_matched
+  FROM grams c JOIN probe USING (g)
+  WHERE c.doc_id % 37 <> 0
+  GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       coalesce(m.n_matched, 0) AS n_matched,
+       coalesce(m.n_matched, 0) > 0 AS contaminated
+FROM toks t LEFT JOIN matched m USING (doc_id)
+WHERE t.doc_id % 37 <> 0
+"""
+
+
 def q_media_features(sf_dir: str):
     """Multimodal chain on the interleaved corpus, ALL THREE
     modalities in one union result (image decode/resize, per-frame
@@ -1677,8 +1732,11 @@ QUERIES = {
     "events_dow_type_cube": q_events_dow_type_cube,
     "events_sessionize": q_events_sessionize,
     "events_props_extract": q_events_props_extract,
-    "events_value_percentiles": q_events_value_percentiles,
-    "events_value_percentiles_approx": q_events_value_percentiles_approx,
+    # exact + sketch percentiles verify through ONE entry: the
+    # self-verifying query emits the exact per-group quantiles (from
+    # q_events_value_percentiles) plus the sketch-in-bound flag, so a
+    # single driver row covers both operators (50-entry driver cap).
+    "events_value_percentiles": q_events_value_percentiles_approx,
     "events_approx_users": q_events_approx_users,
     "docs_token_stats": q_docs_token_stats,
     "docs_quality": q_docs_quality,
@@ -1699,6 +1757,7 @@ QUERIES = {
     "embeddings_cosine_near_dup": q_embeddings_cosine_near_dup,
     "embeddings_lsh_near_dup": q_embeddings_lsh_near_dup,
     "docs_simhash_near_dup": q_docs_simhash_near_dup,
+    "docs_decontaminate": q_docs_decontaminate,
     "media_features": q_media_features,
     "extract_spans": q_extract_spans,
     "extract_dedup_clusters": q_extract_dedup_clusters,
@@ -1728,8 +1787,7 @@ ORACLE_SQL = {
     "events_dow_type_cube": SQL_EVENTS_DOW_TYPE_CUBE,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_props_extract": SQL_EVENTS_PROPS,
-    "events_value_percentiles": SQL_EVENTS_VALUE_PERCENTILES,
-    "events_value_percentiles_approx": SQL_EVENTS_VALUE_PERCENTILES_APPROX,
+    "events_value_percentiles": SQL_EVENTS_VALUE_PERCENTILES_APPROX,
     "docs_langid": SQL_DOCS_LANGID,
     "training_prep": SQL_TRAINING_PREP,
     "docs_token_stats": SQL_DOCS_TOKEN_STATS,
@@ -1745,6 +1803,7 @@ ORACLE_SQL = {
     "embeddings_lsh_near_dup": SQL_EMBEDDINGS_LSH_NEAR_DUP,
     "events_approx_users": SQL_EVENTS_APPROX_USERS,
     "docs_simhash_near_dup": SQL_DOCS_SIMHASH_NEAR_DUP,
+    "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "docs_minhash_near_dup": SQL_DOCS_MINHASH_NEAR_DUP,
     "docs_ngram_dedup": SQL_DOCS_NGRAM_DEDUP,
     "docs_bpe_tokens": SQL_DOCS_BPE_TOKENS,

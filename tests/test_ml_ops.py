@@ -378,6 +378,51 @@ def test_media_features_pipeline_covers_all_media_spans(ray_session):
     assert feats["media_ref"].is_unique
 
 
+def test_decontaminate_broadcast_equals_join(ray_session):
+    """The broadcast path (probe gram set via ray.put) and the
+    distributed join path (explode ⋈ probe table + left_anti zero-row
+    recovery) must emit identical per-doc match counts; spot-check the
+    counts against a pure-Python oracle."""
+    import ray.data
+
+    from file_analyzer_ray.stages.decontaminate import (
+        decontaminate,
+        gram_hashes,
+        probe_gram_set,
+    )
+
+    tab = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ids = tab["doc_id"].to_pylist()
+    texts = tab["text"].to_pylist()
+    probe_texts = [t for i, t in zip(ids, texts) if i % 37 == 0]
+    corpus = [(i, t) for i, t in zip(ids, texts) if i % 37 != 0]
+    probe = probe_gram_set(probe_texts, n=3)
+    assert len(probe) > 0
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).filter(lambda r: r["doc_id"] % 37 != 0)
+
+    def norm(res):
+        df = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return df.astype({"doc_id": "int64", "n_matched": "int64",
+                          "contaminated": "bool"})
+
+    bc = norm(decontaminate(ds, probe, n=3, mode="broadcast"))
+    jn = norm(decontaminate(ds, probe, n=3, mode="join"))
+    pd.testing.assert_frame_equal(bc, jn)
+
+    # python oracle: distinct-gram intersection sizes
+    probe_set = set(probe.tolist())
+    exp = {i: len(set(gram_hashes(t, 3).tolist()) & probe_set) for i, t in corpus}
+    got = dict(zip(bc["doc_id"], bc["n_matched"]))
+    assert got == exp
+    assert bc["contaminated"].equals(bc["n_matched"] > 0)
+    # a doc sharing no text with the probe set must not be flagged:
+    # synthetic corpus guarantees some of each
+    assert bc["contaminated"].any()
+
+
 def test_fused_media_equals_union(ray_session):
     """FusedMediaStage (one pool, one pass, shared frame-0 decode) must
     emit EXACTLY the rows of the three-pool DecodeStage +

@@ -117,7 +117,7 @@ SQL_CHECKED = [
     "docs_langid",
     "training_prep",
     "embeddings_lsh_near_dup",
-    "events_value_percentiles_approx",
+    "docs_decontaminate",
 ]
 
 
