@@ -163,6 +163,12 @@ def run_bench() -> dict:
         _consume(pack_sequences(docs, seq_len=2048))
         q_times["docs_pack_sequences"] = round(time.monotonic() - t0, 3)
 
+        from file_analyzer_ray.stages.repetition import repetition_filter
+
+        t0 = time.monotonic()
+        _consume(repetition_filter(docs))
+        q_times["docs_repetition_filter"] = round(time.monotonic() - t0, 3)
+
     result = {
         "metric": "end_to_end_extraction_sec",
         "value": round(t_extract, 3),
