@@ -349,3 +349,149 @@ def lsh_near_dup_pairs(
                    ("cosine_sim", pa.float64())]),
     )
     return _distinct_native(pairs, ["vec_id_a", "vec_id_b", "cosine_sim"])
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8): 4x smaller codes + exact rerank
+
+def train_sq8(sf_dir: str) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-dimension affine int8 quantizer ``(mins, scales)`` fitted on
+    UNIT vectors from the same bounded head sample as
+    :func:`train_quantizer` (cosine metric → quantize the normalized
+    space). Out-of-sample components saturate at the code range, the
+    standard SQ behavior."""
+    import pyarrow.dataset as pds
+
+    dset = pds.dataset(f"{sf_dir}/embeddings.parquet")
+    sample = np.stack(
+        dset.head(2048, columns=["embedding"])["embedding"].to_pylist()
+    ).astype(np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    mins = sample.min(axis=0)
+    scales = (sample.max(axis=0) - mins) / 255.0
+    scales[scales == 0] = 1e-12
+    return mins, scales
+
+
+def write_sq8_layout(sf_dir: str, out_dir: str) -> str:
+    """Materialize the embeddings table as int8 codes (one D-byte
+    binary per row — 4x smaller than the float32 list, so a 100 TB
+    embedding store scans as 25 TB) plus ``sq8_params.npy``. Pay the
+    encode once at write time, reuse for every query (same doctrine as
+    write_ivf_layout / state/bucketed.py)."""
+    import os
+
+    import pyarrow as pa
+
+    from ..state.guard import validate_sink_dir
+
+    out_dir = validate_sink_dir(out_dir)
+    mins, scales = train_sq8(sf_dir)
+    pref = ray.put((mins, scales))
+
+    def encode(t: "pa.Table") -> "pa.Table":
+        m, s = ray.get(pref)
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = np.asarray(emb.values, dtype=np.float64).reshape(len(t), len(m))
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        codes = np.clip(np.round((mat - m) / s), 0, 255).astype(np.uint8)
+        return pa.Table.from_arrays(
+            [
+                t.column("vec_id"),
+                pa.array(list(codes.tobytes()[i * len(m):(i + 1) * len(m)]
+                              for i in range(len(t))), pa.binary()),
+            ],
+            names=["vec_id", "codes"],
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ds.map_batches(encode, batch_format="pyarrow").write_parquet(out_dir)
+    np.save(os.path.join(out_dir, "sq8_params.npy"), np.stack([mins, scales]))
+    return out_dir
+
+
+def knn_sq8(
+    sf_dir: str,
+    layout_dir: str,
+    k: int = 10,
+    rerank: int = 4,
+    query_vec_id: int = 0,
+) -> "ray.data.Dataset":
+    """Top-k cosine neighbors over a :func:`write_sq8_layout` store:
+    the SCAN reads only int8 codes (4x less IO), scores approximate
+    cosine on the dequantized vectors, keeps a per-batch partial
+    top-(k*rerank), merges in one small task, then RE-RANKS the
+    surviving candidates with their EXACT embeddings (pushdown isin
+    point-read of <= k*rerank rows — bounded by construction, like the
+    query-vector point read). Returned scores are exact, so with
+    ``rerank`` covering the table the result is bit-identical to the
+    brute-force path (pytest pins this)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+
+    params = np.load(os.path.join(layout_dir, "sq8_params.npy"))
+    mins, scales = params[0], params[1]
+    qvec = _point_read_query_vec(sf_dir, query_vec_id)
+    qn = qvec / np.linalg.norm(qvec)
+    n_cand = k * rerank
+    ref = ray.put((qn, mins, scales))
+
+    def approx_score(t: "pa.Table") -> "pa.Table":
+        q, m, s = ray.get(ref)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = ids != query_vec_id
+        if not keep.any():
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.float64())],
+                names=["vec_id", "approx_sim"],
+            )
+        codes_col = t.column("codes")
+        if isinstance(codes_col, pa.ChunkedArray):
+            codes_col = codes_col.combine_chunks()
+        raw = np.frombuffer(b"".join(codes_col.to_pylist()), dtype=np.uint8)
+        mat = raw.reshape(len(t), len(m)).astype(np.float64)[keep] * s + m
+        sims = (mat @ q) / np.linalg.norm(mat, axis=1)
+        order = np.lexsort((ids[keep], -sims))[:n_cand]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[keep][order].astype(np.int64)),
+                pa.array(sims[order]),
+            ],
+            names=["vec_id", "approx_sim"],
+        )
+
+    def merge_candidates(t: "pa.Table") -> "pa.Table":
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = t.column("approx_sim").to_numpy()
+        order = np.lexsort((ids, -sims))[:n_cand]
+        # exact rerank of the bounded candidate set
+        cand = ids[order]
+        exact = pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(cand.tolist()),
+        )
+        eids = exact["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.asarray(
+            exact["embedding"].combine_chunks().values, dtype=np.float64
+        ).reshape(len(eids), -1)
+        es = np.round((mat @ qn) / np.linalg.norm(mat, axis=1), 4)
+        top = np.lexsort((eids, -es))[:k]
+        return pa.Table.from_arrays(
+            [pa.array(eids[top].astype(np.int64)), pa.array(es[top])],
+            names=["vec_id", "cosine_sim"],
+        )
+
+    codes = ray.data.read_parquet(
+        layout_dir, columns=["vec_id", "codes"], file_extensions=["parquet"]
+    )
+    part = codes.map_batches(approx_score, batch_format="pyarrow")
+    return part.repartition(1).map_batches(
+        merge_candidates, batch_format="pyarrow", batch_size=None
+    )

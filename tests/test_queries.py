@@ -186,6 +186,30 @@ def test_ivf_layout_equals_scan_path(registry, tmp_path):
     assert len(all_cells) >= 4
 
 
+def test_sq8_layout_knn(registry, tmp_path):
+    """int8 scalar-quantized kNN: with the rerank window covering the
+    whole table the result must be bit-identical to brute force
+    (scores are exact after rerank by construction); with the default
+    narrow window recall@10 must stay high and scores stay exact."""
+    from file_analyzer_ray.stages.ann import knn_sq8, write_sq8_layout
+
+    queries, _ = registry
+    exact = _to_pandas(queries["embeddings_knn"](SF_DIR))
+    layout = write_sq8_layout(SF_DIR, str(tmp_path / "sq8"))
+
+    full = _to_pandas(knn_sq8(SF_DIR, layout, k=10, rerank=100))
+    assert full["vec_id"].tolist() == exact["vec_id"].tolist()
+    assert full["cosine_sim"].tolist() == exact["cosine_sim"].tolist()
+
+    narrow = _to_pandas(knn_sq8(SF_DIR, layout, k=10, rerank=4))
+    recall = len(set(narrow["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.9, f"SQ8 recall {recall} too low"
+    sim_of = dict(zip(exact["vec_id"], exact["cosine_sim"]))
+    for v, s in zip(narrow["vec_id"], narrow["cosine_sim"]):
+        if v in sim_of:
+            assert s == sim_of[v]  # rerank restored the exact score
+
+
 def test_langid_predictions_sensible(registry):
     """The testdata's ``lang`` labels are synthetic and uncorrelated with
     the (English word-soup) text, so accuracy-vs-label is meaningless
