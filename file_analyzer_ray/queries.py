@@ -1616,6 +1616,56 @@ WHERE t.doc_id % 37 <> 0
 """
 
 
+def q_docs_perplexity(sf_dir: str):
+    """Perplexity-based quality filtering (CCNet-style, stages/lm.py):
+    an add-one bigram LM is trained on the deterministic
+    ``doc_id % 11 == 0`` reference slice (ONE bounded-key streaming
+    pass — the model is broadcast-sized by construction), broadcast
+    once via ray.put, and every doc is scored with vectorized
+    ``-log2 P(w_i|w_{i-1})`` means; docs above the ppl threshold are
+    flagged dropped. The DuckDB oracle recomputes the identical model
+    and formula (same tokenizer regex, same add-one smoothing, same
+    round-to-4 contract), so the value hash pins training AND scoring."""
+    from .stages.lm import bigram_lm, perplexity_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    lm = bigram_lm(ds, sample_mod=11)
+    return perplexity_score(ds, lm, ppl_threshold=36.0)
+
+
+SQL_DOCS_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                        t -> lower(t)) AS tk
+  FROM documents
+),
+idx AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+big AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM idx),
+ref_big AS (SELECT w1, w2, count(*) AS c12 FROM big
+            WHERE doc_id % 11 = 0 GROUP BY w1, w2),
+ref_ctx AS (SELECT w1, sum(c12) AS c1 FROM ref_big GROUP BY w1),
+refv AS (SELECT greatest(count(DISTINCT u.t), 1) AS v
+         FROM (SELECT unnest(tk) AS t FROM toks WHERE doc_id % 11 = 0) u),
+nll AS (
+  SELECT b.doc_id, count(*) AS n_big,
+         sum(-log2((coalesce(rb.c12, 0) + 1.0)
+                   / (coalesce(rc.c1, 0) + (SELECT v FROM refv)))) AS s
+  FROM big b
+  LEFT JOIN ref_big rb USING (w1, w2)
+  LEFT JOIN ref_ctx rc USING (w1)
+  GROUP BY b.doc_id
+)
+SELECT t.doc_id,
+       coalesce(n.n_big, 0) AS n_bigrams,
+       CASE WHEN n.n_big IS NULL THEN NULL
+            ELSE round(pow(2, n.s / n.n_big), 4) END AS ppl,
+       CASE WHEN n.n_big IS NULL THEN TRUE
+            ELSE round(pow(2, n.s / n.n_big), 4) <= 36.0 END AS kept
+FROM toks t LEFT JOIN nll n USING (doc_id)
+"""
+
+
 def q_media_features(sf_dir: str):
     """Multimodal chain on the interleaved corpus, ALL THREE
     modalities in one union result (image decode/resize, per-frame
@@ -1743,7 +1793,10 @@ QUERIES = {
     "docs_length_by_lang": q_docs_length_by_lang,
     "docs_top_terms_per_lang": q_docs_top_terms_per_lang,
     "docs_exact_dedup": q_docs_exact_dedup,
-    "docs_fingerprint": q_docs_fingerprint,
+    # docs_fingerprint retired from the driver registry (50-entry cap):
+    # the md5-of-normalized fingerprint is pinned inside training_prep's
+    # oracle; the slot funds the perplexity filter below.
+    "docs_perplexity": q_docs_perplexity,
     "docs_signature_scan": q_docs_signature_scan,
     "docs_langid": q_docs_langid,
     "docs_bpe_tokens": q_docs_bpe_tokens,
@@ -1795,7 +1848,7 @@ ORACLE_SQL = {
     "docs_length_by_lang": SQL_DOCS_LENGTH_BY_LANG,
     "docs_top_terms_per_lang": SQL_DOCS_TOP_TERMS_PER_LANG,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
-    "docs_fingerprint": SQL_DOCS_FINGERPRINT,
+    "docs_perplexity": SQL_DOCS_PERPLEXITY,
     "docs_signature_scan": SQL_DOCS_SIGNATURE_SCAN,
     "embeddings_knn": SQL_EMBEDDINGS_KNN,
     "embeddings_label_stats": SQL_EMBEDDINGS_LABEL_STATS,
