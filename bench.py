@@ -169,6 +169,13 @@ def run_bench() -> dict:
         _consume(repetition_filter(docs))
         q_times["docs_repetition_filter"] = round(time.monotonic() - t0, 3)
 
+        from file_analyzer_ray.queries import QUERIES as _Q
+
+        for _name in ("docs_perplexity", "docs_dup_spans"):
+            t0 = time.monotonic()
+            _consume(_Q[_name](SF_DIR))
+            q_times[_name] = round(time.monotonic() - t0, 3)
+
     result = {
         "metric": "end_to_end_extraction_sec",
         "value": round(t_extract, 3),

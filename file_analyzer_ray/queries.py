@@ -1628,7 +1628,7 @@ def q_docs_perplexity(sf_dir: str):
     round-to-4 contract), so the value hash pins training AND scoring."""
     from .stages.lm import bigram_lm, perplexity_score
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs_coalesced(sf_dir)
     lm = bigram_lm(ds, sample_mod=11)
     return perplexity_score(ds, lm, ppl_threshold=36.0)
 
@@ -1678,8 +1678,7 @@ def q_docs_dup_spans(sf_dir: str):
     All-integer output, so the oracle hash is exact by construction."""
     from .stages.dupspans import dup_span_mask
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dup_span_mask(ds, n=5, min_docs=2)
+    return dup_span_mask(_read_docs_coalesced(sf_dir), n=5, min_docs=2)
 
 
 SQL_DOCS_DUP_SPANS = """

@@ -30,9 +30,11 @@ Two paths, same auto doctrine as ``stages/decontaminate.py``:
   masked-position union (segmented running-max sweep) next to its
   token count. Two sorts total, zero joins, zero driver collections.
 
-Gram identity is ``stable_u64`` over the space-joined lowered tokens
-(same convention as decontaminate: a 2⁻⁶⁴ collision can only ADD a
-masked span, never hide one).
+Gram identity is a splitmix64 window fold over per-token ``stable_u64``
+hashes (token hashing is vocab-sized Python work per batch; the fold is
+n vectorized uint64 passes — no per-gram Python anywhere). Identity is
+engine-internal (the DuckDB oracle compares gram STRINGS), and a 2⁻⁶⁴
+collision can only ADD a masked span, never hide one.
 """
 
 from __future__ import annotations
@@ -49,21 +51,58 @@ from ..functions.text import tokenize
 _MAX_BROADCAST_GRAMS = 5_000_000  # ~40 MB of int64 in the object store
 
 
+_MIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C2 = np.uint64(0x94D049BB133111EB)
+_GRAM_SEED = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (wrapping uint64 arithmetic)."""
+    x = (x ^ (x >> np.uint64(30))) * _MIX_C1
+    x = (x ^ (x >> np.uint64(27))) * _MIX_C2
+    return x ^ (x >> np.uint64(31))
+
+
+def _batch_gram_hashes(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int64 gram hash per position grouped by doc, per-doc gram
+    counts) for a whole batch at once. Per-token identity is
+    ``stable_u64`` over the UNIQUE tokens of the batch (vocab-sized
+    Python work); gram identity is a splitmix64 window fold over the
+    flat token-hash array — n vectorized passes, no per-gram Python.
+    Gram hashes are engine-internal (the oracle compares gram STRINGS),
+    so identity only needs process-stable injective-in-practice 64-bit."""
+    tok_lists = [[t.lower() for t in tokenize(x)] for x in texts]
+    lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    total = int(lens.sum())
+    n_grams = np.maximum(lens - n + 1, 0)
+    if total == 0:
+        return np.empty(0, np.int64), n_grams
+    flat = np.concatenate([np.asarray(x, dtype=object) for x in tok_lists])
+    uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+    uniq_h = np.fromiter(
+        (stable_u64(u.encode(), b"tok:") for u in uniq),
+        dtype=np.uint64, count=len(uniq),
+    )
+    th = uniq_h[inv]
+    m = total - n + 1
+    if m <= 0:
+        return np.empty(0, np.int64), n_grams
+    h = np.full(m, _GRAM_SEED, dtype=np.uint64)
+    for j in range(n):
+        h = _mix64(h ^ th[j : m + j])
+    # drop windows that straddle a doc boundary
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    valid = doc_of[: m] == doc_of[n - 1 :]
+    return h[valid].view(np.int64), n_grams
+
+
 def _pos_gram_hashes(text: str, n: int) -> np.ndarray:
     """int64 hash PER POSITION of the lowered word n-grams of ``text``
     (non-distinct — index j is the gram starting at token j); empty for
     docs shorter than ``n`` tokens."""
-    toks = [t.lower() for t in tokenize(text)]
-    if len(toks) < n:
-        return np.empty(0, dtype=np.int64)
-    return np.fromiter(
-        (
-            stable_u64(" ".join(toks[j : j + n]).encode(), b"gram:")
-            for j in range(len(toks) - n + 1)
-        ),
-        dtype=np.uint64,
-        count=len(toks) - n + 1,
-    ).view(np.int64)
+    flat, _ = _batch_gram_hashes([text], n)
+    return flat
 
 
 def dup_gram_table(
@@ -73,10 +112,13 @@ def dup_gram_table(
     docs. One sort + run-scan; scales to unbounded gram cardinality."""
 
     def per_doc_distinct(t: pa.Table) -> pa.Table:
-        parts = [np.unique(_pos_gram_hashes(x, n))
-                 for x in t.column("text").to_pylist()]
-        flat = np.concatenate(parts) if parts else np.empty(0, np.int64)
-        return pa.Table.from_arrays([pa.array(flat)], names=["g"])
+        flat, n_grams = _batch_gram_hashes(t.column("text").to_pylist(), n)
+        bounds = np.zeros(len(n_grams) + 1, dtype=np.int64)
+        np.cumsum(n_grams, out=bounds[1:])
+        parts = [np.unique(flat[bounds[d]:bounds[d + 1]])
+                 for d in range(len(n_grams))]
+        out = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        return pa.Table.from_arrays([pa.array(out)], names=["g"])
 
     pairs = docs.map_batches(per_doc_distinct, batch_format="pyarrow")
     s = pairs.sort("g").materialize()
@@ -129,25 +171,6 @@ _OUT_SCHEMA = pa.schema(
 )
 
 
-def _score_doc(hashes: np.ndarray, n_tokens: int, dup_sorted: np.ndarray,
-               n: int) -> tuple[int, int]:
-    """(n_dup_grams, n_masked) for one doc via searchsorted hit test +
-    difference-array interval union."""
-    if len(hashes) == 0 or len(dup_sorted) == 0:
-        return 0, 0
-    idx = np.searchsorted(dup_sorted, hashes)
-    idx_c = np.minimum(idx, len(dup_sorted) - 1)
-    hit = (idx < len(dup_sorted)) & (dup_sorted[idx_c] == hashes)
-    n_hit = int(hit.sum())
-    if not n_hit:
-        return 0, 0
-    starts = np.flatnonzero(hit)
-    diff = np.zeros(n_tokens + 1, dtype=np.int64)
-    np.add.at(diff, starts, 1)
-    np.add.at(diff, np.minimum(starts + n, n_tokens), -1)
-    return n_hit, int((np.cumsum(diff[:-1]) > 0).sum())
-
-
 def dup_span_mask(
     docs: "ray.data.Dataset",
     n: int = 5,
@@ -172,15 +195,44 @@ def dup_span_mask(
         def score(t: pa.Table) -> pa.Table:
             ds_ = ray.get(ref)
             ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-            out = np.zeros((len(ids), 3), dtype=np.int64)
-            for r, text in enumerate(t.column("text").to_pylist()):
-                toks = tokenize(text)
-                hs = _pos_gram_hashes(text, n)
-                nd, nm = _score_doc(hs, len(toks), ds_, n)
-                out[r] = (len(toks), nd, nm)
+            texts = t.column("text").to_pylist()
+            flat, n_grams = _batch_gram_hashes(texts, n)
+            n_tokens = np.fromiter(
+                (len(tokenize(x)) for x in texts), dtype=np.int64,
+                count=len(texts),
+            )
+            n_dup = np.zeros(len(ids), dtype=np.int64)
+            masked = np.zeros(len(ids), dtype=np.int64)
+            if len(flat) and len(ds_):
+                # ONE searchsorted over the whole batch's gram stream
+                idx = np.searchsorted(ds_, flat)
+                idx_c = np.minimum(idx, len(ds_) - 1)
+                hit = (idx < len(ds_)) & (ds_[idx_c] == flat)
+                doc_of_gram = np.repeat(np.arange(len(ids)), n_grams)
+                n_dup = np.bincount(doc_of_gram, weights=hit,
+                                    minlength=len(ids)).astype(np.int64)
+                if hit.any():
+                    # global difference-array interval union: windows
+                    # never cross a doc boundary, so coverage cannot
+                    # leak between docs in the flat token space
+                    tok_off = np.zeros(len(ids) + 1, dtype=np.int64)
+                    np.cumsum(n_tokens, out=tok_off[1:])
+                    gram_off = np.zeros(len(ids) + 1, dtype=np.int64)
+                    np.cumsum(n_grams, out=gram_off[1:])
+                    gidx = np.flatnonzero(hit)
+                    d = doc_of_gram[gidx]
+                    g_start = tok_off[d] + (gidx - gram_off[d])
+                    total_tok = int(n_tokens.sum())
+                    diff = np.zeros(total_tok + 1, dtype=np.int64)
+                    np.add.at(diff, g_start, 1)
+                    np.add.at(diff, g_start + n, -1)
+                    covered = np.cumsum(diff[:-1]) > 0
+                    doc_of_tok = np.repeat(np.arange(len(ids)), n_tokens)
+                    masked = np.bincount(doc_of_tok, weights=covered,
+                                         minlength=len(ids)).astype(np.int64)
             return pa.Table.from_arrays(
-                [pa.array(ids.astype(np.int64)), pa.array(out[:, 0]),
-                 pa.array(out[:, 1]), pa.array(out[:, 2])],
+                [pa.array(ids.astype(np.int64)), pa.array(n_tokens),
+                 pa.array(n_dup), pa.array(masked)],
                 schema=_OUT_SCHEMA,
             )
 
@@ -189,18 +241,17 @@ def dup_span_mask(
     # ---- join path: two sorts, zero driver transit ----
     def occurrences(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = t.column("text").to_pylist()
-        hs = [_pos_gram_hashes(x, n) for x in texts]
-        lens = np.fromiter((len(h) for h in hs), dtype=np.int64,
-                           count=len(hs))
+        flat, n_grams = _batch_gram_hashes(t.column("text").to_pylist(), n)
+        gram_off = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(n_grams, out=gram_off[1:])
+        doc_of = np.repeat(np.arange(len(ids)), n_grams)
+        gidx = np.arange(len(flat), dtype=np.int64)
         return pa.Table.from_pydict(
             {
-                "g": np.concatenate(hs) if len(hs) else np.empty(0, np.int64),
-                "doc_id": np.repeat(ids.astype(np.int64), lens),
-                "i": np.concatenate([np.arange(l, dtype=np.int64)
-                                     for l in lens]) if len(hs)
-                     else np.empty(0, np.int64),
-                "tag": np.zeros(int(lens.sum()), dtype=np.int8),
+                "g": flat,
+                "doc_id": ids.astype(np.int64)[doc_of],
+                "i": gidx - gram_off[doc_of],
+                "tag": np.zeros(len(flat), dtype=np.int8),
             }
         )
 
