@@ -1702,6 +1702,62 @@ FROM toks t LEFT JOIN nd USING (doc_id) LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_docs_incremental_dedup(sf_dir: str):
+    """Incremental dedup against a persisted fingerprint index
+    (stages/incremental.py): docs with doc_id % 3 != 0 play the
+    already-ingested corpus whose fingerprints are written ONCE as a
+    hash-bucketed parquet index under /tmp (cache tag covers the input
+    CONTENT via input_file_fingerprint — same doctrine as
+    bucketed_customer_revenue); the doc_id % 7 == 0 docs play an
+    incoming RE-CRAWL shard — overlapping the corpus, as real re-crawls
+    do — probed against ONLY the index cells their fingerprints hash
+    to. Probe I/O is proportional to the shard, never the corpus — the
+    delta-processing shape 100 TB re-crawls need. Emits (doc_id,
+    fingerprint, in_corpus) per shard doc: already-ingested pages flag
+    True, genuinely new ones False."""
+    import hashlib
+    import os
+
+    from .stages.incremental import probe_index, write_dedup_index
+    from .state.shards import input_file_fingerprint
+
+    ds = _read_docs_coalesced(sf_dir)
+
+    def split(t: pa.Table, corpus: bool) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (ids % 3 != 0) if corpus else (ids % 7 == 0)
+        return t.filter(pa.array(m))
+
+    fp = "|".join(
+        [sf_dir, input_file_fingerprint(f"{sf_dir}/documents.parquet")]
+    )
+    tag = hashlib.md5(fp.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/fa_dedup_index_{tag}"
+    nb = 16
+    if not os.path.isdir(index_dir):
+        write_dedup_index(
+            ds.map_batches(lambda t: split(t, True), batch_format="pyarrow"),
+            index_dir, num_buckets=nb,
+        )
+    shard = ds.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    return probe_index(shard, index_dir, num_buckets=nb)
+
+
+SQL_DOCS_INCREMENTAL_DEDUP = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '[\t\n\f\r ]+', ' ', 'g')))) AS fingerprint
+  FROM documents
+)
+SELECT s.doc_id, s.fingerprint,
+       EXISTS (SELECT 1 FROM fp c
+               WHERE c.doc_id % 3 <> 0
+                 AND c.fingerprint = s.fingerprint) AS in_corpus
+FROM fp s
+WHERE s.doc_id % 7 = 0
+"""
+
+
 def q_media_features(sf_dir: str):
     """Multimodal chain on the interleaved corpus, ALL THREE
     modalities in one union result (image decode/resize, per-frame
@@ -1816,7 +1872,10 @@ QUERIES = {
     "supplier_lineitem_agg": q_supplier_lineitem_agg,
     "events_type_stats": q_events_type_stats,
     "events_hourly_rollup": q_events_hourly_rollup,
-    "events_hopping_rollup": q_events_hopping_rollup,
+    # events_hopping_rollup retired from the driver registry (50-entry
+    # cap): the windowed-rollup family keeps four green entries (hourly,
+    # rolling-1h, sessionize, as-of); the slot funds incremental dedup.
+    "docs_incremental_dedup": q_docs_incremental_dedup,
     "events_clicks_before_purchase": q_events_clicks_before_purchase,
     "events_dow_type_cube": q_events_dow_type_cube,
     "events_sessionize": q_events_sessionize,
@@ -1866,6 +1925,14 @@ def _merge_registries() -> None:
     ORACLE_SQL.update(qj.JOIN_ORACLE_SQL)
 
 
+# Entries retired from the 50-entry driver registry to fund newer
+# operator demonstrations. They remain fully implemented AND oracle-
+# tested in-repo (tests/test_queries.py checks this dict alongside the
+# live registry), so retiring never reduces verified coverage.
+RETIRED_QUERIES: dict = {}
+RETIRED_ORACLE_SQL: dict = {}
+
+
 ORACLE_SQL = {
     "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
     "docs_dup_spans": SQL_DOCS_DUP_SPANS,
@@ -1874,7 +1941,7 @@ ORACLE_SQL = {
     "supplier_lineitem_agg": SQL_SUPPLIER_LINEITEM_AGG,
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_hourly_rollup": SQL_EVENTS_HOURLY,
-    "events_hopping_rollup": SQL_EVENTS_HOPPING,
+    "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
     "events_clicks_before_purchase": SQL_EVENTS_CLICKS_BEFORE_PURCHASE,
     "events_dow_type_cube": SQL_EVENTS_DOW_TYPE_CUBE,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
@@ -1903,3 +1970,18 @@ ORACLE_SQL = {
 }
 
 _merge_registries()
+
+RETIRED_QUERIES.update(
+    {
+        "lineitem_filter_project": q_lineitem_filter_project,
+        "docs_fingerprint": q_docs_fingerprint,
+        "events_hopping_rollup": q_events_hopping_rollup,
+    }
+)
+RETIRED_ORACLE_SQL.update(
+    {
+        "lineitem_filter_project": SQL_LINEITEM_FILTER,
+        "docs_fingerprint": SQL_DOCS_FINGERPRINT,
+        "events_hopping_rollup": SQL_EVENTS_HOPPING,
+    }
+)
