@@ -1046,16 +1046,27 @@ def q_bucketed_customer_revenue(sf_dir: str):
     base = f"/tmp/fa_bucketed_{tag}"
     od, cd = base + "/orders", base + "/customer"
     nb = 16
-    if not os.path.isdir(od):
-        write_bucketed(
-            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
-            od, "o_custkey", nb,
-        )
-    if not os.path.isdir(cd):
-        write_bucketed(
-            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
-            cd, "c_custkey", nb,
-        )
+
+    def _write_atomic(dest: str, make) -> None:
+        # write-to-tmp + atomic rename: a crash mid-write can never
+        # leave a partial layout that a later run would trust
+        if os.path.isdir(dest):
+            return
+        import shutil
+
+        tmp = dest + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        make(tmp)
+        os.rename(tmp, dest)
+
+    _write_atomic(od, lambda d: write_bucketed(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        d, "o_custkey", nb,
+    ))
+    _write_atomic(cd, lambda d: write_bucketed(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        d, "c_custkey", nb,
+    ))
     joined = bucketed_join(
         od, cd, "o_custkey", "c_custkey", nb,
         columns_a=["o_custkey", "o_totalprice"],
@@ -1735,10 +1746,17 @@ def q_docs_incremental_dedup(sf_dir: str):
     index_dir = f"/tmp/fa_dedup_index_{tag}"
     nb = 16
     if not os.path.isdir(index_dir):
+        # write-to-tmp + atomic rename: a crash mid-write can never
+        # leave a partial layout that a later run would trust
+        import shutil
+
+        tmp = index_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
         write_dedup_index(
             ds.map_batches(lambda t: split(t, True), batch_format="pyarrow"),
-            index_dir, num_buckets=nb,
+            tmp, num_buckets=nb,
         )
+        os.rename(tmp, index_dir)
     shard = ds.map_batches(lambda t: split(t, False), batch_format="pyarrow")
     return probe_index(shard, index_dir, num_buckets=nb)
 
