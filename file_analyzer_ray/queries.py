@@ -1563,6 +1563,82 @@ WHERE {cos} >= {threshold}
 SQL_EMBEDDINGS_LSH_NEAR_DUP = _build_sql_embeddings_lsh()
 
 
+def q_embeddings_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (Abbas et al. '23): distributed
+    deterministic k-means over unit embeddings (broadcast-reduce
+    training, quantized centroids), then in-cluster cosine first-wins
+    dedup via the sorted-run window engine. Full (vec_id, cluster,
+    kept) assignment is hash-verified — the DuckDB oracle replays the
+    SAME quantized Lloyd iterations as unrolled CTEs."""
+    from .stages.semdedup import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, k=8, iters=2, eps=0.4)
+
+
+def _build_sql_embeddings_semdedup(
+    k: int = 8, iters: int = 2, eps: float = 0.4, dim: int = 64
+) -> str:
+    """Unrolled-Lloyd SemDeDup oracle. Determinism contract shared with
+    stages/semdedup.py: unit vectors in float64, centroids rounded to 6
+    decimals after init and every update, assignment distance =
+    round(sqrt(uu - 2uc + cc), 4) with ties broken toward the lowest
+    cluster id, in-cluster cosine rounded to 4 decimals. dim=64 matches
+    every driver testdata tier; the stage reads dim from the data."""
+
+    def assign(src_c: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, u, cid FROM (
+    SELECT e.vec_id, e.u, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(sqrt(greatest(
+               list_dot_product(e.u, e.u)
+               - 2 * list_dot_product(e.u, c.c)
+               + list_dot_product(c.c, c.c), 0)), 4), c.cid) AS rn
+    FROM e CROSS JOIN {src_c} c
+  ) WHERE rn = 1
+)"""
+
+    def update(src_a: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT cid, list(CAST(m AS DOUBLE) ORDER BY i) AS c FROM (
+    SELECT cid, i, round(avg(u[i]), 6) AS m
+    FROM {src_a} CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY cid, i
+  ) GROUP BY cid
+)"""
+
+    parts = [f"""WITH en AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+e AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+  FROM en
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(u, x -> round(x, 6)) AS c
+  FROM (SELECT vec_id, u FROM e ORDER BY vec_id LIMIT {k})
+)"""]
+    for i in range(iters):
+        parts.append(assign(f"c{i}", f"a{i + 1}"))
+        parts.append(update(f"a{i + 1}", f"c{i + 1}"))
+    parts.append(assign(f"c{iters}", "fin"))
+    return ",\n".join(parts) + f""",
+dup AS (
+  SELECT DISTINCT a.vec_id
+  FROM fin a JOIN fin b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE round(list_dot_product(a.u, b.u), 4) >= {eps}
+)
+SELECT f.vec_id, f.cid AS cluster, (d.vec_id IS NULL) AS kept
+FROM fin f LEFT JOIN dup d ON f.vec_id = d.vec_id
+"""
+
+
+SQL_EMBEDDINGS_SEMDEDUP = _build_sql_embeddings_semdedup()
+
+
 def q_docs_simhash_near_dup(sf_dir: str):
     """SimHash hamming≤3 near-dup pairs via 4×16-bit pigeonhole
     banding (rows-only; equality vs brute force pytest-verified)."""
@@ -1924,7 +2000,11 @@ QUERIES = {
     "embeddings_label_stats": q_embeddings_label_stats,
     "embeddings_knn_ivf": q_embeddings_knn_ivf,
     "embeddings_cosine_near_dup": q_embeddings_cosine_near_dup,
-    "embeddings_lsh_near_dup": q_embeddings_lsh_near_dup,
+    # embeddings_lsh_near_dup retired from the driver registry (50-entry
+    # cap): the LSH code path is exercised by embeddings_cosine_near_dup's
+    # auto-switch above EXACT_PAIRS_MAX_ROWS and stays ✓SQL in pytest via
+    # RETIRED_QUERIES; the slot funds SemDeDup below.
+    "embeddings_semdedup": q_embeddings_semdedup,
     "docs_simhash_near_dup": q_docs_simhash_near_dup,
     "docs_decontaminate": q_docs_decontaminate,
     "media_features": q_media_features,
@@ -1977,7 +2057,7 @@ ORACLE_SQL = {
     "embeddings_knn": SQL_EMBEDDINGS_KNN,
     "embeddings_label_stats": SQL_EMBEDDINGS_LABEL_STATS,
     "embeddings_cosine_near_dup": SQL_EMBEDDINGS_COSINE_NEAR_DUP,
-    "embeddings_lsh_near_dup": SQL_EMBEDDINGS_LSH_NEAR_DUP,
+    "embeddings_semdedup": SQL_EMBEDDINGS_SEMDEDUP,
     "events_approx_users": SQL_EVENTS_APPROX_USERS,
     "docs_simhash_near_dup": SQL_DOCS_SIMHASH_NEAR_DUP,
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
@@ -1994,6 +2074,7 @@ RETIRED_QUERIES.update(
         "lineitem_filter_project": q_lineitem_filter_project,
         "docs_fingerprint": q_docs_fingerprint,
         "events_hopping_rollup": q_events_hopping_rollup,
+        "embeddings_lsh_near_dup": q_embeddings_lsh_near_dup,
     }
 )
 RETIRED_ORACLE_SQL.update(
@@ -2001,5 +2082,6 @@ RETIRED_ORACLE_SQL.update(
         "lineitem_filter_project": SQL_LINEITEM_FILTER,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,
         "events_hopping_rollup": SQL_EVENTS_HOPPING,
+        "embeddings_lsh_near_dup": SQL_EMBEDDINGS_LSH_NEAR_DUP,
     }
 )

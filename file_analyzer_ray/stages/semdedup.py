@@ -1,0 +1,235 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+The operator the big web-scale text pipelines run between exact/MinHash
+dedup and training (Abbas et al. 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication"): cluster the
+embedding space with k-means, then inside each cluster drop every
+vector whose cosine similarity to an earlier-kept member exceeds a
+threshold. Reference parity note: the reference engine has no
+embedding-space operator at all (its dedup surface is content-hash +
+perceptual hash, ``src/analyzers``); this module is part of the
+beyond-reference training-data surface.
+
+Scale shape (10^12 rows):
+
+- **k-means training is broadcast-reduce, never a shuffle**: each Lloyd
+  iteration is ONE streaming ``map_batches`` pass emitting k partial
+  ``(count, sum)`` rows per block; the driver reduces the tiny
+  ``k x (dim+1)`` partials and re-broadcasts the next centroid matrix
+  via ``ray.put``. The corpus never moves.
+- **Determinism by quantization**: centroids are rounded to 6 decimals
+  after every update and assignment distances to 4 decimals (ties break
+  toward the lowest cluster id), so the fixed-iteration run is exactly
+  reproducible across engines — the DuckDB oracle replays the SAME
+  iterations in SQL (unrolled CTEs) and the driver hash-compares the
+  full (vec_id, cluster, kept) assignment.
+- **The dedup step is the sorted-run window engine**
+  (``_window_by_key_arrow``): one global sort by (cluster, vec_id),
+  then a vectorized pairwise-cosine kernel per complete cluster run.
+  Partitioning assumption: a single cluster fits one task (clusters are
+  ~N/k rows; at 10^12 scale k grows with the corpus — SemDeDup's own
+  recipe — and a pathological hot cluster is split by the skew-salt
+  pattern in stages/skew.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+#: centroid quantization (decimals) applied after init and every update
+CENTROID_DECIMALS = 6
+#: assignment-distance quantization; ties break toward the lowest cid
+DIST_DECIMALS = 4
+#: in-cluster cosine rounding, same contract as the other embedding ops
+SIM_DECIMALS = 4
+
+
+def _unit_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, row-normalized float64 matrix) from an Arrow batch —
+    flat-buffer read of the fixed-width list column, no per-row pylist."""
+    emb = t.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(emb.values, dtype=np.float64).reshape(t.num_rows, -1)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def assign_clusters(u: np.ndarray, cents: np.ndarray, cids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment on the QUANTIZED contract: Euclidean
+    distance via the expansion ``sqrt(uu - 2uc + cc)`` (the exact form
+    the SQL oracle computes with list_dot_product), rounded to
+    ``DIST_DECIMALS``; ties break toward the lowest cluster id (numpy
+    argmin picks the first minimum; ``cids`` must be ascending)."""
+    uu = (u * u).sum(axis=1)[:, None]
+    cc = (cents * cents).sum(axis=1)[None, :]
+    d2 = np.maximum(uu - 2.0 * (u @ cents.T) + cc, 0.0)
+    d = np.round(np.sqrt(d2), DIST_DECIMALS)
+    return cids[np.argmin(d, axis=1)]
+
+
+def kmeans_train(
+    ds: "ray.data.Dataset", k: int, iters: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic distributed Lloyd k-means over unit vectors.
+
+    Init = the (quantized) unit vectors of the ``k`` smallest vec_ids —
+    found with a per-batch partial min-k, never a global sort. Each
+    iteration streams the corpus once; only ``k x (dim+1)`` partials per
+    block reach the driver. Empty clusters vanish (their cid is simply
+    never assigned again) — mirrored by the SQL oracle's GROUP BY.
+
+    Returns ``(cids, centroids)`` with cids ascending.
+    """
+
+    def head_k(t: pa.Table) -> pa.Table:
+        ids, u = _unit_matrix(t)
+        order = np.argsort(ids, kind="stable")[:k]
+        return pa.Table.from_arrays(
+            [pa.array(ids[order]), pa.array(list(u[order]))],
+            names=["vec_id", "u"],
+        )
+
+    seed_rows = ds.map_batches(head_k, batch_format="pyarrow").take_all()
+    seed_rows.sort(key=lambda r: r["vec_id"])
+    cents = np.round(
+        np.stack([np.asarray(r["u"], dtype=np.float64) for r in seed_rows[:k]]),
+        CENTROID_DECIMALS,
+    )
+    cids = np.arange(len(cents), dtype=np.int64)
+
+    for _ in range(iters):
+        ref = ray.put((cids, cents))
+
+        def partial(t: pa.Table) -> pa.Table:
+            pcids, pcents = ray.get(ref)
+            ids, u = _unit_matrix(t)
+            assign = assign_clusters(u, pcents, pcids)
+            rows_c, rows_n, rows_s = [], [], []
+            for c in pcids:
+                m = assign == c
+                n = int(m.sum())
+                if n:
+                    rows_c.append(int(c))
+                    rows_n.append(n)
+                    rows_s.append(u[m].sum(axis=0))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(rows_c, pa.int64()),
+                    pa.array(rows_n, pa.int64()),
+                    pa.array([s.tolist() for s in rows_s]),
+                ],
+                names=["cid", "n", "s"],
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in parts:
+            c = r["cid"]
+            s = np.asarray(r["s"], dtype=np.float64)
+            if c in sums:
+                sums[c] += s
+                counts[c] += r["n"]
+            else:
+                sums[c] = s
+                counts[c] = r["n"]
+        cids = np.array(sorted(sums), dtype=np.int64)
+        cents = np.round(
+            np.stack([sums[c] / counts[c] for c in cids]), CENTROID_DECIMALS
+        )
+    return cids, cents
+
+
+def semdedup(
+    ds: "ray.data.Dataset", k: int = 8, iters: int = 2, eps: float = 0.5
+) -> "ray.data.Dataset":
+    """Full SemDeDup pass → ``(vec_id, cluster, kept)`` for EVERY row.
+
+    ``kept`` is False iff some same-cluster member with a smaller
+    vec_id has rounded cosine similarity ≥ ``eps`` (first-wins, the
+    same rule as exact dedup — and the rule the SQL oracle states as a
+    self-join). The kernel is one pairwise matmul per complete cluster
+    run inside the sorted-window engine; no per-cluster Python dispatch
+    beyond the run loop (cluster count = k per block)."""
+    from ..query_utils import _window_by_key_arrow
+
+    cids, cents = kmeans_train(ds, k, iters)
+    ref = ray.put((cids, cents))
+
+    def tag(t: pa.Table) -> pa.Table:
+        pcids, pcents = ray.get(ref)
+        ids, u = _unit_matrix(t)
+        assign = assign_clusters(u, pcents, pcids)
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(assign), pa.array(list(u))],
+            names=["vec_id", "cluster", "u"],
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("cluster", pa.int64()), ("kept", pa.bool_())]
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        from .banding import run_bounds
+
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        clusters = t.column("cluster").to_numpy(zero_copy_only=False)
+        vecs = t.column("u")
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        mat = np.asarray(vecs.values, dtype=np.float64).reshape(t.num_rows, -1)
+        kept = np.ones(t.num_rows, dtype=bool)
+        starts, ends = run_bounds(clusters)
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue
+            m = mat[s:e]
+            sims = np.round(m @ m.T, SIM_DECIMALS)
+            dup = np.triu(sims >= eps, k=1).any(axis=0)
+            kept[s:e] = ~dup
+        return pa.Table.from_arrays(
+            [pa.array(ids.astype(np.int64)), pa.array(clusters.astype(np.int64)),
+             pa.array(kept)],
+            names=["vec_id", "cluster", "kept"],
+        )
+
+    return _window_by_key_arrow(
+        tagged, ["cluster"], ["cluster", "vec_id"], kernel
+    ).select_columns(["vec_id", "cluster", "kept"])
+
+
+def semdedup_serial(
+    ids: np.ndarray, mat: np.ndarray, k: int = 8, iters: int = 2, eps: float = 0.5
+) -> "list[tuple[int, int, bool]]":
+    """Single-process oracle (tests): same quantized contract, plain
+    numpy, no Ray. Returns rows sorted by vec_id."""
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order].astype(np.int64)
+    u = mat[order].astype(np.float64)
+    u = u / np.linalg.norm(u, axis=1, keepdims=True)
+    cents = np.round(u[:k], CENTROID_DECIMALS)
+    cids = np.arange(len(cents), dtype=np.int64)
+    for _ in range(iters):
+        assign = assign_clusters(u, cents, cids)
+        alive = [c for c in cids if (assign == c).any()]
+        cents = np.round(
+            np.stack([u[assign == c].mean(axis=0) for c in alive]),
+            CENTROID_DECIMALS,
+        )
+        cids = np.asarray(alive, dtype=np.int64)
+    assign = assign_clusters(u, cents, cids)
+    out = []
+    for i in range(len(ids)):
+        same = (assign == assign[i]) & (ids < ids[i])
+        sims = np.round(u[same] @ u[i], SIM_DECIMALS)
+        out.append((int(ids[i]), int(assign[i]), not bool((sims >= eps).any())))
+    return out

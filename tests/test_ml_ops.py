@@ -536,3 +536,65 @@ def test_bloom_filter_semijoin_pushdown(ray_session):
     kept = bloom_semi_filter(ray.data.from_pandas(probe_df), "k", dist).to_pandas()
     assert set(build_keys[:500]) <= set(kept["k"])
     assert len(kept) < len(probe_df)  # most non-matches pruned before the join
+
+
+def test_semdedup_distributed_matches_serial(ray_session):
+    """SemDeDup: the distributed path (broadcast-reduce k-means +
+    sorted-run in-cluster dedup incl. the boundary side-channel) must
+    equal the single-process oracle bit-for-bit. Multi-block input so
+    partial-sum reduction and cluster runs straddling block boundaries
+    are actually exercised."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from file_analyzer_ray.stages.semdedup import semdedup, semdedup_serial
+
+    t = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).repartition(7)
+    for eps in (0.35, 0.4):
+        got = sorted(
+            (r["vec_id"], r["cluster"], r["kept"])
+            for r in semdedup(ds, k=8, iters=2, eps=eps).take_all()
+        )
+        exp = semdedup_serial(ids, mat, k=8, iters=2, eps=eps)
+        assert got == exp
+    # the threshold actually bites: some rows dropped, most kept
+    kept = sum(1 for _, _, k in exp if k)
+    assert 0 < kept < len(exp)
+
+
+def test_semdedup_empty_cluster_vanishes(ray_session):
+    """If an init centroid captures no members after an update, its cid
+    must disappear from later assignments on BOTH paths (the SQL oracle
+    drops it via GROUP BY) — regression pin for the k > distinct-points
+    edge."""
+    import pandas as pd
+
+    import ray.data
+
+    from file_analyzer_ray.stages.semdedup import semdedup, semdedup_serial
+
+    # two exact point-masses with interleaved ids: init picks centroids
+    # (a, b, a, b); every a-point tie-breaks to cid 0 and every b-point
+    # to cid 1, so cids 2 and 3 are empty after the first update
+    a = np.array([10.0] + [0.0] * 7)
+    b = np.array([0.0] * 7 + [10.0])
+    mat = np.stack([a if i % 2 == 0 else b for i in range(12)]).astype(np.float32)
+    ids = np.arange(12, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [list(map(float, r)) for r in mat]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = sorted(
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in semdedup(ds, k=4, iters=2, eps=0.9).take_all()
+    )
+    exp = semdedup_serial(ids, mat.astype(np.float64), k=4, iters=2, eps=0.9)
+    assert got == exp
+    assert len({c for _, c, _ in got}) == 2  # empty centroids vanished

@@ -121,6 +121,7 @@ SQL_CHECKED = [
     "training_prep",
     "embeddings_lsh_near_dup",
     "docs_decontaminate",
+    "embeddings_semdedup",
 ]
 
 
