@@ -729,6 +729,49 @@ FROM documents
 """
 
 
+def q_docs_quality_classifier(sf_dir: str):
+    """fastText-style hashed linear quality classifier (the learned
+    gate of the CCNet / GPT-3 / LLaMA data recipes): seeded weight
+    vector, md5-bucketed tokens, mean-pooled score, keep at score ≥ 0.
+    Actor-pool stage with per-actor token→bucket memo; the oracle
+    embeds the SAME seeded weights as SQL literals (LSH-hyperplane
+    pattern) and replays the bucketing with DuckDB md5."""
+    from .stages.classifier import classify_quality
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return classify_quality(ds)
+
+
+def _build_sql_docs_quality_classifier() -> str:
+    from .stages.classifier import DEFAULT_DIM, SCORE_DECIMALS, model_weights
+
+    lit = "[" + ",".join(repr(float(v)) for v in model_weights()) + "]"
+    return f"""
+WITH w AS (
+  SELECT unnest(range(0, {DEFAULT_DIM})) AS bucket, unnest({lit}) AS wt
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::UBIGINT % {DEFAULT_DIM} AS bucket
+  FROM tok
+),
+s AS (
+  SELECT f.doc_id, avg(w.wt) AS m
+  FROM feat f JOIN w ON w.bucket = f.bucket GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(s.m, 0.0), {SCORE_DECIMALS}) AS score,
+       round(coalesce(s.m, 0.0), {SCORE_DECIMALS}) >= 0 AS keep
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
+SQL_DOCS_QUALITY_CLASSIFIER = _build_sql_docs_quality_classifier()
+
+
 def q_docs_quality(sf_dir: str):
     """Quality scoring: unrounded ratios are identical doubles on both
     engines (same int numerator / denominator)."""
@@ -1980,7 +2023,11 @@ QUERIES = {
     # single driver row covers both operators (50-entry driver cap).
     "events_value_percentiles": q_events_value_percentiles_approx,
     "events_approx_users": q_events_approx_users,
-    "docs_token_stats": q_docs_token_stats,
+    # docs_token_stats retired from the driver registry (50-entry cap):
+    # token counting is pinned inside docs_bpe_tokens / docs_top_terms
+    # and stays ✓SQL in pytest via RETIRED_QUERIES; the slot funds the
+    # learned quality classifier.
+    "docs_quality_classifier": q_docs_quality_classifier,
     "docs_quality": q_docs_quality,
     "docs_length_by_lang": q_docs_length_by_lang,
     "docs_top_terms_per_lang": q_docs_top_terms_per_lang,
@@ -2047,7 +2094,7 @@ ORACLE_SQL = {
     "events_value_percentiles": SQL_EVENTS_VALUE_PERCENTILES_APPROX,
     "docs_langid": SQL_DOCS_LANGID,
     "training_prep": SQL_TRAINING_PREP,
-    "docs_token_stats": SQL_DOCS_TOKEN_STATS,
+    "docs_quality_classifier": SQL_DOCS_QUALITY_CLASSIFIER,
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_length_by_lang": SQL_DOCS_LENGTH_BY_LANG,
     "docs_top_terms_per_lang": SQL_DOCS_TOP_TERMS_PER_LANG,
@@ -2075,6 +2122,7 @@ RETIRED_QUERIES.update(
         "docs_fingerprint": q_docs_fingerprint,
         "events_hopping_rollup": q_events_hopping_rollup,
         "embeddings_lsh_near_dup": q_embeddings_lsh_near_dup,
+        "docs_token_stats": q_docs_token_stats,
     }
 )
 RETIRED_ORACLE_SQL.update(
@@ -2083,5 +2131,6 @@ RETIRED_ORACLE_SQL.update(
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,
         "events_hopping_rollup": SQL_EVENTS_HOPPING,
         "embeddings_lsh_near_dup": SQL_EMBEDDINGS_LSH_NEAR_DUP,
+        "docs_token_stats": SQL_DOCS_TOKEN_STATS,
     }
 )

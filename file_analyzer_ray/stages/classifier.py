@@ -1,0 +1,127 @@
+"""fastText-style hashed linear quality classifier.
+
+The standard web-pipeline quality gate (CCNet / GPT-3 / LLaMA data
+recipes): score = bias + mean over token instances of a weight looked
+up by HASH BUCKET (no vocabulary file — the hashing trick), keep when
+the score clears a threshold. Reference parity note: the reference's
+quality surface is heuristic ratios only (this repo's ``docs_quality``);
+the learned-classifier gate is part of the beyond-reference
+training-data surface.
+
+Determinism contract (shared with the DuckDB oracle in queries.py):
+
+- tokens  = lowercased alphanumeric runs (``[a-z0-9]+``), the repo-wide
+  tokenizer convention;
+- bucket  = first 4 bytes of ``md5(token)`` as an integer, mod ``dim``
+  (DuckDB: ``('0x' || substr(md5(t),1,8))::UBIGINT % dim``);
+- weights = ``default_rng(seed).normal(0, scale, dim)`` — DATA-
+  INDEPENDENT, so the oracle embeds them as SQL literals exactly like
+  the LSH hyperplanes;
+- score   = ``round(bias + mean(bucket weights), 6)``; empty docs score
+  ``round(bias, 6)``; ``keep = score >= 0``.
+
+Scale shape: the model is built once per actor in ``__init__`` (never
+shipped per batch — it's seed-derived), scoring is one numpy gather +
+``np.add.reduceat`` per batch, and the token→bucket map is memoized per
+actor (the md5 per DISTINCT token amortizes to zero on a zipfian
+vocabulary — the web-corpus shape).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_DIM = 2048
+DEFAULT_SEED = 7
+DEFAULT_SCALE = 0.3
+SCORE_DECIMALS = 6
+
+
+def model_weights(
+    dim: int = DEFAULT_DIM, seed: int = DEFAULT_SEED, scale: float = DEFAULT_SCALE
+) -> np.ndarray:
+    """The seeded weight vector — the single source of truth for both
+    the actor and the SQL-literal oracle."""
+    return np.random.default_rng(seed).normal(0.0, scale, dim)
+
+
+def token_bucket(token: str, dim: int = DEFAULT_DIM) -> int:
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:8], 16) % dim
+
+
+class QualityClassifier:
+    """Actor-pool stage: ``(doc_id, text) -> (doc_id, score, keep)``."""
+
+    def __init__(
+        self,
+        dim: int = DEFAULT_DIM,
+        seed: int = DEFAULT_SEED,
+        scale: float = DEFAULT_SCALE,
+        bias: float = 0.0,
+    ):
+        from ..functions.text import TOKEN_RE
+
+        self.dim = dim
+        self.bias = bias
+        self.w = model_weights(dim, seed, scale)
+        self.token_re = TOKEN_RE
+        self._bucket_memo: dict[str, int] = {}
+
+    def _bucket(self, tok: str) -> int:
+        b = self._bucket_memo.get(tok)
+        if b is None:
+            b = token_bucket(tok, self.dim)
+            self._bucket_memo[tok] = b
+        return b
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        buckets: list[int] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            toks = self.token_re.findall((txt or "").lower())
+            counts[i] = len(toks)
+            buckets.extend(self._bucket(tok) for tok in toks)
+        # one gather + segmented sum across the whole batch
+        scores = np.full(len(texts), self.bias, dtype=np.float64)
+        if buckets:
+            vals = self.w[np.asarray(buckets, dtype=np.int64)]
+            offsets = np.zeros(len(texts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            nonzero = counts > 0
+            sums = np.add.reduceat(vals, offsets[nonzero])
+            scores[nonzero] += sums / counts[nonzero]
+        scores = np.round(scores, SCORE_DECIMALS)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids.astype(np.int64)),
+                pa.array(scores),
+                pa.array(scores >= 0.0),
+            ],
+            names=["doc_id", "score", "keep"],
+        )
+
+
+def classify_quality(
+    ds,
+    dim: int = DEFAULT_DIM,
+    seed: int = DEFAULT_SEED,
+    scale: float = DEFAULT_SCALE,
+    bias: float = 0.0,
+    concurrency: "int | tuple[int, int]" = (2, 8),
+):
+    """Score a ``(doc_id, text)`` dataset with the seeded hashed linear
+    model — model built once per actor, zero-copy Arrow batches."""
+    return ds.map_batches(
+        QualityClassifier,
+        fn_constructor_kwargs={
+            "dim": dim, "seed": seed, "scale": scale, "bias": bias,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

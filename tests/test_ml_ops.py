@@ -598,3 +598,43 @@ def test_semdedup_empty_cluster_vanishes(ray_session):
     exp = semdedup_serial(ids, mat.astype(np.float64), k=4, iters=2, eps=0.9)
     assert got == exp
     assert len({c for _, c, _ in got}) == 2  # empty centroids vanished
+
+
+def test_quality_classifier_kernel_edges(ray_session):
+    """The segmented-sum kernel must survive empty texts at the start,
+    middle and end of a batch (reduceat offset arithmetic) and match a
+    per-doc serial computation exactly."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from file_analyzer_ray.stages.classifier import (
+        QualityClassifier,
+        classify_quality,
+        model_weights,
+        token_bucket,
+    )
+
+    texts = ["", "fast key order", "", "join join join", "slow", ""]
+    ids = np.arange(len(texts), dtype=np.int64)
+    t = pa.Table.from_arrays(
+        [pa.array(ids), pa.array(texts)], names=["doc_id", "text"]
+    )
+    out = QualityClassifier()(t)
+    w = model_weights()
+    for i, txt in enumerate(texts):
+        toks = [x.lower() for x in txt.split() if x]
+        exp = round(float(np.mean([w[token_bucket(x)] for x in toks])), 6) if toks else 0.0
+        assert out.column("score")[i].as_py() == exp
+        assert out.column("keep")[i].as_py() == (exp >= 0)
+
+    # dataset path: actor pool over multiple blocks, same values
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": ids, "text": texts})
+    ).repartition(3)
+    rows = {r["doc_id"]: r for r in classify_quality(ds, concurrency=2).take_all()}
+    for i in range(len(texts)):
+        assert rows[i]["score"] == out.column("score")[i].as_py()

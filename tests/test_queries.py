@@ -122,6 +122,7 @@ SQL_CHECKED = [
     "embeddings_lsh_near_dup",
     "docs_decontaminate",
     "embeddings_semdedup",
+    "docs_quality_classifier",
 ]
 
 
