@@ -803,6 +803,30 @@ FROM documents
 """
 
 
+def q_docs_main_content(sf_dir: str):
+    """Main-content extraction (HTML boilerplate strip, the north
+    rule's first stage): each document is rendered into a deterministic
+    HTML page (header/nav, sponsored aside, link-farm div, footer, main
+    text in 10-token <p> blocks) and the readability-style extractor
+    (stages/maincontent.py: container context + link density) must
+    recover EXACTLY the original text — a golden-output oracle in the
+    reference's known-answer test style: the DuckDB side states the
+    ground truth (whitespace-normalized text, ceil(tokens/10) blocks)
+    without parsing HTML, so any heuristic regression hash-fails."""
+    from .stages.maincontent import main_content_from_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return main_content_from_docs(ds)
+
+
+SQL_DOCS_MAIN_CONTENT = r"""
+SELECT doc_id,
+       trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text,
+       CAST(ceil(length(regexp_extract_all(text, '\S+')) / 10.0) AS BIGINT) AS n_blocks
+FROM documents
+"""
+
+
 def q_docs_length_by_lang(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
 
@@ -2028,7 +2052,11 @@ QUERIES = {
     # and stays ✓SQL in pytest via RETIRED_QUERIES; the slot funds the
     # learned quality classifier.
     "docs_quality_classifier": q_docs_quality_classifier,
-    "docs_quality": q_docs_quality,
+    # docs_quality (heuristic ratios) retired from the driver registry
+    # (50-entry cap): the quality family keeps the learned classifier
+    # entry; ratios stay ✓SQL in pytest via RETIRED_QUERIES. The slot
+    # funds the north-rule main-content extractor.
+    "docs_main_content": q_docs_main_content,
     "docs_length_by_lang": q_docs_length_by_lang,
     "docs_top_terms_per_lang": q_docs_top_terms_per_lang,
     "docs_exact_dedup": q_docs_exact_dedup,
@@ -2095,7 +2123,7 @@ ORACLE_SQL = {
     "docs_langid": SQL_DOCS_LANGID,
     "training_prep": SQL_TRAINING_PREP,
     "docs_quality_classifier": SQL_DOCS_QUALITY_CLASSIFIER,
-    "docs_quality": SQL_DOCS_QUALITY,
+    "docs_main_content": SQL_DOCS_MAIN_CONTENT,
     "docs_length_by_lang": SQL_DOCS_LENGTH_BY_LANG,
     "docs_top_terms_per_lang": SQL_DOCS_TOP_TERMS_PER_LANG,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
@@ -2123,6 +2151,7 @@ RETIRED_QUERIES.update(
         "events_hopping_rollup": q_events_hopping_rollup,
         "embeddings_lsh_near_dup": q_embeddings_lsh_near_dup,
         "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
     }
 )
 RETIRED_ORACLE_SQL.update(
@@ -2132,5 +2161,6 @@ RETIRED_ORACLE_SQL.update(
         "events_hopping_rollup": SQL_EVENTS_HOPPING,
         "embeddings_lsh_near_dup": SQL_EMBEDDINGS_LSH_NEAR_DUP,
         "docs_token_stats": SQL_DOCS_TOKEN_STATS,
+        "docs_quality": SQL_DOCS_QUALITY,
     }
 )

@@ -295,3 +295,83 @@ class TestEscalatingRetry:
                 assert score_doc(ch, ["w"])["attempts"] == 1
                 n += 1
         assert n > 100
+
+
+class TestMainContent:
+    """Boilerplate-strip heuristics (stages/maincontent.py)."""
+
+    def test_chrome_containers_dropped(self):
+        from file_analyzer_ray.stages.maincontent import extract_main
+
+        html = (
+            "<html><head><title>T</title><style>p{x}</style>"
+            "<script>var a='<p>fake</p>';</script></head><body>"
+            "<header><h1>Site</h1><nav><a href='/'>Home</a></nav></header>"
+            "<aside><p>Sponsored</p></aside>"
+            "<p>real content here</p>"
+            "<footer><p>legal</p></footer></body></html>"
+        )
+        main, n = extract_main(html)
+        assert main == "real content here"
+        assert n == 1
+
+    def test_link_density_drops_link_farms_only(self):
+        from file_analyzer_ray.stages.maincontent import extract_main
+
+        html = (
+            "<body><div><p><a>one</a> <a>two</a> <a>three</a></p></div>"
+            "<p>prose with an inline <a>anchor</a> kept because text dominates"
+            " around it in this long block</p></body>"
+        )
+        main, n = extract_main(html)
+        assert "one" not in main and "kept" in main and "anchor" in main
+        assert n == 1
+
+    def test_nested_containers_and_unbalanced_close(self):
+        from file_analyzer_ray.stages.maincontent import extract_main
+
+        html = (
+            "<nav><div><p>deep chrome</p></div></nav></nav>"
+            "<p>after stray close</p>"
+        )
+        main, n = extract_main(html)
+        assert main == "after stray close"
+        assert n == 1
+
+    def test_whitespace_normalized_and_blocks_joined(self):
+        from file_analyzer_ray.stages.maincontent import extract_main
+
+        main, n = extract_main("<p>a\n  b</p><div>c\td</div>")
+        assert main == "a b c d"
+        assert n == 2
+
+    def test_empty_and_tagless(self):
+        from file_analyzer_ray.stages.maincontent import extract_main
+
+        assert extract_main("") == ("", 0)
+        assert extract_main("bare text no tags") == ("bare text no tags", 1)
+
+    def test_wrap_golden_roundtrip(self):
+        """The deterministic wrap's ground truth: extractor recovers
+        exactly the normalized source text, ceil(tokens/10) blocks."""
+        import pyarrow as pa
+
+        from file_analyzer_ray.stages.maincontent import (
+            MainContentStage,
+            wrap_documents_html,
+        )
+
+        texts = ["", "one", " ".join(f"w{i}" for i in range(25))]
+        t = pa.Table.from_arrays(
+            [
+                pa.array([1, 2, 3], pa.int64()),
+                pa.array(["web", "web", "books"]),
+                pa.array(texts),
+            ],
+            names=["doc_id", "source", "text"],
+        )
+        out = MainContentStage()(wrap_documents_html(t))
+        assert out.column("main_text").to_pylist() == [
+            " ".join(x.split()) for x in texts
+        ]
+        assert out.column("n_blocks").to_pylist() == [0, 1, 3]

@@ -123,6 +123,7 @@ SQL_CHECKED = [
     "docs_decontaminate",
     "embeddings_semdedup",
     "docs_quality_classifier",
+    "docs_main_content",
 ]
 
 
