@@ -1856,6 +1856,34 @@ FROM toks t LEFT JOIN nd USING (doc_id) LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_docs_source_overlap(sf_dir: str):
+    """Cross-source contamination audit: distinct word-3-gram overlap
+    counts per source pair (stages/overlap.py — one sort, per-block
+    bitmask incidence, bounded-key merge). Gram identity is the
+    splitmix window fold engine-side; the oracle counts gram STRINGS,
+    so the hash match also pins collision-freedom on this corpus."""
+    from .stages.overlap import source_overlap
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return source_overlap(ds, n=3)
+
+
+SQL_DOCS_SOURCE_OVERLAP = """
+WITH toks AS (
+  SELECT source,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                        t -> lower(t)) AS tk
+  FROM documents
+),
+pos AS (SELECT source, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks),
+grams AS (SELECT DISTINCT source, array_to_string(tk[i:i+2], ' ') AS g FROM pos)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared
+FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def q_docs_incremental_dedup(sf_dir: str):
     """Incremental dedup against a persisted fingerprint index
     (stages/incremental.py): docs with doc_id % 3 != 0 play the
@@ -2028,7 +2056,11 @@ QUERIES = {
     # cap): pruned-read + filter + project is exercised inside nearly
     # every other ✓SQL query; the slot funds the dup-span masker below.
     "docs_dup_spans": q_docs_dup_spans,
-    "orders_topk": q_orders_topk,
+    # orders_topk retired from the driver registry (50-entry cap): the
+    # sort+limit family stays exercised by docs_top_terms_per_lang /
+    # the kNN merges and ✓SQL in pytest via RETIRED_QUERIES; the slot
+    # funds the cross-source overlap audit.
+    "docs_source_overlap": q_docs_source_overlap,
     "customer_order_revenue": q_customer_order_revenue,
     "supplier_lineitem_agg": q_supplier_lineitem_agg,
     "events_type_stats": q_events_type_stats,
@@ -2109,7 +2141,7 @@ RETIRED_ORACLE_SQL: dict = {}
 ORACLE_SQL = {
     "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
     "docs_dup_spans": SQL_DOCS_DUP_SPANS,
-    "orders_topk": SQL_ORDERS_TOPK,
+    "docs_source_overlap": SQL_DOCS_SOURCE_OVERLAP,
     "customer_order_revenue": SQL_CUSTOMER_ORDER_REVENUE,
     "supplier_lineitem_agg": SQL_SUPPLIER_LINEITEM_AGG,
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
@@ -2152,6 +2184,7 @@ RETIRED_QUERIES.update(
         "embeddings_lsh_near_dup": q_embeddings_lsh_near_dup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
+        "orders_topk": q_orders_topk,
     }
 )
 RETIRED_ORACLE_SQL.update(
@@ -2162,5 +2195,6 @@ RETIRED_ORACLE_SQL.update(
         "embeddings_lsh_near_dup": SQL_EMBEDDINGS_LSH_NEAR_DUP,
         "docs_token_stats": SQL_DOCS_TOKEN_STATS,
         "docs_quality": SQL_DOCS_QUALITY,
+        "orders_topk": SQL_ORDERS_TOPK,
     }
 )

@@ -638,3 +638,54 @@ def test_quality_classifier_kernel_edges(ray_session):
     rows = {r["doc_id"]: r for r in classify_quality(ds, concurrency=2).take_all()}
     for i in range(len(texts)):
         assert rows[i]["score"] == out.column("score")[i].as_py()
+
+
+def test_source_overlap_matches_serial(ray_session):
+    """Cross-source overlap: distributed (hash grams, bitmask runs,
+    boundary channel) == string-gram serial oracle, multi-block."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from file_analyzer_ray.stages.overlap import (
+        source_overlap,
+        source_overlap_serial,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["source", "text"])
+    exp = source_overlap_serial(
+        t["source"].to_pylist(), t["text"].to_pylist(), n=3
+    )
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["source", "text"]
+    ).repartition(6)
+    got = sorted(
+        (r["source_a"], r["source_b"], r["n_shared"])
+        for r in source_overlap(ds, n=3).take_all()
+    )
+    assert len(got) > 0
+    assert got == exp
+
+
+def test_source_overlap_hand_case(ray_session):
+    """Known-answer: A∩B share exactly the grams of one sentence."""
+    import pandas as pd
+
+    import ray.data
+
+    from file_analyzer_ray.stages.overlap import source_overlap
+
+    shared = "alpha beta gamma delta"  # 2 distinct 3-grams
+    df = pd.DataFrame(
+        {
+            "source": ["A", "A", "B", "C"],
+            "text": [shared, "only a words here", shared + " epsilon", "zzz yyy xxx"],
+        }
+    )
+    got = sorted(
+        (r["source_a"], r["source_b"], r["n_shared"])
+        for r in source_overlap(
+            ray.data.from_pandas(df).repartition(2), n=3
+        ).take_all()
+    )
+    assert got == [("A", "B", 2)]

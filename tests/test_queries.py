@@ -124,6 +124,7 @@ SQL_CHECKED = [
     "embeddings_semdedup",
     "docs_quality_classifier",
     "docs_main_content",
+    "docs_source_overlap",
 ]
 
 
