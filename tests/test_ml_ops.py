@@ -689,3 +689,77 @@ def test_source_overlap_hand_case(ray_session):
         ).take_all()
     )
     assert got == [("A", "B", 2)]
+
+
+def test_bpe_word_counts_distributed_matches_counter(ray_session):
+    from collections import Counter
+
+    import ray.data
+
+    from file_analyzer_ray.functions.text import tokenize
+    from file_analyzer_ray.stages.bpe_train import word_counts
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    exp = Counter()
+    for txt in t["text"].to_pylist():
+        exp.update(x.lower() for x in tokenize(txt))
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["text"]
+    ).repartition(6)
+    got = {r["word"]: r["n"] for r in word_counts(ds).take_all()}
+    assert got == dict(exp)
+
+
+def test_bpe_train_hand_case_and_determinism():
+    from file_analyzer_ray.stages.bpe_train import bpe_train_from_counts
+
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_train_from_counts(counts, 6)
+    # es / st / t</w> all have freq 9; the tie breaks lexicographically
+    assert merges[0] == ("e", "s", 9)
+    assert merges == bpe_train_from_counts(counts, 6)  # deterministic
+    assert all(m[2] >= 2 for m in merges)
+
+
+def test_bpe_train_end_to_end_and_encode(ray_session):
+    from collections import Counter
+
+    import ray.data
+
+    from file_analyzer_ray.functions.text import tokenize
+    from file_analyzer_ray.stages.bpe_train import (
+        _encode_word,
+        bpe_encode,
+        bpe_train,
+        bpe_train_from_counts,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    exp_counts = Counter()
+    for txt in t["text"].to_pylist():
+        exp_counts.update(x.lower() for x in tokenize(txt))
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(4)
+    merges = bpe_train(ds, num_merges=20)
+    exp_merges = bpe_train_from_counts(dict(exp_counts), 20)
+    got_merges = list(
+        zip(
+            merges.column("left").to_pylist(),
+            merges.column("right").to_pylist(),
+            merges.column("freq").to_pylist(),
+        )
+    )
+    assert got_merges == exp_merges
+    assert len(got_merges) == 20
+
+    # encode: dataset path == per-word dynamic program
+    rank = {(a, b): i for i, (a, b, _) in enumerate(exp_merges)}
+    enc = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_encode(ds, merges).take_all()}
+    for did, txt in zip(t["doc_id"].to_pylist()[:50], t["text"].to_pylist()[:50]):
+        n = sum(len(_encode_word(w.lower(), rank)) for w in tokenize(txt))
+        assert enc[did] == n
+    # merges actually compress: fewer pieces than chars+1 for merged words
+    assert len(_encode_word(exp_merges[0][0] + exp_merges[0][1], rank)) < len(
+        exp_merges[0][0] + exp_merges[0][1]
+    ) + 1
