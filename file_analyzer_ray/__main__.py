@@ -56,28 +56,40 @@ def cmd_extract(args) -> int:
 
 
 def cmd_query(args) -> int:
-    from .queries import ORACLE_SQL, QUERIES
+    # retired-from-driver-registry queries stay runnable here — the
+    # 50-entry driver cap must never shrink the USER surface
+    from .queries import (
+        ORACLE_SQL,
+        QUERIES,
+        RETIRED_ORACLE_SQL,
+        RETIRED_QUERIES,
+    )
 
-    if args.name not in QUERIES:
+    queries = {**RETIRED_QUERIES, **QUERIES}
+    oracles = {**RETIRED_ORACLE_SQL, **ORACLE_SQL}
+    if args.name not in queries:
         print(f"unknown query {args.name!r}; see `queries`", file=sys.stderr)
         return 2
     with _RaySession():
-        res = QUERIES[args.name](args.sf_dir)
+        res = queries[args.name](args.sf_dir)
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
         if args.limit:
             df = df.head(args.limit)
         print(df.to_string(index=False))
-    if args.show_sql and args.name in ORACLE_SQL:
-        print("\n-- DuckDB oracle --" + ORACLE_SQL[args.name])
+    if args.show_sql and args.name in oracles:
+        print("\n-- DuckDB oracle --" + oracles[args.name])
     return 0
 
 
 def cmd_queries(args) -> int:
-    from .queries import ORACLE_SQL, QUERIES
+    from .queries import ORACLE_SQL, QUERIES, RETIRED_ORACLE_SQL, RETIRED_QUERIES
 
     for name in sorted(QUERIES):
         mark = "sql-oracle" if name in ORACLE_SQL else "rows-only"
         print(f"{name:32s} {mark}")
+    for name in sorted(RETIRED_QUERIES):
+        mark = "sql-oracle" if name in RETIRED_ORACLE_SQL else "rows-only"
+        print(f"{name:32s} {mark} (retired from driver registry)")
     return 0
 
 

@@ -179,3 +179,117 @@ def approx_quantiles(
         row["bin_width"] = float(ed[1] - ed[0])
         out_rows.append(row)
     return pd.DataFrame(out_rows).sort_values(by).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (mergeable summaries, Agarwal et al. 2012)
+# + exact second pass over the bounded candidate set: the 100 TB top-k
+# shape when the TERM SPACE is unbounded — per-batch state is capped at
+# ``sketch_k`` counters no matter the vocabulary, candidates are
+# guaranteed to contain every term with true count > N/(sketch_k+1),
+# and the final counts are EXACT (re-counted for candidates only).
+
+
+def _mg_truncate(words: np.ndarray, counts: np.ndarray, k: int):
+    """Misra–Gries truncation of an exact count table to ≤ k counters:
+    subtract the (k+1)-th largest count from every counter, keep the
+    positive ones. Each counter's undercount is ≤ the subtracted value;
+    summed over all truncations the total undercount of any term is
+    ≤ N/(k+1) (the mergeable-summaries bound)."""
+    if len(words) <= k:
+        return words, counts
+    sub = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    c2 = counts - sub
+    m = c2 > 0
+    return words[m], c2[m]
+
+
+def heavy_hitter_terms(
+    ds: "ray.data.Dataset", k: int = 10, sketch_k: int = 256
+) -> "ray.data.Dataset":
+    """``(text)`` → exact top-``k`` terms ``(term, n, guarantee_ok)``.
+
+    Pass 1 (sketch): each batch reduces to ≤ ``sketch_k`` MG counters
+    (np.unique + one partition — no per-term Python); summaries merge
+    on the driver by counter addition + MG truncation. Only
+    O(batches × sketch_k) tiny rows ever cross the wire — never the
+    term space. Pass 2 (exact): the ≤ sketch_k candidates are broadcast
+    via ``ray.put`` and re-counted exactly; the global N rides along.
+
+    ``guarantee_ok`` (same value on every row) self-verifies the
+    result: True iff the k-th exact candidate count exceeds
+    N/(sketch_k+1), the maximum count any non-candidate term can have —
+    when set, the output provably equals the exact top-k (modulo ties
+    at the boundary, broken by term ascending)."""
+    import pyarrow as pa
+
+    from ..functions.text import TOKEN_RE
+
+    def batch_terms(t: "pa.Table") -> np.ndarray:
+        toks: list[str] = []
+        for txt in t.column("text").to_pylist():
+            toks.extend(TOKEN_RE.findall((txt or "").lower()))
+        return np.asarray(toks, dtype=object).astype(str)
+
+    def mg_partial(t: "pa.Table") -> "pa.Table":
+        toks = batch_terms(t)
+        if len(toks) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["term", "n", "total"],
+            )
+        uniq, cnt = np.unique(toks, return_counts=True)
+        total = int(cnt.sum())
+        w, c = _mg_truncate(uniq, cnt.astype(np.int64), sketch_k)
+        totals = np.zeros(len(w), dtype=np.int64)
+        totals[0] = total  # batch token total rides on the first row
+        return pa.Table.from_arrays(
+            [pa.array(w.tolist(), pa.string()), pa.array(c), pa.array(totals)],
+            names=["term", "n", "total"],
+        )
+
+    parts = ds.map_batches(mg_partial, batch_format="pyarrow").take_all()
+    agg: dict[str, int] = {}
+    n_total = 0
+    for r in parts:
+        agg[r["term"]] = agg.get(r["term"], 0) + r["n"]
+        n_total += r["total"]
+    words = np.asarray(list(agg), dtype=object)
+    counts = np.asarray([agg[w] for w in words], dtype=np.int64)
+    cand_w, _ = _mg_truncate(words, counts, sketch_k)
+    cand = frozenset(cand_w.tolist())
+    cref = ray.put(cand)
+
+    def exact_partial(t: "pa.Table") -> "pa.Table":
+        cs = ray.get(cref)
+        toks = batch_terms(t)
+        if len(toks) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["term", "n"],
+            )
+        uniq, cnt = np.unique(toks, return_counts=True)
+        keep = np.fromiter((u in cs for u in uniq), dtype=bool, count=len(uniq))
+        return pa.Table.from_arrays(
+            [pa.array(uniq[keep].tolist(), pa.string()),
+             pa.array(cnt[keep].astype(np.int64))],
+            names=["term", "n"],
+        )
+
+    exact = ds.map_batches(exact_partial, batch_format="pyarrow")
+
+    bound = n_total / (sketch_k + 1)
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("term", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "term"], ascending=[False, True]).head(k)
+        g["guarantee_ok"] = bool(
+            len(g) < k or g["n"].iloc[-1] > bound
+        )
+        return g.reset_index(drop=True)
+
+    # candidate set is ≤ sketch_k keys → one small merge task
+    return exact.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )

@@ -196,7 +196,7 @@ def test_cli_listing_commands(capsys):
 
     assert main(["queries"]) == 0
     out = capsys.readouterr().out
-    assert "orders_topk" in out and "sql-oracle" in out
+    assert "docs_source_overlap" in out and "sql-oracle" in out
     assert main(["stages"]) == 0
     assert "extract_scored" in capsys.readouterr().out
 

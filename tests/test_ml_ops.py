@@ -763,3 +763,56 @@ def test_bpe_train_end_to_end_and_encode(ray_session):
     assert len(_encode_word(exp_merges[0][0] + exp_merges[0][1], rank)) < len(
         exp_merges[0][0] + exp_merges[0][1]
     ) + 1
+
+
+def test_mg_truncate_keeps_every_heavy_hitter():
+    from file_analyzer_ray.stages.sketches import _mg_truncate
+
+    rng = np.random.default_rng(11)
+    counts = rng.zipf(1.5, 500).astype(np.int64)
+    words = np.array([f"w{i}" for i in range(500)], dtype=object)
+    k = 16
+    w, c = _mg_truncate(words, counts, k)
+    assert len(w) <= k
+    n = counts.sum()
+    heavy = set(words[counts > n / (k + 1)].tolist())
+    assert heavy <= set(w.tolist())  # MG guarantee: no heavy hitter lost
+
+
+def test_heavy_hitter_terms_exact_topk(ray_session):
+    from collections import Counter
+
+    import ray.data
+
+    from file_analyzer_ray.functions.text import tokenize
+    from file_analyzer_ray.stages.sketches import heavy_hitter_terms
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    cnt = Counter()
+    for txt in t["text"].to_pylist():
+        cnt.update(x.lower() for x in tokenize(txt))
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["text"]
+    ).repartition(6)
+    out = heavy_hitter_terms(ds, k=10, sketch_k=256).take_all()
+    got = [(r["term"], r["n"]) for r in out]
+    assert got == exp
+    assert all(r["guarantee_ok"] for r in out)
+
+
+def test_heavy_hitter_small_sketch_still_finds_giant(ray_session):
+    """With a sketch far smaller than the vocabulary, the dominant term
+    must survive (MG guarantee); the self-verify flag reports whether
+    the full top-k is provably exact."""
+    import pandas as pd
+
+    import ray.data
+
+    from file_analyzer_ray.stages.sketches import heavy_hitter_terms
+
+    rows = ["giant " * 50] * 20 + [f"rare{i} word{i%7}" for i in range(300)]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": rows})).repartition(5)
+    out = heavy_hitter_terms(ds, k=3, sketch_k=8).take_all()
+    assert out[0]["term"] == "giant" and out[0]["n"] == 1000
