@@ -53,6 +53,11 @@ BENCH_QUERIES = [
     "docs_exact_dedup",
     "docs_minhash_near_dup",
     "embeddings_knn",
+    # round-3 continuation operators
+    "docs_quality_classifier",
+    "docs_main_content",
+    "embeddings_semdedup",
+    "docs_source_overlap",
 ]
 
 

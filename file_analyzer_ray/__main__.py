@@ -76,6 +76,9 @@ def cmd_query(args) -> int:
         if args.limit:
             df = df.head(args.limit)
         print(df.to_string(index=False))
+        if getattr(args, "stats", False) and hasattr(res, "stats"):
+            # per-stage wall/CPU breakdown — the measure-don't-guess loop
+            print("\n-- ds.stats() --\n" + res.stats())
     if args.show_sql and args.name in oracles:
         print("\n-- DuckDB oracle --" + oracles[args.name])
     return 0
@@ -157,6 +160,10 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     pq_.add_argument("--limit", type=int, default=20)
     pq_.add_argument("--show-sql", action="store_true")
+    pq_.add_argument(
+        "--stats", action="store_true",
+        help="print Ray Data per-stage execution stats after the result",
+    )
     pq_.set_defaults(fn=cmd_query)
 
     pl = sub.add_parser("queries", help="list registered queries")

@@ -220,3 +220,46 @@ def test_bucketed_layout_join_matches_duckdb(ray_session, tmp_path):
     assert got["c_mktsegment"].tolist() == exp["c_mktsegment"].tolist()
     # bucketing is deterministic and stable
     assert bucket_of(42, 8) == bucket_of(42, 8)
+
+
+def test_bucketed_layout_outer_joins_match_duckdb(ray_session, tmp_path):
+    """left / full-outer variants of the bucket-local join equal the
+    DuckDB joins — customers without orders (and vice versa) survive
+    exchange-free."""
+    import duckdb
+    import ray.data
+
+    from file_analyzer_ray.state.bucketed import bucketed_join, write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    da = str(tmp_path / "orders_b")
+    db = str(tmp_path / "cust_b")
+    write_bucketed(
+        ray.data.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]),
+        da, "o_custkey", num_buckets=8,
+    )
+    write_bucketed(
+        ray.data.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"]),
+        db, "c_custkey", num_buckets=8,
+    )
+    for how, sql_how in (("left", "LEFT JOIN"), ("outer", "FULL OUTER JOIN")):
+        got = (
+            bucketed_join(da, db, "o_custkey", "c_custkey", 8, how=how)
+            .to_pandas()
+            .sort_values(["o_custkey", "o_orderkey"], na_position="last")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""SELECT coalesce(o.o_custkey, c.c_custkey) AS o_custkey,
+                       o.o_orderkey, c.c_mktsegment
+                FROM read_parquet('{sf}/orders.parquet') o
+                {sql_how} read_parquet('{sf}/customer.parquet') c
+                  ON o.o_custkey = c.c_custkey
+                ORDER BY 1, 2 NULLS LAST"""
+        ).df()
+        assert len(got) == len(exp), how
+        assert got["o_custkey"].fillna(-1).tolist() == exp["o_custkey"].fillna(-1).tolist(), how
+        assert (
+            got["c_mktsegment"].fillna("-").tolist()
+            == exp["c_mktsegment"].fillna("-").tolist()
+        ), how
