@@ -99,3 +99,57 @@ def epoch_shuffle(
         return t.drop_columns(["_shuffle_key"])
 
     return shuffled.map_batches(drop_key, batch_format="pyarrow")
+
+
+def source_token_totals(ds: "ray.data.Dataset") -> "dict[str, int]":
+    """``(source, text)`` → per-source token totals. Sources are a
+    bounded label set (the mixture contract), so each batch reduces to
+    ≤ |sources| rows and the driver merges tiny partials — the same
+    broadcast-reduce shape as k-means training, never a key shuffle."""
+    from ..functions.text import TOKEN_RE
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs = t.column("source").to_pylist()
+        agg: dict[str, int] = {}
+        for s, txt in zip(srcs, t.column("text").to_pylist()):
+            agg[s] = agg.get(s, 0) + len(TOKEN_RE.findall((txt or "").lower()))
+        return pa.Table.from_arrays(
+            [pa.array(list(agg), pa.string()),
+             pa.array(list(agg.values()), pa.int64())],
+            names=["source", "n_tokens"],
+        )
+
+    out: dict[str, int] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        out[r["source"]] = out.get(r["source"], 0) + r["n_tokens"]
+    return out
+
+
+def weights_for_token_budget(
+    totals: "dict[str, int]", budgets: "dict[str, int]"
+) -> "dict[str, float]":
+    """Per-source keep-rates that hit each source's TOKEN budget in
+    expectation (the practical form of mixture weighting: papers give
+    token quotas, the engine needs Bernoulli rates). Rates cap at 1.0 —
+    a source smaller than its budget passes through whole (upsampling
+    is an epoch-level decision, not a filter's)."""
+    return {
+        s: min(1.0, budgets[s] / totals[s]) if totals.get(s) else 0.0
+        for s in budgets
+    }
+
+
+def mix_to_token_budget(
+    sources: "dict[str, ray.data.Dataset]",
+    budgets: "dict[str, int]",
+    totals: "dict[str, int]",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Compose :func:`weights_for_token_budget` + :func:`mix_sources`:
+    one tagged stream whose expected per-source token count equals the
+    budget. Deterministic — rerunning selects the identical rows."""
+    return mix_sources(
+        sources, weights_for_token_budget(totals, budgets),
+        id_col=id_col, seed=seed,
+    )

@@ -74,3 +74,65 @@ def test_epoch_shuffle_matches_duckdb_and_decorrelates(ray_session):
     assert again == got
     other = epoch_shuffle(_docs(), epoch=3).to_pandas()["doc_id"].tolist()
     assert sorted(other) == sorted(got) and other != got
+
+
+def test_token_budget_mixture(ray_session):
+    """Totals match a serial count; realized kept-token mass lands near
+    each source's budget (deterministic coin, law-of-large-numbers
+    tolerance); oversized budgets pass the source through whole."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from file_analyzer_ray.functions.text import tokenize
+    from file_analyzer_ray.stages.mixture import (
+        mix_to_token_budget,
+        source_token_totals,
+        weights_for_token_budget,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "source", "text"])
+    exp = Counter()
+    for s, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        exp[s] += len(tokenize(txt.lower()))
+    ds = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).repartition(4)
+    totals = source_token_totals(ds)
+    assert totals == dict(exp)
+
+    names = sorted(totals)[:3]
+    budgets = {
+        names[0]: totals[names[0]] // 2,       # downsample to half
+        names[1]: totals[names[1]] * 10,       # oversized -> rate 1.0
+        names[2]: 0,                           # excluded
+    }
+    w = weights_for_token_budget(totals, budgets)
+    assert w[names[1]] == 1.0 and w[names[2]] == 0.0
+
+    def one_source(name):
+        # mix_sources tags the stream itself, so the per-source inputs
+        # must not already carry a source column
+        return ds.filter(expr=f"source == '{name}'").select_columns(
+            ["doc_id", "text"]
+        )
+
+    mixed = mix_to_token_budget(
+        {n: one_source(n) for n in names}, budgets, totals
+    ).take_all()
+    got = Counter()
+    for r in mixed:
+        got[r["source"]] += len(tokenize(r["text"].lower()))
+    assert got.get(names[2], 0) == 0
+    assert got[names[1]] == totals[names[1]]
+    assert abs(got[names[0]] - budgets[names[0]]) / budgets[names[0]] < 0.45
+    # determinism: identical rerun
+    again = mix_to_token_budget(
+        {n: one_source(n) for n in names}, budgets, totals
+    ).take_all()
+    key = lambda rows: sorted(r["doc_id"] for r in rows)
+    assert key(mixed) == key(again)
