@@ -30,10 +30,18 @@ import ray.data
 END = "</w>"
 
 
-def word_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def word_counts(
+    ds: "ray.data.Dataset", min_count: int = 1
+) -> "ray.data.Dataset":
     """``(text)`` → global ``(word, n)`` counts; lowercased alphanumeric
     tokens (repo tokenizer convention). Per-batch combine, then the
-    sort + run-scan merge — scales to unbounded vocabulary."""
+    sort + run-scan merge — scales to unbounded vocabulary.
+
+    ``min_count`` prunes the long hapax tail INSIDE the merge kernel
+    (standard BPE-training practice): pairs supported only by sub-
+    threshold words cannot reach the merge table anyway, and the prune
+    is what bounds the driver-side count table at web scale (zipfian
+    vocab: min_count=2 alone typically drops ~half the distinct words)."""
     from ..functions.text import TOKEN_RE
     from ..query_utils import _window_by_key_arrow
 
@@ -70,8 +78,10 @@ def word_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         idx = words.dictionary_encode().indices.to_numpy(zero_copy_only=False)
         starts, ends = run_bounds(idx)
         sums = np.add.reduceat(n, starts)
+        keep = sums >= min_count
         return pa.Table.from_arrays(
-            [words.take(pa.array(starts)), pa.array(sums.astype(np.int64))],
+            [words.take(pa.array(starts[keep])),
+             pa.array(sums[keep].astype(np.int64))],
             names=["word", "n"],
         )
 
@@ -117,12 +127,15 @@ def bpe_train_from_counts(
     return merges
 
 
-def bpe_train(ds: "ray.data.Dataset", num_merges: int = 50) -> pa.Table:
+def bpe_train(
+    ds: "ray.data.Dataset", num_merges: int = 50, min_count: int = 1
+) -> pa.Table:
     """Corpus → learned merge table ``(rank, left, right, freq)``.
-    The distributed part is the word-count pass; the merge loop runs on
-    the count table (vocab-sized — at web scale still the single-node
-    step every production BPE trainer uses)."""
-    rows = word_counts(ds).take_all()
+    The distributed part is the word-count pass (``min_count`` bounds
+    the table it emits); the merge loop runs on the count table
+    (vocab-sized — at web scale still the single-node step every
+    production BPE trainer uses)."""
+    rows = word_counts(ds, min_count=min_count).take_all()
     counts = {r["word"]: r["n"] for r in rows}
     merges = bpe_train_from_counts(counts, num_merges)
     return pa.Table.from_arrays(

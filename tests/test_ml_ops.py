@@ -816,3 +816,17 @@ def test_heavy_hitter_small_sketch_still_finds_giant(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"text": rows})).repartition(5)
     out = heavy_hitter_terms(ds, k=3, sketch_k=8).take_all()
     assert out[0]["term"] == "giant" and out[0]["n"] == 1000
+
+
+def test_bpe_word_counts_min_count_prunes(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from file_analyzer_ray.stages.bpe_train import word_counts
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"text": ["aa aa aa bb", "bb cc", "dd"]})
+    ).repartition(2)
+    got = {r["word"]: r["n"] for r in word_counts(ds, min_count=2).take_all()}
+    assert got == {"aa": 3, "bb": 2}  # cc/dd hapaxes pruned globally
