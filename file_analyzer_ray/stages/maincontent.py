@@ -170,3 +170,70 @@ def main_content_from_docs(ds) -> "object":
         concurrency=(2, 8),
         num_cpus=1,
     )
+
+
+_HREF_RE = re.compile(r"""\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+                      re.IGNORECASE)
+
+
+def extract_links(html: str) -> "list[tuple[str, str]]":
+    """``(href, anchor_text)`` pairs in document order — the outlink
+    harvest (web-graph construction, the crawl frontier's input).
+    Anchor text is whitespace-normalized; anchors without an href are
+    skipped; an unclosed ``<a>`` closes at end of input. Nested markup
+    inside the anchor contributes its text."""
+    html = _SCRIPT_STYLE_RE.sub(" ", html or "")
+    out: list[tuple[str, str]] = []
+    cur_href: "str | None" = None
+    buf: list[str] = []
+    pos = 0
+
+    def close() -> None:
+        nonlocal cur_href, buf
+        if cur_href is not None:
+            out.append((cur_href, _WS_RE.sub(" ", "".join(buf)).strip()))
+        cur_href, buf = None, []
+
+    for m in _TAG_RE.finditer(html):
+        if cur_href is not None:
+            buf.append(html[pos : m.start()])
+        pos = m.end()
+        closing, tag = m.group(1) == "/", m.group(2).lower()
+        if tag != "a":
+            continue
+        if closing:
+            close()
+        else:
+            close()  # a new <a> implicitly closes a dangling one
+            hm = _HREF_RE.search(m.group(0))
+            if hm:
+                cur_href = hm.group(2) or hm.group(3) or hm.group(4) or ""
+    if cur_href is not None:
+        buf.append(html[pos:])
+        close()
+    return out
+
+
+class LinkExtractStage:
+    """Actor-pool stage: ``(doc_id, html)`` → exploded
+    ``(doc_id, position, href, anchor)`` rows (flat-map shape)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, poss, hrefs, anchors = [], [], [], []
+        for did, h in zip(
+            t.column("doc_id").to_pylist(), t.column("html").to_pylist()
+        ):
+            for j, (href, anchor) in enumerate(extract_links(h)):
+                ids.append(did)
+                poss.append(j)
+                hrefs.append(href)
+                anchors.append(anchor)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(poss, pa.int64()),
+                pa.array(hrefs, pa.string()),
+                pa.array(anchors, pa.string()),
+            ],
+            names=["doc_id", "position", "href", "anchor"],
+        )

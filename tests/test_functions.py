@@ -375,3 +375,48 @@ class TestMainContent:
             " ".join(x.split()) for x in texts
         ]
         assert out.column("n_blocks").to_pylist() == [0, 1, 3]
+
+
+class TestLinkExtraction:
+    def test_basic_and_quoting_variants(self):
+        from file_analyzer_ray.stages.maincontent import extract_links
+
+        html = (
+            '<p><a href="/a">first</a> text <a href=\'/b\'>second one</a>'
+            " <a href=/c>bare</a> <a>no href</a></p>"
+        )
+        assert extract_links(html) == [
+            ("/a", "first"), ("/b", "second one"), ("/c", "bare"),
+        ]
+
+    def test_nested_markup_and_unclosed(self):
+        from file_analyzer_ray.stages.maincontent import extract_links
+
+        html = '<a href="/x"><b>bold</b> tail'
+        assert extract_links(html) == [("/x", "bold tail")]
+        html2 = '<a href="/1">one<a href="/2">two</a>'
+        assert extract_links(html2) == [("/1", "one"), ("/2", "two")]
+
+    def test_script_anchor_ignored(self):
+        from file_analyzer_ray.stages.maincontent import extract_links
+
+        html = "<script>var s='<a href=/fake>x</a>';</script><a href=/r>r</a>"
+        assert extract_links(html) == [("/r", "r")]
+
+    def test_wrapped_docs_known_links(self):
+        import pyarrow as pa
+
+        from file_analyzer_ray.stages.maincontent import (
+            LinkExtractStage,
+            wrap_documents_html,
+        )
+
+        t = pa.Table.from_arrays(
+            [pa.array([7], pa.int64()), pa.array(["web"]), pa.array(["x y z"])],
+            names=["doc_id", "source", "text"],
+        )
+        out = LinkExtractStage()(wrap_documents_html(t))
+        assert out.column("href").to_pylist() == [
+            "/", "/s", "/t", "/buy", "/now", "/1", "/2", "/terms",
+        ]
+        assert out.column("position").to_pylist() == list(range(8))
