@@ -134,6 +134,13 @@ def _register_builtins() -> None:
     from .stages.multimodal import DecodeStage, FusedMediaStage, explode_media
     from .stages.scorer import ScorerStage
 
+    from .stages.classifier import QualityClassifier
+    from .stages.maincontent import (
+        LinkExtractStage,
+        MainContentStage,
+        wrap_documents_html,
+    )
+
     register_stage("extract", ExtractStage)
     register_stage("extract_scored", ExtractStage,
                    fn_constructor_kwargs={"score": True})
@@ -141,6 +148,10 @@ def _register_builtins() -> None:
     register_stage("explode_media", explode_media)
     register_stage("decode_media", DecodeStage, batch_size=64)
     register_stage("fused_media", FusedMediaStage, batch_size=64)
+    register_stage("wrap_html", wrap_documents_html)
+    register_stage("main_content", MainContentStage)
+    register_stage("extract_links", LinkExtractStage)
+    register_stage("quality_classifier", QualityClassifier)
 
 
 _register_builtins()

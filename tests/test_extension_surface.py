@@ -339,3 +339,25 @@ def test_entry_points_plugin_loading(monkeypatch, ray_session):
     ds = ray.data.from_items([{"x": 1}, {"x": 2}])
     out = reg.build_pipeline(ds, ["plugged"]).to_pandas()
     assert out["plugged"].tolist() == [1, 1]
+
+
+def test_build_pipeline_web_stages(ray_session):
+    """The web-corpus stages compose through the registry by name:
+    documents → wrap_html → main_content recovers the source text."""
+    import pandas as pd
+
+    import ray.data
+
+    from file_analyzer_ray.registry import build_pipeline
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "source": ["web", "web"],
+         "text": ["alpha beta", "gamma delta epsilon"]}
+    )
+    ds = ray.data.from_pandas(df)
+    out = build_pipeline(ds, ["wrap_html", "main_content"]).to_pandas()
+    assert out.sort_values("doc_id")["main_text"].tolist() == [
+        "alpha beta", "gamma delta epsilon",
+    ]
+    links = build_pipeline(ds, ["wrap_html", "extract_links"]).to_pandas()
+    assert (links.groupby("doc_id").size() == 8).all()
