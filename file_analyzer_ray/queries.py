@@ -827,6 +827,33 @@ FROM documents
 """
 
 
+def q_docs_layout_parse(sf_dir: str):
+    """PDF-style layout parse (the north rule's second extraction
+    clause): each document is rendered into a deterministic two-column
+    paged box stream with running headers/footers and SHUFFLED box
+    order (stages/layout.py wrap), and the generic parser — multi-page
+    furniture detection, absolute-gap column clustering, reading-order
+    sort — must recover exactly the original text. Golden-output
+    oracle: the SQL states the known answer without touching boxes."""
+    from .stages.layout import layout_from_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return layout_from_docs(ds)
+
+
+# n_lines = ceil(tokens/6); n_pages = max(2, ceil(n_lines/8));
+# n_dropped = header+footer per page (stages/layout.py constants)
+SQL_DOCS_LAYOUT_PARSE = r"""
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text,
+         greatest(2, CAST(ceil(ceil(length(regexp_extract_all(text, '\S+')) / 6.0) / 8.0) AS BIGINT)) AS n_pages
+  FROM documents
+)
+SELECT doc_id, main_text, n_pages, 2 * n_pages AS n_dropped FROM base
+"""
+
+
 def q_docs_length_by_lang(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
 
@@ -2062,7 +2089,12 @@ QUERIES = {
     # funds the cross-source overlap audit.
     "docs_source_overlap": q_docs_source_overlap,
     "customer_order_revenue": q_customer_order_revenue,
-    "supplier_lineitem_agg": q_supplier_lineitem_agg,
+    # supplier_lineitem_agg retired from the driver registry (50-entry
+    # cap): the join+groupby family keeps pricing_summary /
+    # customer_order_revenue / orders_lineitem_join_agg green; ✓SQL in
+    # pytest via RETIRED_QUERIES. The slot funds the north-rule
+    # layout parser.
+    "docs_layout_parse": q_docs_layout_parse,
     "events_type_stats": q_events_type_stats,
     "events_hourly_rollup": q_events_hourly_rollup,
     # events_hopping_rollup retired from the driver registry (50-entry
@@ -2143,7 +2175,7 @@ ORACLE_SQL = {
     "docs_dup_spans": SQL_DOCS_DUP_SPANS,
     "docs_source_overlap": SQL_DOCS_SOURCE_OVERLAP,
     "customer_order_revenue": SQL_CUSTOMER_ORDER_REVENUE,
-    "supplier_lineitem_agg": SQL_SUPPLIER_LINEITEM_AGG,
+    "docs_layout_parse": SQL_DOCS_LAYOUT_PARSE,
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_hourly_rollup": SQL_EVENTS_HOURLY,
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
@@ -2185,6 +2217,7 @@ RETIRED_QUERIES.update(
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "orders_topk": q_orders_topk,
+        "supplier_lineitem_agg": q_supplier_lineitem_agg,
     }
 )
 RETIRED_ORACLE_SQL.update(
@@ -2196,5 +2229,6 @@ RETIRED_ORACLE_SQL.update(
         "docs_token_stats": SQL_DOCS_TOKEN_STATS,
         "docs_quality": SQL_DOCS_QUALITY,
         "orders_topk": SQL_ORDERS_TOPK,
+        "supplier_lineitem_agg": SQL_SUPPLIER_LINEITEM_AGG,
     }
 )

@@ -1,0 +1,196 @@
+"""PDF-style layout parsing: text boxes → reading order → main text.
+
+The north rule's second extraction clause ("PDF/layout parse") beside
+the HTML boilerplate stripper: the input is a page-of-text-boxes
+document (the shape every PDF text extractor emits — pdfminer/PyMuPDF
+give (page, x, y, w, h, text) boxes with NO reliable order), and the
+parser must (a) detect and drop running headers/footers, (b) detect
+columns, (c) emit the body text in reading order. Real PDF codecs are
+absent in this container (the multimodal-decode doctrine applies): the
+box DOCUMENTS are synthesized deterministically by
+:func:`wrap_documents_layout`, while the PARSER below is generic layout
+logic making no use of the synthesis constants.
+
+Heuristics (all deterministic):
+
+1. **Running header/footer detection**: a box whose normalized text
+   occurs on ≥ ``repeat_frac`` of the document's pages (docs with ≥ 2
+   pages) is furniture and dropped — the standard multi-page-repeat
+   rule (single-page docs fall back to nothing-dropped; a margin rule
+   would need physical page metrics the box stream may not carry).
+2. **Column detection**: boxes cluster into columns by the largest
+   horizontal gap between sorted distinct x positions (2-column split
+   iff the widest gap exceeds ``min_col_gap`` physical units — the
+   absolute-threshold rule real parsers use, anchored to page
+   geometry; a span-relative rule misfires on tightly clustered
+   single-column jitter).
+3. **Reading order**: sort by (page, column, y, x).
+
+Engine shape: row-local ``map_batches`` (each document's boxes arrive
+in one list cell — no cross-document state), numpy argsorts inside.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+BOX_TYPE = pa.struct(
+    [
+        ("page", pa.int32()),
+        ("x", pa.float64()),
+        ("y", pa.float64()),
+        ("text", pa.string()),
+    ]
+)
+
+
+def parse_layout(
+    boxes: "list[dict]", repeat_frac: float = 0.8, min_col_gap: float = 100.0
+) -> tuple[str, int, int]:
+    """One document's boxes → ``(main_text, n_pages, n_dropped)``."""
+    if not boxes:
+        return "", 0, 0
+    pages = np.array([b["page"] for b in boxes], dtype=np.int64)
+    xs = np.array([b["x"] for b in boxes], dtype=np.float64)
+    ys = np.array([b["y"] for b in boxes], dtype=np.float64)
+    texts = [" ".join((b["text"] or "").split()) for b in boxes]
+    n_pages = int(pages.max()) + 1
+
+    # 1. running furniture: same text on >= repeat_frac of pages
+    drop = np.zeros(len(boxes), dtype=bool)
+    if n_pages >= 2:
+        per_text_pages: dict[str, set] = {}
+        for t, p in zip(texts, pages.tolist()):
+            per_text_pages.setdefault(t, set()).add(p)
+        furniture = {
+            t for t, ps in per_text_pages.items()
+            if len(ps) >= repeat_frac * n_pages
+        }
+        drop = np.fromiter(
+            (t in furniture for t in texts), dtype=bool, count=len(texts)
+        )
+    keep = ~drop
+
+    # 2. column split on the kept boxes' x positions
+    ux = np.unique(xs[keep])
+    col_edge = None
+    if len(ux) >= 2:
+        gaps = np.diff(ux)
+        gi = int(np.argmax(gaps))
+        if gaps[gi] >= min_col_gap:
+            col_edge = (ux[gi] + ux[gi + 1]) / 2.0
+    col = (xs > col_edge).astype(np.int64) if col_edge is not None else (
+        np.zeros(len(boxes), dtype=np.int64)
+    )
+
+    # 3. reading order
+    order = np.lexsort((xs[keep], ys[keep], col[keep], pages[keep]))
+    kept_texts = [t for t, k in zip(texts, keep.tolist()) if k]
+    main = " ".join(
+        t for t in (kept_texts[i] for i in order.tolist()) if t
+    )
+    return main, n_pages, int(drop.sum())
+
+
+class LayoutParseStage:
+    """Actor-pool stage: ``(doc_id, boxes)`` →
+    ``(doc_id, main_text, n_pages, n_dropped)``."""
+
+    def __init__(self, repeat_frac: float = 0.8, min_col_gap: float = 100.0):
+        self.repeat_frac = repeat_frac
+        self.min_col_gap = min_col_gap
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mains, n_pages, n_drop = [], [], []
+        for boxes in t.column("boxes").to_pylist():
+            m, p, d = parse_layout(
+                boxes or [], self.repeat_frac, self.min_col_gap
+            )
+            mains.append(m)
+            n_pages.append(p)
+            n_drop.append(d)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids.astype(np.int64)),
+                pa.array(mains, pa.string()),
+                pa.array(n_pages, pa.int64()),
+                pa.array(n_drop, pa.int64()),
+            ],
+            names=["doc_id", "main_text", "n_pages", "n_dropped"],
+        )
+
+
+#: synthesis constants (the PARSER does not read these)
+LINE_TOKENS = 6
+LINES_PER_COLUMN = 4
+LEFT_X, RIGHT_X = 50.0, 350.0
+LINE_H, TOP_Y = 20.0, 100.0
+
+
+def wrap_documents_layout(t: pa.Table) -> pa.Table:
+    """Deterministic two-column paged layout rendering of a
+    ``(doc_id, source, text)`` batch — the golden-output harness (the
+    known answer is the whitespace-normalized text): lines of
+    ``LINE_TOKENS`` tokens fill the left column then the right column
+    (``LINES_PER_COLUMN`` each) per page; every page gets a running
+    header ``"{source} report"`` and footer ``"page-footer"``. Box
+    emission order is SHUFFLED by md5(doc_id:index) — exactly the
+    no-reliable-order stream a real PDF extractor hands you, so the
+    parser's reading-order sort is doing real work."""
+    out_boxes = []
+    for did, src, txt in zip(
+        t.column("doc_id").to_pylist(),
+        t.column("source").to_pylist(),
+        t.column("text").to_pylist(),
+    ):
+        toks = (txt or "").split()
+        lines = [
+            " ".join(toks[i : i + LINE_TOKENS])
+            for i in range(0, len(toks), LINE_TOKENS)
+        ]
+        per_page = 2 * LINES_PER_COLUMN
+        boxes = []
+        for j, line in enumerate(lines):
+            page, slot = divmod(j, per_page)
+            colx = LEFT_X if slot < LINES_PER_COLUMN else RIGHT_X
+            y = TOP_Y + (slot % LINES_PER_COLUMN) * LINE_H
+            boxes.append(
+                {"page": page, "x": colx, "y": y, "text": line}
+            )
+        # always >= 2 pages (a furniture-only trailing page when the
+        # body fits one): keeps the multi-page repeat rule applicable
+        # to every document, so the golden answer stays a closed form
+        n_pages = max(2, -(-len(lines) // per_page) if lines else 0)
+        for p in range(n_pages):
+            boxes.append({"page": p, "x": LEFT_X, "y": 10.0,
+                          "text": f"{src} report"})
+            boxes.append({"page": p, "x": LEFT_X, "y": 900.0,
+                          "text": "page-footer"})
+        # deterministic shuffle — destroys emission order
+        key = [
+            hashlib.md5(f"{did}:{i}".encode()).hexdigest()
+            for i in range(len(boxes))
+        ]
+        boxes = [b for _, b in sorted(zip(key, boxes), key=lambda kv: kv[0])]
+        out_boxes.append(boxes)
+    return pa.Table.from_arrays(
+        [t.column("doc_id"), pa.array(out_boxes, pa.list_(BOX_TYPE))],
+        names=["doc_id", "boxes"],
+    )
+
+
+def layout_from_docs(ds) -> "object":
+    """documents → deterministic layout wrap → layout parse, fused in
+    one streaming pass."""
+    return ds.map_batches(
+        wrap_documents_layout, batch_format="pyarrow"
+    ).map_batches(
+        LayoutParseStage,
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+        num_cpus=1,
+    )

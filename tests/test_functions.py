@@ -420,3 +420,67 @@ class TestLinkExtraction:
             "/", "/s", "/t", "/buy", "/now", "/1", "/2", "/terms",
         ]
         assert out.column("position").to_pylist() == list(range(8))
+
+
+class TestLayoutParse:
+    def test_furniture_columns_and_reading_order(self):
+        from file_analyzer_ray.stages.layout import parse_layout
+
+        boxes = [
+            # page 0 body, two columns, deliberately out of order
+            {"page": 0, "x": 350.0, "y": 120.0, "text": "col2 second"},
+            {"page": 0, "x": 50.0, "y": 140.0, "text": "col1 third"},
+            {"page": 0, "x": 50.0, "y": 100.0, "text": "col1 first"},
+            {"page": 0, "x": 350.0, "y": 100.0, "text": "col2 first"},
+            # running furniture on both pages
+            {"page": 0, "x": 50.0, "y": 10.0, "text": "acme report"},
+            {"page": 1, "x": 50.0, "y": 10.0, "text": "acme report"},
+            {"page": 0, "x": 50.0, "y": 900.0, "text": "footer"},
+            {"page": 1, "x": 50.0, "y": 900.0, "text": "footer"},
+            # page 1 body
+            {"page": 1, "x": 50.0, "y": 100.0, "text": "page two"},
+        ]
+        main, n_pages, n_dropped = parse_layout(boxes)
+        assert main == "col1 first col1 third col2 first col2 second page two"
+        assert n_pages == 2 and n_dropped == 4
+
+    def test_single_column_no_false_split(self):
+        from file_analyzer_ray.stages.layout import parse_layout
+
+        boxes = [
+            {"page": 0, "x": 50.0, "y": 140.0, "text": "b"},
+            {"page": 0, "x": 52.0, "y": 100.0, "text": "a"},
+            {"page": 0, "x": 54.0, "y": 180.0, "text": "c"},
+        ]
+        main, n_pages, n_dropped = parse_layout(boxes)
+        assert main == "a b c" and n_pages == 1 and n_dropped == 0
+
+    def test_empty(self):
+        from file_analyzer_ray.stages.layout import parse_layout
+
+        assert parse_layout([]) == ("", 0, 0)
+
+    def test_wrap_golden_roundtrip(self):
+        import pyarrow as pa
+
+        from file_analyzer_ray.stages.layout import (
+            LayoutParseStage,
+            wrap_documents_layout,
+        )
+
+        texts = ["", " ".join(f"w{i}" for i in range(25)),
+                 " ".join(f"v{i}" for i in range(100))]
+        t = pa.Table.from_arrays(
+            [pa.array([1, 2, 3], pa.int64()),
+             pa.array(["web", "web", "books"]),
+             pa.array(texts)],
+            names=["doc_id", "source", "text"],
+        )
+        out = LayoutParseStage()(wrap_documents_layout(t))
+        assert out.column("main_text").to_pylist() == [
+            " ".join(x.split()) for x in texts
+        ]
+        # 25 tokens -> 5 lines -> 1 body page -> padded to 2;
+        # 100 tokens -> 17 lines -> 3 pages
+        assert out.column("n_pages").to_pylist() == [2, 2, 3]
+        assert out.column("n_dropped").to_pylist() == [4, 4, 6]

@@ -125,6 +125,7 @@ SQL_CHECKED = [
     "docs_quality_classifier",
     "docs_main_content",
     "docs_source_overlap",
+    "docs_layout_parse",
 ]
 
 
