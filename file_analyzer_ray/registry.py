@@ -153,5 +153,10 @@ def _register_builtins() -> None:
     register_stage("extract_links", LinkExtractStage)
     register_stage("quality_classifier", QualityClassifier)
 
+    from .stages.layout import LayoutParseStage, wrap_documents_layout
+
+    register_stage("wrap_layout", wrap_documents_layout)
+    register_stage("layout_parse", LayoutParseStage)
+
 
 _register_builtins()
