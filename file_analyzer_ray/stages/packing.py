@@ -119,3 +119,61 @@ def pack_sequences(
         return pack_plan_kernel(ids, counts, seq_len, tag)
 
     return docs.map_batches(plan, batch_format="pyarrow", batch_size=None)
+
+
+CHUNK_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("chunk_id", pa.int64()),
+        ("start_tok", pa.int64()),
+        ("n_tok", pa.int64()),
+        ("chunk_text", pa.string()),
+    ]
+)
+
+
+def chunk_documents(
+    ds: "ray.data.Dataset", window: int = 64, stride: int = 48
+) -> "ray.data.Dataset":
+    """RAG-style chunking: ``(doc_id, text)`` → overlapping token
+    windows ``(doc_id, chunk_id, start_tok, n_tok, chunk_text)`` —
+    packing's retrieval-side sibling (pack_sequences concatenates for
+    TRAINING; this slices for INDEXING). Row-local flat-map, no
+    shuffle, no state: chunk starts are ``0, stride, 2·stride, …`` and
+    the last window is the short tail (never duplicated — a start is
+    emitted only while it is < n_tokens, and a full-coverage final
+    window already covers the tail). ``stride < window`` gives the
+    standard overlap."""
+    from ..functions.text import TOKEN_RE
+
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, cids, starts, ntoks, texts = [], [], [], [], []
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = TOKEN_RE.findall((txt or "").lower())
+            n = len(toks)
+            for cid, s in enumerate(range(0, max(n, 1), stride)):
+                piece = toks[s : s + window]
+                ids.append(did)
+                cids.append(cid)
+                starts.append(s)
+                ntoks.append(len(piece))
+                texts.append(" ".join(piece))
+                if s + window >= n:  # this window reaches the end
+                    break
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(cids, pa.int64()),
+                pa.array(starts, pa.int64()),
+                pa.array(ntoks, pa.int64()),
+                pa.array(texts, pa.string()),
+            ],
+            names=[f.name for f in CHUNK_SCHEMA],
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -103,3 +103,45 @@ def test_pack_plan_block_invariants(ray_session):
             out.sort_values(["seq_id"]).reset_index(drop=True),
             again.sort_values(["seq_id"]).reset_index(drop=True),
         )
+
+
+def test_chunk_documents_windows(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from file_analyzer_ray.stages.packing import chunk_documents
+
+    texts = {
+        1: " ".join(f"t{i}" for i in range(10)),  # 10 toks
+        2: "a b c",                               # < window: one chunk
+        3: "",                                    # empty: one empty chunk
+    }
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    ).repartition(2)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tok"], r["chunk_text"])
+         for r in chunk_documents(ds, window=4, stride=3).take_all())
+    )
+    exp = [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 6, 4, "t6 t7 t8 t9"),  # reaches the end -> stop
+        (2, 0, 0, 3, "a b c"),
+        (3, 0, 0, 0, ""),
+    ]
+    assert rows == exp
+    # coverage invariant on a longer doc: every token index falls in
+    # at least one window; consecutive windows overlap by window-stride
+    long = " ".join(f"w{i}" for i in range(257))
+    ds2 = ray.data.from_pandas(pd.DataFrame({"doc_id": [9], "text": [long]}))
+    got = sorted(
+        (r["start_tok"], r["n_tok"])
+        for r in chunk_documents(ds2, window=64, stride=48).take_all()
+    )
+    covered = set()
+    for s, n in got:
+        covered |= set(range(s, s + n))
+    assert covered == set(range(257))
+    assert got[-1][0] + got[-1][1] == 257
