@@ -233,3 +233,62 @@ def test_sink_path_guard(ray_session, tmp_path):
         PartitionWriter("/etc/fa_out")
     with _pytest.raises(SinkPathError):
         run_sharded(str(tmp_path), "/tmp")
+
+
+def test_web_prep_invariants(ray_session):
+    """The crawl-to-chunks composition: deterministic, strictly gated,
+    dedup keeps min doc_id, every chunk's text is a window of a
+    surviving doc's normalized text."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from file_analyzer_ray.functions.text import detect_language, normalize_ws
+    from file_analyzer_ray.pipelines.web_prep import web_prep_pipeline
+    from file_analyzer_ray.stages.classifier import QualityClassifier
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).repartition(5)
+    out = web_prep_pipeline(ds).take_all()
+    assert len(out) > 0
+
+    # serial reference of the gate chain
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    norm = {d: " ".join((x or "").split())
+            for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    clf = QualityClassifier()
+    import pyarrow as pa
+
+    scored = clf(pa.Table.from_arrays(
+        [pa.array(list(norm), pa.int64()),
+         pa.array([norm[d] for d in norm], pa.string())],
+        names=["doc_id", "text"],
+    ))
+    kept_quality = {
+        d for d, k in zip(scored.column("doc_id").to_pylist(),
+                          scored.column("keep").to_pylist()) if k
+    }
+    # exact dedup: min doc_id per fingerprint among quality survivors
+    first: dict = {}
+    for d in sorted(kept_quality):
+        f = hashlib.md5(normalize_ws(norm[d]).lower().encode()).hexdigest()
+        first.setdefault(f, d)
+    expected_docs = set(first.values())
+
+    got_docs = {r["doc_id"] for r in out}
+    assert got_docs == expected_docs
+    # chunk text is the right window of the doc's normalized text
+    for r in out[:200]:
+        toks = norm[r["doc_id"]].lower().split()
+        assert r["chunk_text"] == " ".join(
+            toks[r["start_tok"] : r["start_tok"] + r["n_tok"]]
+        )
+    # deterministic rerun
+    again = web_prep_pipeline(ds).take_all()
+    key = lambda rows: sorted((r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in rows)
+    assert key(out) == key(again)
