@@ -830,3 +830,55 @@ def test_bpe_word_counts_min_count_prunes(ray_session):
     ).repartition(2)
     got = {r["word"]: r["n"] for r in word_counts(ds, min_count=2).take_all()}
     assert got == {"aa": 3, "bb": 2}  # cc/dd hapaxes pruned globally
+
+
+def test_new_ops_survive_null_and_empty_text(ray_session):
+    """Crawl data has nulls: every round-3 text operator must pass
+    None/empty/whitespace text through without raising and produce the
+    right degenerate outputs."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from file_analyzer_ray.stages.classifier import QualityClassifier
+    from file_analyzer_ray.stages.maincontent import (
+        MainContentStage,
+        wrap_documents_html,
+    )
+    from file_analyzer_ray.stages.layout import (
+        LayoutParseStage,
+        wrap_documents_layout,
+    )
+    from file_analyzer_ray.stages.overlap import source_overlap
+    from file_analyzer_ray.stages.packing import chunk_documents
+    from file_analyzer_ray.stages.bpe_train import word_counts
+
+    t = pa.Table.from_arrays(
+        [
+            pa.array([1, 2, 3], pa.int64()),
+            pa.array(["web", "web", "web"]),
+            pa.array([None, "", "   "], pa.string()),
+        ],
+        names=["doc_id", "source", "text"],
+    )
+    out = MainContentStage()(wrap_documents_html(t))
+    assert out.column("main_text").to_pylist() == ["", "", ""]
+    out = LayoutParseStage()(wrap_documents_layout(t))
+    assert out.column("main_text").to_pylist() == ["", "", ""]
+    assert out.column("n_pages").to_pylist() == [2, 2, 2]
+
+    clf = QualityClassifier()(
+        pa.Table.from_arrays(
+            [t.column("doc_id"), t.column("text")], names=["doc_id", "text"]
+        )
+    )
+    assert clf.column("score").to_pylist() == [0.0, 0.0, 0.0]
+
+    df = pd.DataFrame({"doc_id": [1, 2], "source": ["a", "b"],
+                       "text": [None, ""]})
+    ds = ray.data.from_pandas(df)
+    assert source_overlap(ds, n=3).take_all() == []
+    assert word_counts(ds).take_all() == []
+    chunks = chunk_documents(ds).take_all()
+    assert sorted(r["n_tok"] for r in chunks) == [0, 0]
