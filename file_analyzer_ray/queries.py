@@ -827,6 +827,34 @@ FROM documents
 """
 
 
+def q_docs_pii_scrub(sf_dir: str):
+    """PII scrubbing (CCNet/Dolma-style curation pass): deterministic
+    injection harness (email after token 2, phone appended — pure
+    functions of doc_id) through the generic regex scrubber
+    (stages/pii.py). Golden-output oracle: the SQL states the known
+    masked text and counts without running any regex over PII."""
+    from .stages.pii import pii_scrub_from_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pii_scrub_from_docs(ds)
+
+
+SQL_DOCS_PII_SCRUB = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(tk) >= 4 THEN
+         array_to_string(tk[1:2], ' ') || ' [EMAIL] '
+         || array_to_string(tk[3:len(tk)], ' ') || ' [PHONE]'
+       ELSE array_to_string(tk, ' ') END AS clean_text,
+       CAST(CASE WHEN len(tk) >= 4 THEN 1 ELSE 0 END AS BIGINT) AS n_emails,
+       CAST(CASE WHEN len(tk) >= 4 THEN 1 ELSE 0 END AS BIGINT) AS n_phones,
+       CAST(0 AS BIGINT) AS n_ips
+FROM toks
+"""
+
+
 def q_docs_layout_parse(sf_dir: str):
     """PDF-style layout parse (the north rule's second extraction
     clause): each document is rendered into a deterministic two-column
@@ -2101,7 +2129,11 @@ QUERIES = {
     # cap): the windowed-rollup family keeps four green entries (hourly,
     # rolling-1h, sessionize, as-of); the slot funds incremental dedup.
     "docs_incremental_dedup": q_docs_incremental_dedup,
-    "events_clicks_before_purchase": q_events_clicks_before_purchase,
+    # events_clicks_before_purchase retired from the driver registry
+    # (50-entry cap): the temporal-join family keeps events_asof_purchase
+    # and events_sessionize green; ✓SQL in pytest via RETIRED_QUERIES.
+    # The slot funds the PII scrubber.
+    "docs_pii_scrub": q_docs_pii_scrub,
     "events_dow_type_cube": q_events_dow_type_cube,
     "events_sessionize": q_events_sessionize,
     "events_props_extract": q_events_props_extract,
@@ -2179,7 +2211,7 @@ ORACLE_SQL = {
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_hourly_rollup": SQL_EVENTS_HOURLY,
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
-    "events_clicks_before_purchase": SQL_EVENTS_CLICKS_BEFORE_PURCHASE,
+    "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "events_dow_type_cube": SQL_EVENTS_DOW_TYPE_CUBE,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_props_extract": SQL_EVENTS_PROPS,
@@ -2218,6 +2250,7 @@ RETIRED_QUERIES.update(
         "docs_quality": q_docs_quality,
         "orders_topk": q_orders_topk,
         "supplier_lineitem_agg": q_supplier_lineitem_agg,
+        "events_clicks_before_purchase": q_events_clicks_before_purchase,
     }
 )
 RETIRED_ORACLE_SQL.update(
@@ -2230,5 +2263,6 @@ RETIRED_ORACLE_SQL.update(
         "docs_quality": SQL_DOCS_QUALITY,
         "orders_topk": SQL_ORDERS_TOPK,
         "supplier_lineitem_agg": SQL_SUPPLIER_LINEITEM_AGG,
+        "events_clicks_before_purchase": SQL_EVENTS_CLICKS_BEFORE_PURCHASE,
     }
 )

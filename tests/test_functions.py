@@ -484,3 +484,48 @@ class TestLayoutParse:
         # 100 tokens -> 17 lines -> 3 pages
         assert out.column("n_pages").to_pylist() == [2, 2, 3]
         assert out.column("n_dropped").to_pylist() == [4, 4, 6]
+
+
+class TestPiiScrub:
+    def test_generic_patterns(self):
+        from file_analyzer_ray.stages.pii import scrub_text
+
+        c, ne, np_, ni = scrub_text(
+            "mail a.b+c@sub.example.org or call +44-202-555-0199; "
+            "server at 192.168.1.254 and 8.8.8.8"
+        )
+        assert ne == 1 and np_ == 1 and ni == 2
+        assert "[EMAIL]" in c and "[PHONE]" in c and c.count("[IP]") == 2
+        assert "example.org" not in c and "192.168" not in c
+
+    def test_no_false_positives_on_word_salad(self):
+        from file_analyzer_ray.stages.pii import scrub_text
+
+        c, ne, np_, ni = scrub_text("the fast key order sort 42 table")
+        assert (ne, np_, ni) == (0, 0, 0)
+        assert c == "the fast key order sort 42 table"
+
+    def test_email_scrubbed_before_phone_halves(self):
+        from file_analyzer_ray.stages.pii import scrub_text
+
+        # an address containing digit runs must not leave a phone match
+        c, ne, np_, ni = scrub_text("x 555-123-4567@example.com y")
+        assert ne == 1 and np_ == 0
+        assert c == "x [EMAIL] y"
+
+    def test_injection_roundtrip(self):
+        import pyarrow as pa
+
+        from file_analyzer_ray.stages.pii import PiiScrubStage, inject_pii
+
+        texts = ["", "a b c", "w0 w1 w2 w3 w4"]
+        t = pa.Table.from_arrays(
+            [pa.array([1, 2, 3], pa.int64()), pa.array(texts)],
+            names=["doc_id", "text"],
+        )
+        out = PiiScrubStage()(inject_pii(t))
+        assert out.column("clean_text").to_pylist() == [
+            "", "a b c", "w0 w1 [EMAIL] w2 w3 w4 [PHONE]",
+        ]
+        assert out.column("n_emails").to_pylist() == [0, 0, 1]
+        assert out.column("n_phones").to_pylist() == [0, 0, 1]

@@ -126,6 +126,7 @@ SQL_CHECKED = [
     "docs_main_content",
     "docs_source_overlap",
     "docs_layout_parse",
+    "docs_pii_scrub",
 ]
 
 
