@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "docs_main_content",
     "embeddings_semdedup",
     "docs_source_overlap",
+    "docs_layout_parse",
+    "docs_pii_scrub",
 ]
 
 

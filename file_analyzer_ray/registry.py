@@ -158,5 +158,9 @@ def _register_builtins() -> None:
     register_stage("wrap_layout", wrap_documents_layout)
     register_stage("layout_parse", LayoutParseStage)
 
+    from .stages.pii import PiiScrubStage
+
+    register_stage("pii_scrub", PiiScrubStage)
+
 
 _register_builtins()
