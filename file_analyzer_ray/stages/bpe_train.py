@@ -208,3 +208,78 @@ def bpe_encode(
     return ds.map_batches(
         Encoder, batch_format="pyarrow", concurrency=(2, 8), num_cpus=1
     )
+
+
+#: deterministic global id space with NO vocab shuffle: a single char
+#: maps to its codepoint, END_ID is above the BMP, merged symbols get
+#: MERGE_ID_BASE + rank. Ids are stable across processes and runs by
+#: construction — no global dictionary build pass is needed.
+END_ID = 0x110000
+MERGE_ID_BASE = 0x110001
+
+
+def symbol_id(sym: str, rank_of_merged: "dict[str, int]") -> int:
+    if sym == END:
+        return END_ID
+    if len(sym) == 1:
+        return ord(sym)
+    return MERGE_ID_BASE + rank_of_merged[sym]
+
+
+def bpe_encode_ids(
+    ds: "ray.data.Dataset", merges: pa.Table
+) -> "ray.data.Dataset":
+    """Apply a learned merge table emitting FULL token ids:
+    ``(doc_id, text)`` → ``(doc_id, ids: list<int64>, n_bpe_tokens)``
+    — the output packing/chunking consume for an actual training
+    stream. Same broadcast-rank + per-actor word memo shape as
+    :func:`bpe_encode`."""
+    rank = {}
+    merged_rank = {}
+    for r, left, right in zip(
+        merges.column("rank").to_pylist(),
+        merges.column("left").to_pylist(),
+        merges.column("right").to_pylist(),
+    ):
+        rank[(left, right)] = int(r)
+        merged_rank[left + right] = int(r)
+    ref = ray.put((rank, merged_rank))
+
+    class Encoder:
+        def __init__(self):
+            from ..functions.text import TOKEN_RE
+
+            self.rank, self.merged_rank = ray.get(ref)
+            self.token_re = TOKEN_RE
+            self.memo: dict[str, list] = {}
+
+        def _ids(self, w: str) -> list:
+            ids = self.memo.get(w)
+            if ids is None:
+                ids = [
+                    symbol_id(s, self.merged_rank)
+                    for s in _encode_word(w, self.rank)
+                ]
+                self.memo[w] = ids
+            return ids
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_ids, out_n = [], []
+            for txt in t.column("text").to_pylist():
+                doc: list = []
+                for w in self.token_re.findall((txt or "").lower()):
+                    doc.extend(self._ids(w))
+                out_ids.append(doc)
+                out_n.append(len(doc))
+            return pa.Table.from_arrays(
+                [
+                    t.column("doc_id"),
+                    pa.array(out_ids, pa.list_(pa.int64())),
+                    pa.array(out_n, pa.int64()),
+                ],
+                names=["doc_id", "ids", "n_bpe_tokens"],
+            )
+
+    return ds.map_batches(
+        Encoder, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+    )

@@ -882,3 +882,47 @@ def test_new_ops_survive_null_and_empty_text(ray_session):
     assert word_counts(ds).take_all() == []
     chunks = chunk_documents(ds).take_all()
     assert sorted(r["n_tok"] for r in chunks) == [0, 0]
+
+
+def test_bpe_encode_ids_roundtrip(ray_session):
+    """Token ids are decodable back to the exact symbol sequence, and
+    n_bpe_tokens agrees with the count-only encoder."""
+    import pandas as pd
+
+    import ray.data
+
+    from file_analyzer_ray.stages.bpe_train import (
+        END, END_ID, MERGE_ID_BASE, _encode_word,
+        bpe_encode, bpe_encode_ids, bpe_train,
+    )
+
+    texts = ["low lower lowest", "newest widest low", ""]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": texts})
+    ).repartition(2)
+    merges = bpe_train(ds, num_merges=10)
+    merged_syms = [
+        l + r for l, r in zip(merges.column("left").to_pylist(),
+                              merges.column("right").to_pylist())
+    ]
+    rank = {(l, r): i for i, (l, r) in enumerate(zip(
+        merges.column("left").to_pylist(), merges.column("right").to_pylist()
+    ))}
+
+    def decode(i):
+        if i == END_ID:
+            return END
+        if i >= MERGE_ID_BASE:
+            return merged_syms[i - MERGE_ID_BASE]
+        return chr(i)
+
+    got = {r["doc_id"]: r for r in bpe_encode_ids(ds, merges).take_all()}
+    counts = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in bpe_encode(ds, merges).take_all()}
+    import re
+    for did, txt in zip([1, 2, 3], texts):
+        syms = []
+        for w in re.findall(r"[A-Za-z0-9]+", txt.lower()):
+            syms.extend(_encode_word(w, rank))
+        assert [decode(i) for i in got[did]["ids"]] == syms
+        assert got[did]["n_bpe_tokens"] == counts[did] == len(syms)
