@@ -184,13 +184,10 @@ def wrap_documents_layout(t: pa.Table) -> pa.Table:
 
 
 def layout_from_docs(ds) -> "object":
-    """documents → deterministic layout wrap → layout parse, fused in
-    one streaming pass."""
-    return ds.map_batches(
-        wrap_documents_layout, batch_format="pyarrow"
-    ).map_batches(
-        LayoutParseStage,
-        batch_format="pyarrow",
-        concurrency=(2, 8),
-        num_cpus=1,
-    )
+    """documents → deterministic layout wrap → layout parse, fused
+    into ONE stateless task stage (no actor pool: nothing to set up
+    per worker, so tasks avoid the pool spin-up cost entirely)."""
+    def wrap_and_parse(t):
+        return LayoutParseStage()(wrap_documents_layout(t))
+
+    return ds.map_batches(wrap_and_parse, batch_format="pyarrow")

@@ -160,16 +160,15 @@ def wrap_documents_html(t: pa.Table) -> pa.Table:
 
 
 def main_content_from_docs(ds) -> "object":
-    """documents → deterministic HTML wrap → boilerplate strip. The
-    wrap and the strip run fused in the same streaming pass."""
-    return ds.map_batches(
-        wrap_documents_html, batch_format="pyarrow"
-    ).map_batches(
-        MainContentStage,
-        batch_format="pyarrow",
-        concurrency=(2, 8),
-        num_cpus=1,
-    )
+    """documents → deterministic HTML wrap → boilerplate strip, fused
+    into ONE task stage. The stage is STATELESS (regexes are module
+    compiled-once), so plain tasks beat an actor pool: no per-run actor
+    spin-up (~1 s of the 2 s sf0.1 wall was pool startup), and the
+    streaming executor sizes task parallelism itself."""
+    def wrap_and_strip(t):
+        return MainContentStage()(wrap_documents_html(t))
+
+    return ds.map_batches(wrap_and_strip, batch_format="pyarrow")
 
 
 _HREF_RE = re.compile(r"""\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",

@@ -93,8 +93,10 @@ def inject_pii(t: pa.Table) -> pa.Table:
 
 
 def pii_scrub_from_docs(ds) -> "object":
-    """documents → deterministic PII injection → scrub, fused in one
-    streaming pass."""
-    return ds.map_batches(inject_pii, batch_format="pyarrow").map_batches(
-        PiiScrubStage, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
-    )
+    """documents → deterministic PII injection → scrub, fused into ONE
+    stateless task stage (regexes are module compiled-once; an actor
+    pool would only add spin-up cost)."""
+    def inject_and_scrub(t):
+        return PiiScrubStage()(inject_pii(t))
+
+    return ds.map_batches(inject_and_scrub, batch_format="pyarrow")
