@@ -41,16 +41,16 @@ def web_prep_pipeline(
     from ..stages.maincontent import MainContentStage, wrap_documents_html
     from ..stages.packing import chunk_documents
 
-    # 1. render + strip: recover main text from page chrome
-    # pool minimums stay at 1: two pools with min 2 actors each pin all
-    # four cores of a small session and the sort's tasks never schedule
-    # (the keep_pool deadlock shape) — max still scales the pools out
-    main = docs.map_batches(
-        wrap_documents_html, batch_format="pyarrow"
-    ).map_batches(
-        MainContentStage, batch_format="pyarrow",
-        concurrency=(1, 8), num_cpus=1,
-    )
+    # 1. render + strip: recover main text from page chrome. The strip
+    # is STATELESS (module-compiled regexes) so it runs as plain tasks
+    # fused with the wrap — no actor pool, no spin-up, and no risk of
+    # pool minimums pinning a small session's cores (the keep_pool
+    # deadlock shape). The quality gate below stays a pool: its model
+    # build + token memo are real per-actor state.
+    def wrap_and_strip(t: pa.Table) -> pa.Table:
+        return MainContentStage()(wrap_documents_html(t))
+
+    main = docs.map_batches(wrap_and_strip, batch_format="pyarrow")
 
     # 2. language gate (row-local)
     def lang_gate(t: pa.Table) -> pa.Table:
