@@ -165,8 +165,39 @@ def kmeans_train(
     return cids, cents
 
 
+def _train_numpy(
+    ids: np.ndarray, u: np.ndarray, k: int, iters: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side trainer — IDENTICAL quantized contract as
+    :func:`kmeans_train` (equality pinned in tests), used below a row
+    bound where per-pass pipeline latency dominates the math."""
+    order = np.argsort(ids, kind="stable")
+    u = u[order]
+    cents = np.round(u[:k], CENTROID_DECIMALS)
+    cids = np.arange(len(cents), dtype=np.int64)
+    for _ in range(iters):
+        assign = assign_clusters(u, cents, cids)
+        alive = [c for c in cids.tolist() if (assign == c).any()]
+        cents = np.round(
+            np.stack([u[assign == c].mean(axis=0) for c in alive]),
+            CENTROID_DECIMALS,
+        )
+        cids = np.asarray(alive, dtype=np.int64)
+    return cids, cents
+
+
+#: above this row count the Lloyd passes run distributed; below it the
+#: unit vectors (= rows × dim × 8 bytes; 1M × 64d ≈ 0.5 GB) train on
+#: the driver in one collect — per-pass pipeline latency (~0.4 s each,
+#: 3 sequential passes) otherwise dominates sf-scale inputs. At 10^12
+#: rows the standard move is training on a bounded sample, which IS
+#: this path fed by a sampled dataset.
+DRIVER_TRAIN_MAX_ROWS = 200_000
+
+
 def semdedup(
-    ds: "ray.data.Dataset", k: int = 8, iters: int = 2, eps: float = 0.5
+    ds: "ray.data.Dataset", k: int = 8, iters: int = 2, eps: float = 0.5,
+    train_mode: str = "auto",
 ) -> "ray.data.Dataset":
     """Full SemDeDup pass → ``(vec_id, cluster, kept)`` for EVERY row.
 
@@ -187,7 +218,18 @@ def semdedup(
     from ..query_utils import _window_by_key_arrow
 
     unit = ds.map_batches(_unit_table, batch_format="pyarrow").materialize()
-    cids, cents = kmeans_train(unit, k, iters)
+    if train_mode == "auto":
+        train_mode = (
+            "driver" if unit.count() <= DRIVER_TRAIN_MAX_ROWS else "distributed"
+        )
+    if train_mode == "driver":
+        rows = unit.take_all()
+        ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64,
+                          count=len(rows))
+        mat = np.stack([np.asarray(r["u"], dtype=np.float64) for r in rows])
+        cids, cents = _train_numpy(ids, mat, k, iters)
+    else:
+        cids, cents = kmeans_train(unit, k, iters)
     ref = ray.put((cids, cents))
 
     def tag(t: pa.Table) -> pa.Table:

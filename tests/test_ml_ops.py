@@ -560,12 +560,16 @@ def test_semdedup_distributed_matches_serial(ray_session):
         f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).repartition(7)
     for eps in (0.35, 0.4):
-        got = sorted(
-            (r["vec_id"], r["cluster"], r["kept"])
-            for r in semdedup(ds, k=8, iters=2, eps=eps).take_all()
-        )
-        exp = semdedup_serial(ids, mat, k=8, iters=2, eps=eps)
-        assert got == exp
+        # BOTH trainer paths must equal the serial oracle bit-for-bit
+        for mode in ("distributed", "driver"):
+            got = sorted(
+                (r["vec_id"], r["cluster"], r["kept"])
+                for r in semdedup(
+                    ds, k=8, iters=2, eps=eps, train_mode=mode
+                ).take_all()
+            )
+            exp = semdedup_serial(ids, mat, k=8, iters=2, eps=eps)
+            assert got == exp, mode
     # the threshold actually bites: some rows dropped, most kept
     kept = sum(1 for _, _, k in exp if k)
     assert 0 < kept < len(exp)
