@@ -255,3 +255,75 @@ def test_window_by_key_arrow_matches_pandas_twin(ray_session):
         pd.testing.assert_frame_equal(
             got.astype({"n_rows": "int64", "v_sum": "int64"}), exp
         )
+
+
+# ---------------------------------------------------------------------------
+# golden-roundtrip properties of the wrap/parse extraction harnesses
+
+_word = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8
+)
+_doc_text = st.lists(_word, min_size=0, max_size=120).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(txt=_doc_text, did=st.integers(min_value=0, max_value=10**9))
+def test_html_wrap_strip_roundtrip_property(txt, did):
+    import pyarrow as pa
+
+    from file_analyzer_ray.stages.maincontent import (
+        MainContentStage,
+        wrap_documents_html,
+    )
+
+    t = pa.Table.from_arrays(
+        [pa.array([did], pa.int64()), pa.array(["s"]), pa.array([txt])],
+        names=["doc_id", "source", "text"],
+    )
+    out = MainContentStage()(wrap_documents_html(t))
+    assert out.column("main_text")[0].as_py() == " ".join(txt.split())
+
+
+@settings(max_examples=60, deadline=None)
+@given(txt=_doc_text, did=st.integers(min_value=0, max_value=10**9))
+def test_layout_wrap_parse_roundtrip_property(txt, did):
+    import pyarrow as pa
+
+    from file_analyzer_ray.stages.layout import (
+        LayoutParseStage,
+        wrap_documents_layout,
+    )
+
+    t = pa.Table.from_arrays(
+        [pa.array([did], pa.int64()), pa.array(["s"]), pa.array([txt])],
+        names=["doc_id", "source", "text"],
+    )
+    out = LayoutParseStage()(wrap_documents_layout(t))
+    assert out.column("main_text")[0].as_py() == " ".join(txt.split())
+
+
+@settings(max_examples=60, deadline=None)
+@given(txt=_doc_text, did=st.integers(min_value=0, max_value=10**9))
+def test_pii_inject_scrub_closed_form_property(txt, did):
+    import pyarrow as pa
+
+    from file_analyzer_ray.stages.pii import (
+        MIN_TOKENS,
+        PiiScrubStage,
+        inject_pii,
+    )
+
+    t = pa.Table.from_arrays(
+        [pa.array([did], pa.int64()), pa.array([txt])],
+        names=["doc_id", "text"],
+    )
+    out = PiiScrubStage()(inject_pii(t))
+    toks = txt.split()
+    if len(toks) >= MIN_TOKENS:
+        exp = " ".join(toks[:2] + ["[EMAIL]"] + toks[2:] + ["[PHONE]"])
+        ne = np_ = 1
+    else:
+        exp, ne, np_ = " ".join(toks), 0, 0
+    assert out.column("clean_text")[0].as_py() == exp
+    assert out.column("n_emails")[0].as_py() == ne
+    assert out.column("n_phones")[0].as_py() == np_
