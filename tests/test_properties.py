@@ -327,3 +327,33 @@ def test_pii_inject_scrub_closed_form_property(txt, did):
     assert out.column("clean_text")[0].as_py() == exp
     assert out.column("n_emails")[0].as_py() == ne
     assert out.column("n_phones")[0].as_py() == np_
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=12,
+    ),
+    nm=st.integers(min_value=0, max_value=15),
+)
+def test_bpe_merge_invariants_property(words, nm):
+    """Training invariants on arbitrary count tables: encoding is
+    LOSSLESS (symbols concatenate back to word+END), merge freqs are
+    all ≥ 2, and more merges never increase any word's token count."""
+    from file_analyzer_ray.stages.bpe_train import (
+        END,
+        _encode_word,
+        bpe_train_from_counts,
+    )
+
+    merges = bpe_train_from_counts(words, nm)
+    assert all(f >= 2 for _, _, f in merges)
+    rank_full = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    rank_half = {(a, b): i for i, (a, b, _) in enumerate(merges[: len(merges) // 2])}
+    for w in words:
+        full = _encode_word(w, rank_full)
+        assert "".join(full) == w + END  # lossless
+        assert len(full) <= len(_encode_word(w, rank_half))  # monotone
