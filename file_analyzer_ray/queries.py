@@ -827,6 +827,83 @@ FROM documents
 """
 
 
+def q_graph_pagerank(sf_dir: str):
+    """Distributed PageRank (graph centrality) over the customer↔
+    supplier trade graph: orders ⋈ lineitem gives DISTINCT (custkey,
+    suppkey) edges (suppliers offset by 1_000_000 into the shared node
+    id space), expanded undirected so no node dangles; 3 quantized
+    iterations (stages/graph.py — rank vector flows as a dataset, one
+    hash join + one sum-by-key per iteration, never a driver adjacency
+    structure). The DuckDB oracle replays the SAME quantized updates
+    as unrolled CTEs."""
+    from .query_utils import _distinct_native
+    from .stages.graph import pagerank
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    joined = orders.join(
+        li, join_type="inner", num_partitions=16,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def to_edge(t: pa.Table) -> pa.Table:
+        supp = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [t.column("o_custkey"),
+             pa.array((supp + 1_000_000).astype(np.int64))],
+            names=["c", "s"],
+        )
+
+    base = _distinct_native(
+        joined.map_batches(to_edge, batch_format="pyarrow"), ["c", "s"]
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        c, s = t.column("c"), t.column("s")
+        return pa.Table.from_arrays(
+            [
+                pa.chunked_array([c, s]).combine_chunks(),
+                pa.chunked_array([s, c]).combine_chunks(),
+            ],
+            names=["src", "dst"],
+        )
+
+    edges = base.map_batches(expand, batch_format="pyarrow")
+    return pagerank(edges, damping=0.85, iters=3)
+
+
+def _build_sql_graph_pagerank(damping: float = 0.85, iters: int = 3) -> str:
+    """Unrolled-iteration PageRank oracle; quantization contract shared
+    with stages/graph.py (round 8 after init and every update)."""
+    parts = [f"""WITH e0 AS (
+  SELECT DISTINCT o.o_custkey AS c, 1000000 + l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM e0
+  UNION ALL SELECT s AS src, c AS dst FROM e0
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src AS v, round(1.0 / (SELECT n FROM nn), 8) AS r FROM deg)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""r{i} AS (
+  SELECT v, round((SELECT (1 - {damping}) / n FROM nn)
+                  + {damping} * contrib, 8) AS r
+  FROM (
+    SELECT e.dst AS v, sum(p.r / d.d) AS contrib
+    FROM edges e
+    JOIN r{i - 1} p ON p.v = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  )
+)""")
+    return ",\n".join(parts) + f"\nSELECT v, r AS pagerank FROM r{iters}\n"
+
+
+SQL_GRAPH_PAGERANK = _build_sql_graph_pagerank()
+
+
 def q_docs_pii_scrub(sf_dir: str):
     """PII scrubbing (CCNet/Dolma-style curation pass): deterministic
     injection harness (email after token 2, phone appended — pure
@@ -2116,7 +2193,12 @@ QUERIES = {
     # the kNN merges and ✓SQL in pytest via RETIRED_QUERIES; the slot
     # funds the cross-source overlap audit.
     "docs_source_overlap": q_docs_source_overlap,
-    "customer_order_revenue": q_customer_order_revenue,
+    # customer_order_revenue retired from the driver registry (50-entry
+    # cap): bucketed_customer_revenue pins the IDENTICAL oracle through
+    # the richer physical path (write-once bucketing + exchange-free
+    # join); ✓SQL in pytest via RETIRED_QUERIES. The slot funds
+    # PageRank — a graph-centrality family the registry lacked.
+    "graph_pagerank": q_graph_pagerank,
     # supplier_lineitem_agg retired from the driver registry (50-entry
     # cap): the join+groupby family keeps pricing_summary /
     # customer_order_revenue / orders_lineitem_join_agg green; ✓SQL in
@@ -2206,7 +2288,7 @@ ORACLE_SQL = {
     "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
     "docs_dup_spans": SQL_DOCS_DUP_SPANS,
     "docs_source_overlap": SQL_DOCS_SOURCE_OVERLAP,
-    "customer_order_revenue": SQL_CUSTOMER_ORDER_REVENUE,
+    "graph_pagerank": SQL_GRAPH_PAGERANK,
     "docs_layout_parse": SQL_DOCS_LAYOUT_PARSE,
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_hourly_rollup": SQL_EVENTS_HOURLY,
@@ -2251,6 +2333,7 @@ RETIRED_QUERIES.update(
         "orders_topk": q_orders_topk,
         "supplier_lineitem_agg": q_supplier_lineitem_agg,
         "events_clicks_before_purchase": q_events_clicks_before_purchase,
+        "customer_order_revenue": q_customer_order_revenue,
     }
 )
 RETIRED_ORACLE_SQL.update(
@@ -2264,5 +2347,6 @@ RETIRED_ORACLE_SQL.update(
         "orders_topk": SQL_ORDERS_TOPK,
         "supplier_lineitem_agg": SQL_SUPPLIER_LINEITEM_AGG,
         "events_clicks_before_purchase": SQL_EVENTS_CLICKS_BEFORE_PURCHASE,
+        "customer_order_revenue": SQL_CUSTOMER_ORDER_REVENUE,
     }
 )

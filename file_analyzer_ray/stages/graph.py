@@ -1,0 +1,215 @@
+"""Distributed PageRank over an edge list — graph centrality for the
+engine's analytics surface.
+
+Shape (the honest 10^12-edge layout): edges are the BIG table and stay
+distributed end to end; the rank vector is node-sized and flows as a
+dataset through one hash join + one sum-by-key per iteration — never a
+driver-side adjacency structure. Degree and contribution sums run as
+per-batch combine → ONE sort → run-sum per complete key group (the
+engine's unbounded-cardinality aggregation), so no task ever holds the
+full node space.
+
+Determinism contract (mirrored by the unrolled-CTE DuckDB oracle in
+queries.py): ranks are quantized to ``RANK_DECIMALS`` after init and
+after every update — the same cross-engine trick as the k-means
+oracle — so float summation-order noise (~1e-15) never reaches the
+comparison. Update rule (undirected expansion, so every node has
+out-degree ≥ 1 and no dangling-mass term is needed):
+
+    r_{t+1}(v) = round((1-d)/N + d * Σ_{(u,v)∈E} r_t(u)/deg(u), 8)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+RANK_DECIMALS = 8
+
+
+def _sum_by_key(ds: "ray.data.Dataset", key: str, val: str,
+                out_val: str) -> "ray.data.Dataset":
+    """Unbounded-cardinality sum: per-batch Arrow hash-combine → one
+    sort by key → vectorized run-sum per complete key group (boundary
+    side-channel via the window engine)."""
+    from ..query_utils import _window_by_key_arrow
+    from .banding import run_bounds
+
+    def combine(t: pa.Table) -> pa.Table:
+        agg = t.select([key, val]).group_by([key]).aggregate([(val, "sum")])
+        return agg.rename_columns([key, out_val])
+
+    pre = ds.map_batches(combine, batch_format="pyarrow")
+
+    def run_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        v = t.column(out_val).to_numpy(zero_copy_only=False)
+        keys = t.column(key)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kv = keys.to_numpy(zero_copy_only=False)
+        starts, _ = run_bounds(kv)
+        sums = np.add.reduceat(v, starts)
+        return pa.Table.from_arrays(
+            [keys.take(pa.array(starts)), pa.array(sums)],
+            names=[key, out_val],
+        )
+
+    return _window_by_key_arrow(pre, [key], [key], run_sum)
+
+
+#: node-count bound for the broadcast iteration path: the rank + degree
+#: vectors ride the object store (8+8 bytes/node — 500k nodes ≈ 8 MB)
+#: and each iteration is ONE streaming pass over the edges plus a
+#: node-bounded driver reduce (the k-means partial shape). Above the
+#: bound the rank vector itself is corpus-scaled and iterations run as
+#: hash join + sum-by-key instead (equality-tested against this path).
+BROADCAST_NODES_MAX = 500_000
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    damping: float = 0.85,
+    iters: int = 3,
+    num_partitions: int = 16,
+    mode: str = "auto",
+) -> "ray.data.Dataset":
+    """``(src, dst)`` DIRECTED edge dataset (pass both directions for
+    an undirected graph; every src must appear — i.e. no dangling
+    nodes) → ``(v, pagerank)`` after ``iters`` quantized updates."""
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        )
+
+    deg = _sum_by_key(
+        edges.map_batches(ones, batch_format="pyarrow"), "src", "one", "deg"
+    ).materialize()
+    n_nodes = deg.count()
+    r0 = round(1.0 / n_nodes, RANK_DECIMALS)
+    teleport = (1.0 - damping) / n_nodes
+    if mode == "auto":
+        mode = "broadcast" if n_nodes <= BROADCAST_NODES_MAX else "join"
+    if mode == "broadcast":
+        return _pagerank_broadcast(
+            edges, deg, n_nodes, r0, teleport, damping, iters
+        )
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("src"),
+             pa.array(np.full(t.num_rows, r0, dtype=np.float64))],
+            names=["v", "r"],
+        )
+
+    ranks = deg.map_batches(init_ranks, batch_format="pyarrow")
+
+    # weight each edge once: pay the edges ⋈ degree join a single time
+    edges_w = edges.join(
+        deg, join_type="inner", num_partitions=num_partitions, on=("src",)
+    ).materialize()
+
+    for _ in range(iters):
+        contrib_in = edges_w.join(
+            ranks, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("v",),
+        )
+
+        def share(t: pa.Table) -> pa.Table:
+            r = t.column("r").to_numpy(zero_copy_only=False)
+            d = t.column("deg").to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [t.column("dst"), pa.array(r / d)], names=["dst", "share"]
+            )
+
+        summed = _sum_by_key(
+            contrib_in.map_batches(share, batch_format="pyarrow"),
+            "dst", "share", "contrib",
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            c = t.column("contrib").to_numpy(zero_copy_only=False)
+            r = np.round(teleport + damping * c, RANK_DECIMALS)
+            return pa.Table.from_arrays(
+                [t.column("dst"), pa.array(r)], names=["v", "r"]
+            )
+
+        ranks = summed.map_batches(update, batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["v", "pagerank"])
+
+    return ranks.map_batches(finalize, batch_format="pyarrow")
+
+
+def _pagerank_broadcast(
+    edges, deg, n_nodes: int, r0: float, teleport: float,
+    damping: float, iters: int,
+):
+    """Bounded-node iteration: sorted node-id + degree arrays broadcast
+    once via ``ray.put``; each iteration is one streaming edge pass
+    emitting per-batch (dst, partial-share) combines (searchsorted rank
+    lookup — no per-row Python), reduced on the driver into the next
+    node-sized rank vector."""
+    import ray
+
+    rows = deg.take_all()
+    node_ids = np.fromiter((r["src"] for r in rows), dtype=np.int64,
+                           count=len(rows))
+    order = np.argsort(node_ids)
+    node_ids = node_ids[order]
+    degs = np.fromiter((r["deg"] for r in rows), dtype=np.float64,
+                       count=len(rows))[order]
+    ranks = np.full(n_nodes, r0, dtype=np.float64)
+
+    for _ in range(iters):
+        ref = ray.put((node_ids, ranks / degs))
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            ids, share_of = ray.get(_ref)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            shares = share_of[np.searchsorted(ids, src)]
+            tbl = pa.Table.from_arrays(
+                [t.column("dst"), pa.array(shares)], names=["dst", "share"]
+            )
+            agg = tbl.group_by(["dst"]).aggregate([("share", "sum")])
+            return agg.rename_columns(["dst", "share"])
+
+        contrib = np.zeros(n_nodes, dtype=np.float64)
+        for r in edges.map_batches(partial, batch_format="pyarrow").take_all():
+            contrib[np.searchsorted(node_ids, r["dst"])] += r["share"]
+        ranks = np.round(teleport + damping * contrib, RANK_DECIMALS)
+
+    out = pa.Table.from_arrays(
+        [pa.array(node_ids), pa.array(ranks)], names=["v", "pagerank"]
+    )
+    return ray.data.from_arrow(out)
+
+
+def pagerank_serial(
+    edge_pairs: "list[tuple[int, int]]", damping: float = 0.85, iters: int = 3
+) -> "dict[int, float]":
+    """Single-process oracle (tests): same quantized contract."""
+    import collections
+
+    adj: "dict[int, list[int]]" = collections.defaultdict(list)
+    for u, v in edge_pairs:
+        adj[u].append(v)
+    nodes = sorted(adj)
+    n = len(nodes)
+    rank = {v: round(1.0 / n, RANK_DECIMALS) for v in nodes}
+    for _ in range(iters):
+        contrib: "dict[int, float]" = collections.defaultdict(float)
+        for u in nodes:
+            share = rank[u] / len(adj[u])
+            for v in adj[u]:
+                contrib[v] += share
+        rank = {
+            v: round((1 - damping) / n + damping * contrib[v], RANK_DECIMALS)
+            for v in nodes
+        }
+    return rank

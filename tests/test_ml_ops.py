@@ -930,3 +930,28 @@ def test_bpe_encode_ids_roundtrip(ray_session):
             syms.extend(_encode_word(w, rank))
         assert [decode(i) for i in got[did]["ids"]] == syms
         assert got[did]["n_bpe_tokens"] == counts[did] == len(syms)
+
+
+def test_pagerank_modes_match_serial(ray_session):
+    """Broadcast and join iteration paths both equal the serial
+    quantized oracle on a small undirected graph."""
+    import pandas as pd
+
+    import ray.data
+
+    from file_analyzer_ray.stages.graph import pagerank, pagerank_serial
+
+    rng = np.random.default_rng(13)
+    pairs = {(int(a), 100 + int(b))
+             for a, b in rng.integers(0, 12, size=(60, 2))}
+    und = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    df = pd.DataFrame({"src": [e[0] for e in und], "dst": [e[1] for e in und]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    exp = sorted(pagerank_serial(und).items())
+    for mode in ("broadcast", "join"):
+        got = sorted(
+            (r["v"], r["pagerank"])
+            for r in pagerank(ds, iters=3, num_partitions=4, mode=mode).take_all()
+        )
+        assert got == exp, mode
+    assert abs(sum(v for _, v in exp) - 1.0) < 1e-6  # mass conserved

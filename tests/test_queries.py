@@ -127,6 +127,7 @@ SQL_CHECKED = [
     "docs_source_overlap",
     "docs_layout_parse",
     "docs_pii_scrub",
+    "graph_pagerank",
 ]
 
 
