@@ -48,7 +48,7 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "lineitem_pricing_summary",
-    "customer_order_revenue",
+    "bucketed_customer_revenue",
     "events_hourly_rollup",
     "docs_exact_dedup",
     "docs_minhash_near_dup",
@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "docs_source_overlap",
     "docs_layout_parse",
     "docs_pii_scrub",
+    "graph_pagerank",
 ]
 
 

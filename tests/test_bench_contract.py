@@ -38,3 +38,15 @@ def test_bench_emits_contract_json():
     assert rec["docs"] == 1000
     assert rec["value"] > 0 and rec["docs_per_sec"] > 0
     assert rec["num_cpus"] == 4
+
+
+def test_bench_query_names_are_registered():
+    """Every name the bench times must exist in the live registry —
+    retiring a query without updating BENCH_QUERIES broke the bench
+    mid-round once; this pins it."""
+    import bench
+
+    from file_analyzer_ray.queries import QUERIES
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
+    assert not missing, missing
