@@ -96,8 +96,9 @@ def parse_layout(
 
 
 class LayoutParseStage:
-    """Actor-pool stage: ``(doc_id, boxes)`` →
-    ``(doc_id, main_text, n_pages, n_dropped)``."""
+    """Batch stage ``(doc_id, boxes)`` → ``(doc_id, main_text,
+    n_pages, n_dropped)``. Stateless — default plans run it as plain
+    tasks; the class shape also fits the registry's actor form."""
 
     def __init__(self, repeat_frac: float = 0.8, min_col_gap: float = 100.0):
         self.repeat_frac = repeat_frac

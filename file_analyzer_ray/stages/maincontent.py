@@ -94,10 +94,10 @@ def extract_main(
 
 
 class MainContentStage:
-    """Actor-pool stage: ``(doc_id, html) -> (doc_id, main_text,
-    n_blocks)``. Regexes are module-compiled; the class exists so the
-    stage slots into the registry's actor shape and holds per-actor
-    options."""
+    """Batch stage ``(doc_id, html) -> (doc_id, main_text, n_blocks)``.
+    STATELESS (regexes are module-compiled): the default plans run it
+    as plain tasks; the class shape exists so it also slots into the
+    registry's actor form and carries per-instance options."""
 
     def __init__(self, max_link_density: float = DEFAULT_MAX_LINK_DENSITY):
         self.max_link_density = max_link_density

@@ -42,8 +42,9 @@ def scrub_text(text: str) -> tuple[str, int, int, int]:
 
 
 class PiiScrubStage:
-    """Actor-pool stage: ``(doc_id, text)`` →
-    ``(doc_id, clean_text, n_emails, n_phones, n_ips)``."""
+    """Batch stage ``(doc_id, text)`` → ``(doc_id, clean_text,
+    n_emails, n_phones, n_ips)``. Stateless — default plans run it as
+    plain tasks; the class shape also fits the registry's actor form."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
