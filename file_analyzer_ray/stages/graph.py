@@ -86,6 +86,11 @@ def pagerank(
             "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
         )
 
+    # The edge list is loop-invariant: pin its blocks in the object
+    # store ONCE (spill-backed at 10^12 edges) so the degree pass and
+    # every rank iteration re-read blocks instead of re-executing the
+    # upstream plan (join + distinct + expand) per iteration.
+    edges = edges.materialize()
     deg = _sum_by_key(
         edges.map_batches(ones, batch_format="pyarrow"), "src", "one", "deg"
     ).materialize()
@@ -180,8 +185,15 @@ def _pagerank_broadcast(
             return agg.rename_columns(["dst", "share"])
 
         contrib = np.zeros(n_nodes, dtype=np.float64)
-        for r in edges.map_batches(partial, batch_format="pyarrow").take_all():
-            contrib[np.searchsorted(node_ids, r["dst"])] += r["share"]
+        for b in edges.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            dst = b.column("dst").to_numpy(zero_copy_only=False)
+            share = b.column("share").to_numpy(zero_copy_only=False)
+            contrib += np.bincount(
+                np.searchsorted(node_ids, dst), weights=share,
+                minlength=n_nodes,
+            )
         ranks = np.round(teleport + damping * contrib, RANK_DECIMALS)
 
     out = pa.Table.from_arrays(
