@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .query_utils import _cents, _preagg_native, _read, _small_pdf  # noqa: F401
+from .query_utils import (_cents, _preagg_native, _read,  # noqa: F401
+                          _read_coalesced, _small_pdf)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -1621,7 +1622,7 @@ def q_embeddings_knn(sf_dir: str):
     )
     qvec = np.array(qrow["embedding"][0].as_py(), dtype=np.float64)
     qref = ray.put(qvec / np.linalg.norm(qvec))
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read_coalesced(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def fn(t: pa.Table) -> pa.Table:
         # zero-copy matrix: the list<float> column's flat value buffer
@@ -1670,7 +1671,7 @@ ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
 
 
 def q_embeddings_label_stats(sf_dir: str):
-    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    ds = _read_coalesced(sf_dir, "embeddings", ["label", "embedding"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
@@ -1795,7 +1796,7 @@ def q_embeddings_semdedup(sf_dir: str):
     SAME quantized Lloyd iterations as unrolled CTEs."""
     from .stages.semdedup import semdedup
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read_coalesced(sf_dir, "embeddings", ["vec_id", "embedding"])
     return semdedup(ds, k=8, iters=2, eps=0.4)
 
 

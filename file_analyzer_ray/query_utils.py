@@ -20,6 +20,22 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _read_coalesced(sf_dir: str, table: str, columns: list[str] | None = None,
+                    rows_per_block: int = 1024):
+    """Read with right-sized blocks for SMALL tables: Ray's default
+    split shreds a dimension-sized parquet into dozens of sub-100-row
+    blocks and every downstream stage pays per-task dispatch per block.
+    Only kicks in below 65536 rows (footer metadata, free) — at real
+    corpus scale the default splitting applies untouched."""
+    rows = _meta_rows(sf_dir, table)
+    kwargs = {}
+    if rows <= 65536:
+        kwargs["override_num_blocks"] = max(1, rows // rows_per_block)
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, **kwargs
+    )
+
+
 def _small_pdf(sf_dir: str, table: str, columns: list[str]) -> pd.DataFrame:
     """Driver-side read of a small dimension table (broadcast side)."""
     import pyarrow.parquet as pq

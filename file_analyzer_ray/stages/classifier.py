@@ -78,23 +78,36 @@ class QualityClassifier:
         return b
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = t.column("text").to_pylist()
-        buckets: list[int] = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        for i, txt in enumerate(texts):
-            toks = self.token_re.findall((txt or "").lower())
-            counts[i] = len(toks)
-            buckets.extend(self._bucket(tok) for tok in toks)
-        # one gather + segmented sum across the whole batch
-        scores = np.full(len(texts), self.bias, dtype=np.float64)
-        if buckets:
-            vals = self.w[np.asarray(buckets, dtype=np.int64)]
-            offsets = np.zeros(len(texts), dtype=np.int64)
-            np.cumsum(counts[:-1], out=offsets[1:])
-            nonzero = counts > 0
-            sums = np.add.reduceat(vals, offsets[nonzero])
-            scores[nonzero] += sums / counts[nonzero]
+        n = t.num_rows
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        # tokenize in Arrow C++: lower + split on non-alphanumeric runs
+        # (identical token stream to TOKEN_RE.findall on lowered text —
+        # split leaves empty strings at the edges, filtered below);
+        # only batch-DISTINCT tokens ever reach Python (md5 memo).
+        toks = pc.split_pattern_regex(pc.utf8_lower(txt), "[^a-z0-9]+")
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+        scores = np.full(n, self.bias, dtype=np.float64)
+        if len(flat):
+            enc = flat.dictionary_encode()
+            vocab = enc.dictionary.to_pylist()
+            idxs = enc.indices.to_numpy(zero_copy_only=False)
+            dbuck = np.empty(len(vocab), dtype=np.int64)
+            for j, tok in enumerate(vocab):
+                dbuck[j] = self._bucket(tok)
+            vals = self.w[dbuck[idxs]]
+            counts = np.bincount(parents, minlength=n)
+            sums = np.bincount(parents, weights=vals, minlength=n)
+            nz = counts > 0
+            scores[nz] += sums[nz] / counts[nz]
         scores = np.round(scores, SCORE_DECIMALS)
         return pa.Table.from_arrays(
             [
@@ -106,22 +119,48 @@ class QualityClassifier:
         )
 
 
+#: per-worker-process classifier cache for the task path: the model is
+#: seed-derived (microseconds to build) and the token→bucket memo is
+#: shared across every batch a worker scores — the same amortization an
+#: actor pool gives, without paying actor-pool startup per query.
+_PROC_CLASSIFIERS: "dict[tuple, QualityClassifier]" = {}
+
+
+def _score_batch(
+    t: pa.Table, dim: int, seed: int, scale: float, bias: float
+) -> pa.Table:
+    key = (dim, seed, scale, bias)
+    clf = _PROC_CLASSIFIERS.get(key)
+    if clf is None:
+        clf = _PROC_CLASSIFIERS[key] = QualityClassifier(dim, seed, scale, bias)
+    return clf(t)
+
+
 def classify_quality(
     ds,
     dim: int = DEFAULT_DIM,
     seed: int = DEFAULT_SEED,
     scale: float = DEFAULT_SCALE,
     bias: float = 0.0,
-    concurrency: "int | tuple[int, int]" = (2, 8),
+    concurrency: "int | tuple[int, int] | None" = None,
 ):
     """Score a ``(doc_id, text)`` dataset with the seeded hashed linear
-    model — model built once per actor, zero-copy Arrow batches."""
+    model — zero-copy Arrow batches. Runs as TASKS by default (the
+    model is seed-derived and cached per worker process, so there is no
+    per-actor setup worth a pool); pass ``concurrency`` to force an
+    actor pool (e.g. when composing with stages that need one)."""
+    if concurrency is not None:
+        return ds.map_batches(
+            QualityClassifier,
+            fn_constructor_kwargs={
+                "dim": dim, "seed": seed, "scale": scale, "bias": bias,
+            },
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     return ds.map_batches(
-        QualityClassifier,
-        fn_constructor_kwargs={
-            "dim": dim, "seed": seed, "scale": scale, "bias": bias,
-        },
+        _score_batch,
+        fn_kwargs={"dim": dim, "seed": seed, "scale": scale, "bias": bias},
         batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
     )
