@@ -734,9 +734,11 @@ def q_docs_quality_classifier(sf_dir: str):
     """fastText-style hashed linear quality classifier (the learned
     gate of the CCNet / GPT-3 / LLaMA data recipes): seeded weight
     vector, md5-bucketed tokens, mean-pooled score, keep at score ≥ 0.
-    Actor-pool stage with per-actor token→bucket memo; the oracle
-    embeds the SAME seeded weights as SQL literals (LSH-hyperplane
-    pattern) and replays the bucketing with DuckDB md5."""
+    Task-mode stage (seed-derived model + token→bucket memo cached per
+    worker process; Arrow-C++ tokenization, md5 only per batch-distinct
+    token); the oracle embeds the SAME seeded weights as SQL literals
+    (LSH-hyperplane pattern) and replays the bucketing with DuckDB
+    md5."""
     from .stages.classifier import classify_quality
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -162,5 +162,10 @@ def _register_builtins() -> None:
 
     register_stage("pii_scrub", PiiScrubStage)
 
+    from .stages.urls import CanonicalizeStage, wrap_documents_urls
+
+    register_stage("wrap_urls", wrap_documents_urls)
+    register_stage("url_canonicalize", CanonicalizeStage)
+
 
 _register_builtins()

@@ -36,6 +36,16 @@ def kmeans_fit(x: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.nda
     return centroids
 
 
+def _read_embeddings(sf_dir: str):
+    """Pruned embeddings read with right-sized blocks (the
+    query_utils._read policy: footer row count is free; small sf-tier
+    tables stop paying ~64x per-task dispatch, real-corpus inputs keep
+    Ray's default streaming split)."""
+    from ..query_utils import _read
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+
 def _point_read_query_vec(sf_dir: str, query_vec_id: int) -> np.ndarray:
     """PUSHDOWN POINT-READ of one embedding (predicate on vec_id →
     parquet row-group pruning; the driver never materializes the table)."""
@@ -83,7 +93,7 @@ def knn_ivf(
     probe_cells = np.argsort(((centroids - qn) ** 2).sum(axis=1))[:n_probe]
     ref = ray.put((qn, centroids, set(int(c) for c in probe_cells)))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_embeddings(sf_dir)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         q, cents, cells = ray.get(ref)
@@ -151,9 +161,7 @@ def write_ivf_layout(
         out["cell"] = d.argmin(axis=1).astype(np.int64)
         return out
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ds = _read_embeddings(sf_dir)
     ds.map_batches(assign, batch_format="pandas").write_parquet(
         out_dir, partition_cols=["cell"]
     )
@@ -256,7 +264,7 @@ def cosine_near_dup_pairs(
     matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     ref = ray.put((ids, matn))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_embeddings(sf_dir)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         all_ids, all_mat = ray.get(ref)
@@ -291,7 +299,7 @@ def lsh_near_dup_pairs(
     from .banding import banded_pairs, run_bounds
 
     rng = np.random.default_rng(42)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_embeddings(sf_dir)
     first = ds.take(1)[0]
     dim = len(first["embedding"])
     planes = rng.standard_normal((n_tables, n_bits, dim))
@@ -406,9 +414,7 @@ def write_sq8_layout(sf_dir: str, out_dir: str) -> str:
             names=["vec_id", "codes"],
         )
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ds = _read_embeddings(sf_dir)
     ds.map_batches(encode, batch_format="pyarrow").write_parquet(out_dir)
     np.save(os.path.join(out_dir, "sq8_params.npy"), np.stack([mins, scales]))
     return out_dir
