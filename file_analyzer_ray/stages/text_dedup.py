@@ -30,6 +30,7 @@ import ray.data
 from ..functions.hashing import (
     MinHasher,
     char_shingle_hashes,
+    char_shingle_hashes_batch,
     jaccard,
     word_ngram_hashes,
 )
@@ -55,18 +56,28 @@ def _hasher() -> MinHasher:
 class SignatureStage:
     """Per-batch minhash signatures. Shingle hashing is fully
     vectorized (``hash_fn`` returns a uint64 array per doc — no
-    per-shingle Python objects in the hot path). Plain callable usable
-    as a task fn (see :func:`_hasher`)."""
+    per-shingle Python objects in the hot path), and when a
+    ``batch_hash_fn`` is supplied (the char-shingle default) the whole
+    batch runs as ONE flat broadcast + ``minimum.reduceat`` — no
+    per-doc numpy dispatch either. Plain callable usable as a task fn
+    (see :func:`_hasher`)."""
 
-    def __init__(self, hash_fn):
+    def __init__(self, hash_fn, batch_hash_fn=None):
         self.hash_fn = hash_fn
+        self.batch_hash_fn = batch_hash_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mh = _hasher()
-        sigs = [
-            mh.signature_from_hashes(self.hash_fn(t)).tobytes()
-            for t in batch.column("text").to_pylist()
-        ]
+        texts = batch.column("text").to_pylist()
+        if self.batch_hash_fn is not None:
+            flat, counts = self.batch_hash_fn(texts)
+            mat = mh.signatures_from_flat(flat, counts)
+            sigs = [mat[i].tobytes() for i in range(len(texts))]
+        else:
+            sigs = [
+                mh.signature_from_hashes(self.hash_fn(t)).tobytes()
+                for t in texts
+            ]
         return batch.select(["doc_id", "text"]).append_column(
             "sig", pa.array(sigs, pa.binary())
         )
@@ -179,7 +190,8 @@ def _pairs_from_runs(ids, sigs_bytes, starts, ends, cutoff, id_type) -> pa.Table
     )
 
 
-def _lsh_candidate_pairs(docs, hash_fn, threshold: float) -> "ray.data.Dataset":
+def _lsh_candidate_pairs(docs, hash_fn, threshold: float,
+                         batch_hash_fn=None) -> "ray.data.Dataset":
     """(doc_id, text) → candidate pair dataset via MinHash-LSH:
     vectorized signatures → (band, doc_id, sig) explode → ONE sort by
     band key → vectorized run-scan per sorted block.
@@ -196,7 +208,8 @@ def _lsh_candidate_pairs(docs, hash_fn, threshold: float) -> "ray.data.Dataset":
     """
     cutoff = threshold - 0.15  # see _make_bucket_candidates
     sigs = docs.map_batches(
-        SignatureStage(hash_fn), batch_format="pyarrow", batch_size=1024,
+        SignatureStage(hash_fn, batch_hash_fn),
+        batch_format="pyarrow", batch_size=1024,
     )
     bands = sigs.map_batches(_explode_bands, batch_format="pyarrow")
     sorted_bands = bands.sort("band").materialize()
@@ -378,11 +391,13 @@ def minhash_near_dup_pairs(
     to the streaming join path."""
     shingle_fn = lambda t: char_shingles(t, shingle_k)  # noqa: E731
     hash_fn = lambda t: char_shingle_hashes(t, shingle_k)  # noqa: E731
+    batch_fn = lambda ts: char_shingle_hashes_batch(ts, shingle_k)  # noqa: E731
     if verify_mode == "auto" and input_rows is not None:
         verify_mode = (
             "driver" if input_rows <= _STATIC_DRIVER_VERIFY_MAX_ROWS else "join"
         )
-    pairs = _lsh_candidate_pairs(docs, hash_fn, threshold)
+    pairs = _lsh_candidate_pairs(docs, hash_fn, threshold,
+                                 batch_hash_fn=batch_fn)
     return _verify_pairs_exact(pairs, docs, shingle_fn, threshold, mode=verify_mode)
 
 
