@@ -23,30 +23,44 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.text import TOKEN_RE
 from ..query_utils import _run_starts_mask_arrow, _window_by_key_arrow
 
 
-def _tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+_TF_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+)
+
+
+def _tf_rows(t: pa.Table) -> pa.Table:
     """(doc_id, text) batch → one (doc_id, term, tf) row per distinct
     term per doc (the combiner: raw token occurrences never leave the
-    batch)."""
-    ids: list = []
-    terms: list = []
-    for doc_id, text in zip(df["doc_id"], df["text"]):
-        for m in TOKEN_RE.finditer((text or "").lower()):
-            ids.append(doc_id)
-            terms.append(m.group())
-    if not ids:
-        return pd.DataFrame(
-            {"doc_id": pd.Series([], dtype="int64"),
-             "term": pd.Series([], dtype="object"),
-             "tf": pd.Series([], dtype="int64")}
-        )
-    out = pd.DataFrame({"doc_id": ids, "term": terms})
-    return out.groupby(["doc_id", "term"], as_index=False).size().rename(
-        columns={"size": "tf"}
+    batch). Tokenization runs in Arrow C++ (lower + split on
+    non-alphanumeric, identical token stream to TOKEN_RE.findall —
+    the classifier's pinned equivalence); the rollup is one Arrow
+    group_by — no per-token Python."""
+    import pyarrow.compute as pc
+
+    txt = t.column("text")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(txt), "[^a-z0-9]+")
+    parents = pc.list_parent_indices(toks)
+    flat = pc.list_flatten(toks)
+    mask = pc.not_equal(flat, "")
+    ids = t.column("doc_id")
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    pairs = pa.Table.from_arrays(
+        [
+            ids.take(parents).filter(mask).cast(pa.int64()),
+            flat.filter(mask),
+        ],
+        names=["doc_id", "term"],
     )
+    if pairs.num_rows == 0:
+        return _TF_SCHEMA.empty_table()
+    agg = pairs.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+    return agg.rename_columns(["doc_id", "term", "tf"]).cast(_TF_SCHEMA)
 
 
 #: vocab size below which the idf table broadcasts instead of joining
@@ -79,7 +93,7 @@ def tfidf_top_terms(
     stages, so end-to-end the broadcast path is ~15-20% faster warm
     (2.9-3.2 s vs 3.5-5 s) — the structural win is removing a
     pointless all-to-all exchange from the small-vocab plan."""
-    tf = docs.map_batches(_tf_rows, batch_format="pandas", batch_size=4096)
+    tf = docs.map_batches(_tf_rows, batch_format="pyarrow", batch_size=4096)
 
     # document frequency: tf already has one row per (doc, term) — df is
     # a per-term row count. Per-batch partial counts, then sort+run-scan
