@@ -55,6 +55,63 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_job(args) -> int:
+    """Cluster job entry — the target of ``ray job submit`` on a real
+    multi-node cluster (north rule: "run via ray job submit"):
+
+        ray job submit --working-dir . -- \\
+            python -m file_analyzer_ray job --src <in> --out <out>
+
+    Unlike the local ``extract`` command this connects to the cluster
+    the job runner provides (``RAY_ADDRESS``, else ``auto``; the
+    sandbox presets ``RAY_ADDRESS=local`` so the same entry runs
+    single-node), runs the shard-checkpointed extraction with resume ON
+    (a re-submitted job skips fenced shards — the per-partition lineage
+    makes restarts exact), and prints one metrics JSON line: rows,
+    wall, docs/sec, shards total/skipped, cluster CPU count."""
+    import os
+    import time
+
+    import ray
+
+    owned = not ray.is_initialized()
+    if owned:
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "auto"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    try:
+        from .pipelines.extract import corpus_path
+        from .state.shards import run_sharded
+
+        src = args.src or corpus_path(args.docs)
+        t0 = time.monotonic()
+        metrics = run_sharded(
+            src,
+            args.out,
+            score=not args.no_score,
+            resume=True,
+            run_meta={"job": True},
+        )
+        wall = time.monotonic() - t0
+        metrics = dict(metrics)
+        metrics.update(
+            wall_sec=round(wall, 3),
+            docs_per_sec=round(metrics.get("rows", 0) / wall, 1) if wall else None,
+            cluster_cpus=int(ray.cluster_resources().get("CPU", 0)),
+            nodes=len([n for n in ray.nodes() if n.get("Alive")]),
+        )
+        print(json.dumps(metrics))
+    finally:
+        if owned:
+            ray.shutdown()
+    return 0
+
+
 def cmd_query(args) -> int:
     # retired-from-driver-registry queries stay runnable here — the
     # 50-entry driver cap must never shrink the USER surface
@@ -154,6 +211,16 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--no-score", action="store_true")
     pe.add_argument("--no-resume", action="store_true")
     pe.set_defaults(fn=cmd_extract)
+
+    pj = sub.add_parser(
+        "job", help="cluster job entry (target of `ray job submit`)"
+    )
+    pj.add_argument("--src", help="input parquet dir (default: synthetic corpus)")
+    pj.add_argument("--docs", type=int, default=1000,
+                    help="synthetic corpus size when --src omitted")
+    pj.add_argument("--out", required=True, help="output dir (fenced shards)")
+    pj.add_argument("--no-score", action="store_true")
+    pj.set_defaults(fn=cmd_job)
 
     pq_ = sub.add_parser("query", help="run a registered query")
     pq_.add_argument("name")

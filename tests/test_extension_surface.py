@@ -220,6 +220,24 @@ def test_cli_extract_and_query(ray_session, tmp_path, capsys):
     assert main(["query", "nope_nope"]) == 2
 
 
+def test_cli_job_entry(ray_session, tmp_path, capsys):
+    """``ray job submit`` target: connects to the ambient session,
+    reports cluster metrics, and a re-submitted job skips every fenced
+    shard (exact restart via per-partition lineage)."""
+    import json
+
+    from file_analyzer_ray.__main__ import main
+
+    out_dir = str(tmp_path / "job_out")
+    assert main(["job", "--docs", "200", "--out", out_dir]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["rows"] == 200
+    assert m["cluster_cpus"] >= 1 and m["nodes"] >= 1
+    assert main(["job", "--docs", "200", "--out", out_dir]) == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["shards"] == 0 and m2["skipped"] >= 1
+
+
 def test_approx_quantiles_error_bound(ray_session):
     """Histogram-sketch quantiles within one bin width of exact."""
     import duckdb
