@@ -59,19 +59,21 @@ def canonicalize_url(url: str) -> str:
     else:
         scheme, rest = "http", u
     scheme = scheme.lower()
-    if "/" in rest:
-        hostport, pathq = rest.split("/", 1)
-        pathq = "/" + pathq
+    # query BEFORE the host/path split: a no-slash URL ("x.com?a=1")
+    # would otherwise leak its query into the host (hypothesis-caught)
+    if "?" in rest:
+        rest, query = rest.split("?", 1)
     else:
-        hostport, pathq = rest, "/"
+        query = ""
+    if "/" in rest:
+        hostport, path = rest.split("/", 1)
+        path = "/" + path
+    else:
+        hostport, path = rest, "/"
     hostport = hostport.lower()
     dflt = _DEFAULT_PORTS.get(scheme)
     if dflt and hostport.endswith(dflt):
         hostport = hostport[: -len(dflt)]
-    if "?" in pathq:
-        path, query = pathq.split("?", 1)
-    else:
-        path, query = pathq, ""
     if len(path) > 1 and path.endswith("/"):
         path = path.rstrip("/") or "/"
     kept = []

@@ -85,6 +85,48 @@ def test_batched_signatures_equal_per_doc(texts):
     assert np.array_equal(per_doc, batched)
 
 
+_urlish = st.builds(
+    lambda scheme, host, port, path, q, frag: (
+        scheme + host + port + path + q + frag
+    ),
+    scheme=st.sampled_from(["", "http://", "https://", "HTTP://", "ftp://"]),
+    host=st.text(alphabet="abcXYZ09.-", min_size=1, max_size=12),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.text(alphabet="abcXYZ09/._-", max_size=16),
+    q=st.sampled_from(
+        ["", "?a=1", "?b=2&a=1", "?utm_source=x", "?a=1&utm_a=2&gclid=9", "?"]
+    ),
+    frag=st.sampled_from(["", "#f", "#a/b?c=1"]),
+)
+
+
+@given(_urlish)
+@settings(max_examples=200, deadline=None)
+def test_url_canonicalize_idempotent_and_clean(url):
+    """canonicalize is a projection (f(f(x)) == f(x)) and its output
+    never carries fragments, tracking params, default ports, or an
+    unsorted query."""
+    from file_analyzer_ray.stages.urls import canonicalize_url
+
+    c = canonicalize_url(url)
+    assert canonicalize_url(c) == c
+    assert "#" not in c
+    if c:
+        assert "://" in c
+        scheme, rest = c.split("://", 1)
+        assert scheme == scheme.lower()
+        hostport = rest.split("/", 1)[0]
+        assert hostport == hostport.lower()
+        assert not (scheme == "http" and hostport.endswith(":80"))
+        assert not (scheme == "https" and hostport.endswith(":443"))
+        if "?" in c:
+            parts = c.split("?", 1)[1].split("&")
+            assert parts == sorted(parts) and all(parts)
+            for part in parts:
+                k = part.split("=", 1)[0].lower()
+                assert not k.startswith("utm_") and k not in ("gclid", "fbclid", "ref")
+
+
 @given(
     st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=200),
     st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=200),
