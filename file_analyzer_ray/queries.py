@@ -896,7 +896,12 @@ def q_graph_pagerank(sf_dir: str):
         )
 
     edges = base.map_batches(expand, batch_format="pyarrow")
-    return pagerank(edges, damping=0.85, iters=3)
+    # node space = customers + suppliers, bounded and KNOWN from footer
+    # metadata — declare broadcast mode so degrees come from one
+    # streaming pass (node-bounded driver reduce) instead of a sort
+    n_nodes_max = _meta_rows(sf_dir, "customer") + _meta_rows(sf_dir, "supplier")
+    mode = "broadcast" if n_nodes_max <= 500_000 else "auto"
+    return pagerank(edges, damping=0.85, iters=3, mode=mode)
 
 
 def _build_sql_graph_pagerank(damping: float = 0.85, iters: int = 3) -> str:

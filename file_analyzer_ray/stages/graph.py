@@ -91,6 +91,13 @@ def pagerank(
     # every rank iteration re-read blocks instead of re-executing the
     # upstream plan (join + distinct + expand) per iteration.
     edges = edges.materialize()
+    if mode == "broadcast":
+        # caller DECLARED the node space bounded (e.g. from parquet
+        # footer row counts of the dimension tables) — degrees come
+        # from one streaming pass with node-bounded per-batch partials
+        # reduced on the driver, skipping the sort-based _sum_by_key.
+        node_ids, degs = _degrees_driver(edges)
+        return _pagerank_broadcast(edges, node_ids, degs, damping, iters)
     deg = _sum_by_key(
         edges.map_batches(ones, batch_format="pyarrow"), "src", "one", "deg"
     ).materialize()
@@ -100,8 +107,14 @@ def pagerank(
     if mode == "auto":
         mode = "broadcast" if n_nodes <= BROADCAST_NODES_MAX else "join"
     if mode == "broadcast":
+        rows = deg.take_all()
+        node_ids = np.fromiter((r["src"] for r in rows), dtype=np.int64,
+                               count=len(rows))
+        order = np.argsort(node_ids)
+        degs = np.fromiter((r["deg"] for r in rows), dtype=np.float64,
+                           count=len(rows))[order]
         return _pagerank_broadcast(
-            edges, deg, n_nodes, r0, teleport, damping, iters
+            edges, node_ids[order], degs, damping, iters
         )
 
     def init_ranks(t: pa.Table) -> pa.Table:
@@ -151,8 +164,32 @@ def pagerank(
     return ranks.map_batches(finalize, batch_format="pyarrow")
 
 
+def _degrees_driver(edges) -> tuple[np.ndarray, np.ndarray]:
+    """Out-degree per src from ONE streaming pass: per-batch Arrow
+    group-count (≤ distinct-src rows per batch leave each task),
+    reduced on the driver — valid only when the node space is bounded
+    (the k-means-partial shape)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.select(["src"]).group_by(["src"]).aggregate([("src", "count")])
+        return agg.rename_columns(["src", "n"])
+
+    ids_chunks, cnt_chunks = [], []
+    for b in edges.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        ids_chunks.append(b.column("src").to_numpy(zero_copy_only=False))
+        cnt_chunks.append(b.column("n").to_numpy(zero_copy_only=False))
+    allids = np.concatenate(ids_chunks) if ids_chunks else np.empty(0, np.int64)
+    allcnt = np.concatenate(cnt_chunks) if cnt_chunks else np.empty(0, np.int64)
+    node_ids, inv = np.unique(allids.astype(np.int64), return_inverse=True)
+    degs = np.bincount(inv, weights=allcnt.astype(np.float64),
+                       minlength=len(node_ids))
+    return node_ids, degs
+
+
 def _pagerank_broadcast(
-    edges, deg, n_nodes: int, r0: float, teleport: float,
+    edges, node_ids: np.ndarray, degs: np.ndarray,
     damping: float, iters: int,
 ):
     """Bounded-node iteration: sorted node-id + degree arrays broadcast
@@ -162,13 +199,9 @@ def _pagerank_broadcast(
     node-sized rank vector."""
     import ray
 
-    rows = deg.take_all()
-    node_ids = np.fromiter((r["src"] for r in rows), dtype=np.int64,
-                           count=len(rows))
-    order = np.argsort(node_ids)
-    node_ids = node_ids[order]
-    degs = np.fromiter((r["deg"] for r in rows), dtype=np.float64,
-                       count=len(rows))[order]
+    n_nodes = len(node_ids)
+    r0 = round(1.0 / n_nodes, RANK_DECIMALS)
+    teleport = (1.0 - damping) / n_nodes
     ranks = np.full(n_nodes, r0, dtype=np.float64)
 
     for _ in range(iters):
