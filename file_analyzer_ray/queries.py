@@ -2308,6 +2308,55 @@ def _merge_registries() -> None:
     ORACLE_SQL.update(qj.JOIN_ORACLE_SQL)
 
 
+def q_docs_crawl_frontier(sf_dir: str):
+    """Crawl-frontier prep (the web pipeline's step zero): URL
+    canonicalization → first-wins URL dedup (one sort) → per-host
+    budget cap (k-per-group sample). Exercised through the
+    deterministic alias-injection harness (stages/urls.py
+    wrap_documents_urls — golden-output doctrine): the canonical URL
+    is a closed form of doc_id, so the oracle states it without
+    parsing anything."""
+    from .stages.urls import crawl_frontier_prep, wrap_documents_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        wrap_documents_urls, batch_format="pyarrow"
+    )
+    return crawl_frontier_prep(ds, per_host_cap=5)
+
+
+def _build_sql_docs_crawl_frontier(cap: int = 5) -> str:
+    from .stages.urls import N_HOSTS, PAGES_PER_HOST
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, doc_id % {N_HOSTS} AS h,
+         (doc_id // {N_HOSTS}) % {PAGES_PER_HOST} AS g
+  FROM documents
+), canon AS (
+  SELECT doc_id,
+         'http://site' || h || '.example.com/p/' || g ||
+         '?id=' || (g % 3) || '&v=2' AS canon_url,
+         'site' || h || '.example.com' AS host
+  FROM base
+), first_wins AS (
+  SELECT canon_url, host, min(doc_id) AS doc_id FROM canon GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, canon_url, host,
+         row_number() OVER (
+           PARTITION BY host ORDER BY
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT),
+             doc_id
+         ) AS rk
+  FROM first_wins
+)
+SELECT doc_id, canon_url, host FROM ranked WHERE rk <= {cap}
+"""
+
+
+SQL_DOCS_CRAWL_FRONTIER = _build_sql_docs_crawl_frontier()
+
+
 # Entries retired from the 50-entry driver registry to fund newer
 # operator demonstrations. They remain fully implemented AND oracle-
 # tested in-repo (tests/test_queries.py checks this dict alongside the
@@ -2366,6 +2415,7 @@ RETIRED_QUERIES.update(
         "supplier_lineitem_agg": q_supplier_lineitem_agg,
         "events_clicks_before_purchase": q_events_clicks_before_purchase,
         "customer_order_revenue": q_customer_order_revenue,
+        "docs_crawl_frontier": q_docs_crawl_frontier,
     }
 )
 RETIRED_ORACLE_SQL.update(
@@ -2380,5 +2430,6 @@ RETIRED_ORACLE_SQL.update(
         "supplier_lineitem_agg": SQL_SUPPLIER_LINEITEM_AGG,
         "events_clicks_before_purchase": SQL_EVENTS_CLICKS_BEFORE_PURCHASE,
         "customer_order_revenue": SQL_CUSTOMER_ORDER_REVENUE,
+        "docs_crawl_frontier": SQL_DOCS_CRAWL_FRONTIER,
     }
 )

@@ -128,6 +128,7 @@ SQL_CHECKED = [
     "docs_layout_parse",
     "docs_pii_scrub",
     "graph_pagerank",
+    "docs_crawl_frontier",
 ]
 
 
