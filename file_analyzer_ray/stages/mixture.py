@@ -139,6 +139,49 @@ def weights_for_token_budget(
     }
 
 
+def weights_for_temperature(
+    totals: "dict[str, int]", alpha: float, budget_tokens: int,
+) -> "dict[str, float]":
+    """Temperature / α-sampling mixture rates (the T5 §3.3.1 /
+    multilingual-LM recipe): target share of source i ∝ n_i^α, so
+    smaller sources are UP-weighted as α → 0 and proportional sampling
+    is recovered at α = 1. The target token counts p_i·budget convert
+    to Bernoulli keep-rates exactly like :func:`weights_for_token_budget`
+    (cap at 1.0 — upsampling beyond a full pass is an epoch-level
+    decision). Deterministic closed form of ``totals`` — the tests
+    recompute it independently."""
+    if not totals or budget_tokens <= 0:
+        return {s: 0.0 for s in totals}
+    shares = {s: float(n) ** alpha for s, n in totals.items() if n > 0}
+    z = sum(shares.values())
+    return {
+        s: (
+            min(1.0, (shares.get(s, 0.0) / z) * budget_tokens / totals[s])
+            if totals.get(s)
+            else 0.0
+        )
+        for s in totals
+    }
+
+
+def mix_by_temperature(
+    sources: "dict[str, ray.data.Dataset]",
+    totals: "dict[str, int]",
+    alpha: float,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Compose :func:`weights_for_temperature` + :func:`mix_sources`:
+    one tagged stream whose expected mixture follows the α-scaled
+    shares within the token budget. Deterministic (content-addressed
+    Bernoulli keep — rerunning selects identical rows)."""
+    return mix_sources(
+        sources, weights_for_temperature(totals, alpha, budget_tokens),
+        id_col=id_col, seed=seed,
+    )
+
+
 def mix_to_token_budget(
     sources: "dict[str, ray.data.Dataset]",
     budgets: "dict[str, int]",

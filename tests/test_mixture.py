@@ -136,3 +136,64 @@ def test_token_budget_mixture(ray_session):
     ).take_all()
     key = lambda rows: sorted(r["doc_id"] for r in rows)
     assert key(mixed) == key(again)
+
+
+def test_temperature_mixture(ray_session):
+    """α-sampling invariants: α=1 recovers proportional rates (equal
+    rate for every source when the budget is a fraction of the whole);
+    α→0 equalizes target token mass, up-weighting small sources; rates
+    cap at 1.0; the realized deterministic mix follows the rates."""
+    from collections import Counter
+
+    import ray.data
+
+    from file_analyzer_ray.functions.text import tokenize
+    from file_analyzer_ray.stages.mixture import (
+        mix_by_temperature,
+        source_token_totals,
+        weights_for_temperature,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).repartition(4)
+    totals = source_token_totals(ds)
+    grand = sum(totals.values())
+
+    # α = 1: share_i = n_i / N, rate_i = budget/N for every source
+    w1 = weights_for_temperature(totals, alpha=1.0, budget_tokens=grand // 2)
+    for s in totals:
+        assert abs(w1[s] - 0.5) < 1e-4  # grand//2 floors the budget
+    # α = 0: equal target mass per source -> the smallest source gets
+    # the HIGHEST rate (capped at 1.0)
+    w0 = weights_for_temperature(totals, alpha=0.0, budget_tokens=grand // 2)
+    smallest = min(totals, key=totals.get)
+    largest = max(totals, key=totals.get)
+    assert w0[smallest] >= w0[largest]
+    assert all(0.0 <= v <= 1.0 for v in w0.values())
+    # degenerate budgets
+    assert all(v == 0.0 for v in weights_for_temperature(totals, 0.5, 0).values())
+
+    names = sorted(totals)[:2]
+
+    def one_source(name):
+        return ds.filter(expr=f"source == '{name}'").select_columns(
+            ["doc_id", "text"]
+        )
+
+    mixed = mix_by_temperature(
+        {n: one_source(n) for n in names},
+        {n: totals[n] for n in names},
+        alpha=0.5,
+        budget_tokens=sum(totals[n] for n in names) // 2,
+    ).take_all()
+    got = Counter()
+    for r in mixed:
+        got[r["source"]] += len(tokenize(r["text"].lower()))
+    w = weights_for_temperature(
+        {n: totals[n] for n in names}, 0.5,
+        sum(totals[n] for n in names) // 2,
+    )
+    for n in names:  # realized mass within LLN tolerance of the target
+        assert abs(got[n] - w[n] * totals[n]) < 0.25 * totals[n] + 50
