@@ -154,9 +154,17 @@ def run_bench() -> dict:
         # paid once and reused by every subsequent query/run)
         _consume(QUERIES["bucketed_customer_revenue"](SF_DIR))
     for name in bench_queries:
-        t0 = time.monotonic()
-        _consume(QUERIES[name](SF_DIR))
-        q_times[name] = round(time.monotonic() - t0, 3)
+        # best-of-2, same noise-floor estimator as the headline (this
+        # shared VM swings ~2x between windows; the first run also
+        # absorbs plan-build + first-touch costs the steady state
+        # amortizes)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            _consume(QUERIES[name](SF_DIR))
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        q_times[name] = round(best, 3)
 
     if bench_queries:
         # library operators outside the 50-entry driver registry —
@@ -173,25 +181,24 @@ def run_bench() -> dict:
             f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
             override_num_blocks=8,
         )
-        t0 = time.monotonic()
-        _consume(tfidf_top_terms(docs, n_docs=n_docs_tbl, k=3))
-        q_times["docs_tfidf_top_terms"] = round(time.monotonic() - t0, 3)
-        t0 = time.monotonic()
-        _consume(pack_sequences(docs, seq_len=2048))
-        q_times["docs_pack_sequences"] = round(time.monotonic() - t0, 3)
-
+        from file_analyzer_ray.queries import QUERIES as _Q
         from file_analyzer_ray.stages.repetition import repetition_filter
 
-        t0 = time.monotonic()
-        _consume(repetition_filter(docs))
-        q_times["docs_repetition_filter"] = round(time.monotonic() - t0, 3)
+        def _best2(name, fn):
+            best = None
+            for _ in range(2):
+                t0 = time.monotonic()
+                _consume(fn())
+                dt = time.monotonic() - t0
+                best = dt if best is None or dt < best else best
+            q_times[name] = round(best, 3)
 
-        from file_analyzer_ray.queries import QUERIES as _Q
-
+        _best2("docs_tfidf_top_terms",
+               lambda: tfidf_top_terms(docs, n_docs=n_docs_tbl, k=3))
+        _best2("docs_pack_sequences", lambda: pack_sequences(docs, seq_len=2048))
+        _best2("docs_repetition_filter", lambda: repetition_filter(docs))
         for _name in ("docs_perplexity", "docs_dup_spans"):
-            t0 = time.monotonic()
-            _consume(_Q[_name](SF_DIR))
-            q_times[_name] = round(time.monotonic() - t0, 3)
+            _best2(_name, lambda n=_name: _Q[n](SF_DIR))
 
     result = {
         "metric": "end_to_end_extraction_sec",
