@@ -2324,6 +2324,60 @@ def q_docs_crawl_frontier(sf_dir: str):
     return crawl_frontier_prep(ds, per_host_cap=5)
 
 
+def q_docs_dsir(sf_dir: str):
+    """DSIR-style data selection (Xie et al. '23): per-doc importance
+    score = Σ log-ratio of target/raw hashed-bigram frequencies
+    (stages/dsir.py — dim-bounded broadcast-reduce estimation, one
+    gather + bincount fold per batch). The oracle recomputes the
+    bucketing (md5 mod dim), both slice distributions AND the scores
+    in SQL."""
+    from .stages.dsir import dsir_score, dsir_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dsir_score(ds, dsir_weights(ds))
+
+
+SQL_DOCS_DSIR = """
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                        t -> lower(t)) AS tk
+  FROM documents
+),
+big AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
+  FROM tok, lateral (SELECT unnest(range(1, len(tk))) AS i)
+),
+bb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(bg), 1, 8)) AS UBIGINT) % 4096 AS b
+  FROM big
+),
+tgt AS (SELECT b, count(*) AS c FROM bb WHERE doc_id % 7 = 0 GROUP BY b),
+raw AS (SELECT b, count(*) AS c FROM bb WHERE doc_id % 3 = 1 GROUP BY b),
+tot AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM tgt) AS t_total,
+         (SELECT coalesce(sum(c), 0) FROM raw) AS r_total
+),
+w AS (
+  SELECT d.b,
+         ln((coalesce(t.c, 0) + 1.0) / (tot.t_total + 4096))
+         - ln((coalesce(r.c, 0) + 1.0) / (tot.r_total + 4096)) AS wt
+  FROM (SELECT DISTINCT b FROM bb) d
+  LEFT JOIN tgt t USING (b) LEFT JOIN raw r USING (b), tot
+),
+scores AS (
+  SELECT bb.doc_id, count(*) AS n_bigrams, round(sum(w.wt), 6) AS score
+  FROM bb JOIN w USING (b) GROUP BY bb.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.score, 0.0) AS score,
+       coalesce(s.score, 0.0) >= 0.0 AS kept
+FROM documents d LEFT JOIN scores s USING (doc_id)
+"""
+
+
 def q_docs_train_val_split(sf_dir: str):
     """Leakage-free train/val split (stages/split.py): the split coin
     is keyed on the CONTENT fingerprint, so exact duplicates never
@@ -2444,6 +2498,7 @@ RETIRED_QUERIES.update(
         "customer_order_revenue": q_customer_order_revenue,
         "docs_crawl_frontier": q_docs_crawl_frontier,
         "docs_train_val_split": q_docs_train_val_split,
+        "docs_dsir": q_docs_dsir,
     }
 )
 RETIRED_ORACLE_SQL.update(
@@ -2460,5 +2515,6 @@ RETIRED_ORACLE_SQL.update(
         "customer_order_revenue": SQL_CUSTOMER_ORDER_REVENUE,
         "docs_crawl_frontier": SQL_DOCS_CRAWL_FRONTIER,
         "docs_train_val_split": SQL_DOCS_TRAIN_VAL_SPLIT,
+        "docs_dsir": SQL_DOCS_DSIR,
     }
 )

@@ -955,3 +955,40 @@ def test_pagerank_modes_match_serial(ray_session):
         )
         assert got == exp, mode
     assert abs(sum(v for _, v in exp) - 1.0) < 1e-6  # mass conserved
+
+
+def test_dsir_distributed_equals_serial(ray_session):
+    """DSIR weights + scores from the distributed broadcast-reduce path
+    equal the single-process oracle (scores compared at 1e-9 — both
+    sides round to 6 decimals, summation order may differ in ULPs)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from file_analyzer_ray.stages.dsir import dsir_score, dsir_serial, dsir_weights
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    exp = {
+        d: (n, s, k)
+        for d, n, s, k in dsir_serial(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        )
+    }
+    ds = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(4)
+    got = dsir_score(ds, dsir_weights(ds)).take_all()
+    assert len(got) == len(exp)
+    for r in got:
+        n, s, k = exp[r["doc_id"]]
+        assert r["n_bigrams"] == n
+        assert abs(r["score"] - s) < 1e-9
+        assert r["kept"] == k
+    # the target slice scores higher than the raw slice on average
+    # (it IS the target distribution)
+    import numpy as np
+
+    tgt = np.mean([r["score"] for r in got if r["doc_id"] % 7 == 0])
+    raw = np.mean([r["score"] for r in got if r["doc_id"] % 3 == 1])
+    assert tgt >= raw

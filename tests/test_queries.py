@@ -130,6 +130,7 @@ SQL_CHECKED = [
     "graph_pagerank",
     "docs_crawl_frontier",
     "docs_train_val_split",
+    "docs_dsir",
 ]
 
 
