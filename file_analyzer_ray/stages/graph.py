@@ -200,6 +200,13 @@ def _pagerank_broadcast(
     import ray
 
     n_nodes = len(node_ids)
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.float64())],
+                names=["v", "pagerank"],
+            )
+        )
     r0 = round(1.0 / n_nodes, RANK_DECIMALS)
     teleport = (1.0 - damping) / n_nodes
     ranks = np.full(n_nodes, r0, dtype=np.float64)
