@@ -132,6 +132,38 @@ LEFT_X, RIGHT_X = 50.0, 350.0
 LINE_H, TOP_Y = 20.0, 100.0
 
 
+def _render_boxes(did, src: str, txt: str) -> "list[dict]":
+    """One document's deterministic box stream (see
+    :func:`wrap_documents_layout` for the layout contract)."""
+    toks = (txt or "").split()
+    lines = [
+        " ".join(toks[i : i + LINE_TOKENS])
+        for i in range(0, len(toks), LINE_TOKENS)
+    ]
+    per_page = 2 * LINES_PER_COLUMN
+    boxes = []
+    for j, line in enumerate(lines):
+        page, slot = divmod(j, per_page)
+        colx = LEFT_X if slot < LINES_PER_COLUMN else RIGHT_X
+        y = TOP_Y + (slot % LINES_PER_COLUMN) * LINE_H
+        boxes.append({"page": page, "x": colx, "y": y, "text": line})
+    # always >= 2 pages (a furniture-only trailing page when the
+    # body fits one): keeps the multi-page repeat rule applicable
+    # to every document, so the golden answer stays a closed form
+    n_pages = max(2, -(-len(lines) // per_page) if lines else 0)
+    for p in range(n_pages):
+        boxes.append({"page": p, "x": LEFT_X, "y": 10.0,
+                      "text": f"{src} report"})
+        boxes.append({"page": p, "x": LEFT_X, "y": 900.0,
+                      "text": "page-footer"})
+    # deterministic shuffle — destroys emission order
+    key = [
+        hashlib.md5(f"{did}:{i}".encode()).hexdigest()
+        for i in range(len(boxes))
+    ]
+    return [b for _, b in sorted(zip(key, boxes), key=lambda kv: kv[0])]
+
+
 def wrap_documents_layout(t: pa.Table) -> pa.Table:
     """Deterministic two-column paged layout rendering of a
     ``(doc_id, source, text)`` batch — the golden-output harness (the
@@ -142,42 +174,14 @@ def wrap_documents_layout(t: pa.Table) -> pa.Table:
     emission order is SHUFFLED by md5(doc_id:index) — exactly the
     no-reliable-order stream a real PDF extractor hands you, so the
     parser's reading-order sort is doing real work."""
-    out_boxes = []
-    for did, src, txt in zip(
-        t.column("doc_id").to_pylist(),
-        t.column("source").to_pylist(),
-        t.column("text").to_pylist(),
-    ):
-        toks = (txt or "").split()
-        lines = [
-            " ".join(toks[i : i + LINE_TOKENS])
-            for i in range(0, len(toks), LINE_TOKENS)
-        ]
-        per_page = 2 * LINES_PER_COLUMN
-        boxes = []
-        for j, line in enumerate(lines):
-            page, slot = divmod(j, per_page)
-            colx = LEFT_X if slot < LINES_PER_COLUMN else RIGHT_X
-            y = TOP_Y + (slot % LINES_PER_COLUMN) * LINE_H
-            boxes.append(
-                {"page": page, "x": colx, "y": y, "text": line}
-            )
-        # always >= 2 pages (a furniture-only trailing page when the
-        # body fits one): keeps the multi-page repeat rule applicable
-        # to every document, so the golden answer stays a closed form
-        n_pages = max(2, -(-len(lines) // per_page) if lines else 0)
-        for p in range(n_pages):
-            boxes.append({"page": p, "x": LEFT_X, "y": 10.0,
-                          "text": f"{src} report"})
-            boxes.append({"page": p, "x": LEFT_X, "y": 900.0,
-                          "text": "page-footer"})
-        # deterministic shuffle — destroys emission order
-        key = [
-            hashlib.md5(f"{did}:{i}".encode()).hexdigest()
-            for i in range(len(boxes))
-        ]
-        boxes = [b for _, b in sorted(zip(key, boxes), key=lambda kv: kv[0])]
-        out_boxes.append(boxes)
+    out_boxes = [
+        _render_boxes(did, src, txt)
+        for did, src, txt in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("source").to_pylist(),
+            t.column("text").to_pylist(),
+        )
+    ]
     return pa.Table.from_arrays(
         [t.column("doc_id"), pa.array(out_boxes, pa.list_(BOX_TYPE))],
         names=["doc_id", "boxes"],
@@ -187,8 +191,34 @@ def wrap_documents_layout(t: pa.Table) -> pa.Table:
 def layout_from_docs(ds) -> "object":
     """documents → deterministic layout wrap → layout parse, fused
     into ONE stateless task stage (no actor pool: nothing to set up
-    per worker, so tasks avoid the pool spin-up cost entirely)."""
-    def wrap_and_parse(t):
-        return LayoutParseStage()(wrap_documents_layout(t))
+    per worker, so tasks avoid the pool spin-up cost entirely). The
+    fused path hands the rendered box lists straight to the parser —
+    no Arrow ``list<struct>`` build + ``to_pylist`` roundtrip between
+    the stages (equality with the two-stage plan is pytest-pinned)."""
+    def wrap_and_parse(t: pa.Table) -> pa.Table:
+        stage = LayoutParseStage()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mains, n_pages, n_drop = [], [], []
+        for did, src, txt in zip(
+            ids.tolist(),
+            t.column("source").to_pylist(),
+            t.column("text").to_pylist(),
+        ):
+            m, p, d = parse_layout(
+                _render_boxes(did, src, txt),
+                stage.repeat_frac, stage.min_col_gap,
+            )
+            mains.append(m)
+            n_pages.append(p)
+            n_drop.append(d)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids.astype(np.int64)),
+                pa.array(mains, pa.string()),
+                pa.array(n_pages, pa.int64()),
+                pa.array(n_drop, pa.int64()),
+            ],
+            names=["doc_id", "main_text", "n_pages", "n_dropped"],
+        )
 
     return ds.map_batches(wrap_and_parse, batch_format="pyarrow")

@@ -529,3 +529,31 @@ class TestPiiScrub:
         ]
         assert out.column("n_emails").to_pylist() == [0, 0, 1]
         assert out.column("n_phones").to_pylist() == [0, 0, 1]
+
+
+def test_layout_fused_equals_two_stage(ray_session):
+    """The fused wrap+parse path (no Arrow list<struct> roundtrip)
+    equals the explicit wrap -> parse plan row for row."""
+    import ray.data
+
+    from file_analyzer_ray.stages.layout import (
+        LayoutParseStage,
+        layout_from_docs,
+        wrap_documents_layout,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "source", "text"],
+        override_num_blocks=4,
+    )
+    fused = (
+        layout_from_docs(ds).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    two = (
+        ds.map_batches(wrap_documents_layout, batch_format="pyarrow")
+        .map_batches(LayoutParseStage(), batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert fused.equals(two)
