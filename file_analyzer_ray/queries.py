@@ -884,6 +884,18 @@ def q_graph_pagerank(sf_dir: str):
         pairs = joined.map_batches(to_edge_joined, batch_format="pyarrow")
 
     base = _distinct_native(pairs, ["c", "s"])
+    # node space = customers + suppliers, bounded and KNOWN from footer
+    # metadata — below the broadcast bound, iterate the UNDIRECTED
+    # pairs directly (each pass reads half the rows; no expanded edge
+    # list is ever materialized; bit-equality with the expanded
+    # broadcast path is pytest-pinned)
+    n_nodes_max = _meta_rows(sf_dir, "customer") + _meta_rows(sf_dir, "supplier")
+    if n_nodes_max <= 500_000:
+        from .stages.graph import pagerank_undirected_pairs
+
+        return pagerank_undirected_pairs(
+            base, damping=0.85, iters=3, cols=("c", "s")
+        )
 
     def expand(t: pa.Table) -> pa.Table:
         c, s = t.column("c"), t.column("s")
@@ -896,12 +908,7 @@ def q_graph_pagerank(sf_dir: str):
         )
 
     edges = base.map_batches(expand, batch_format="pyarrow")
-    # node space = customers + suppliers, bounded and KNOWN from footer
-    # metadata — declare broadcast mode so degrees come from one
-    # streaming pass (node-bounded driver reduce) instead of a sort
-    n_nodes_max = _meta_rows(sf_dir, "customer") + _meta_rows(sf_dir, "supplier")
-    mode = "broadcast" if n_nodes_max <= 500_000 else "auto"
-    return pagerank(edges, damping=0.85, iters=3, mode=mode)
+    return pagerank(edges, damping=0.85, iters=3, mode="auto")
 
 
 def _build_sql_graph_pagerank(damping: float = 0.85, iters: int = 3) -> str:

@@ -242,6 +242,94 @@ def _pagerank_broadcast(
     return ray.data.from_arrow(out)
 
 
+def pagerank_undirected_pairs(
+    pairs: "ray.data.Dataset",
+    damping: float = 0.85,
+    iters: int = 3,
+    cols: "tuple[str, str]" = ("a", "b"),
+) -> "ray.data.Dataset":
+    """PageRank over an UNDIRECTED graph given each edge ONCE as a
+    ``(a, b)`` pair — the broadcast-mode iteration without ever
+    materializing the 2× expanded directed edge list: every streaming
+    pass reads half the rows and emits both directions' contributions
+    in-batch. Bit-identical to ``pagerank(expand(pairs),
+    mode='broadcast')`` (pytest-pinned). Node space must be bounded
+    (the broadcast-mode contract)."""
+    import ray
+
+    ca, cb = cols
+    pairs = pairs.materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        # both endpoints of every pair gain a degree
+        both = pa.chunked_array(
+            [t.column(ca).combine_chunks() if isinstance(t.column(ca), pa.ChunkedArray) else t.column(ca),
+             t.column(cb).combine_chunks() if isinstance(t.column(cb), pa.ChunkedArray) else t.column(cb)]
+        ).combine_chunks()
+        agg = (
+            pa.Table.from_arrays([both], names=["src"])
+            .group_by(["src"]).aggregate([("src", "count")])
+        )
+        return agg.rename_columns(["src", "n"])
+
+    ids_chunks, cnt_chunks = [], []
+    for b in pairs.map_batches(
+        deg_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        ids_chunks.append(b.column("src").to_numpy(zero_copy_only=False))
+        cnt_chunks.append(b.column("n").to_numpy(zero_copy_only=False))
+    allids = np.concatenate(ids_chunks) if ids_chunks else np.empty(0, np.int64)
+    allcnt = np.concatenate(cnt_chunks) if cnt_chunks else np.empty(0, np.int64)
+    node_ids, inv = np.unique(allids.astype(np.int64), return_inverse=True)
+    degs = np.bincount(inv, weights=allcnt.astype(np.float64),
+                       minlength=len(node_ids))
+    n_nodes = len(node_ids)
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.float64())],
+                names=["v", "pagerank"],
+            )
+        )
+    r0 = round(1.0 / n_nodes, RANK_DECIMALS)
+    teleport = (1.0 - damping) / n_nodes
+    ranks = np.full(n_nodes, r0, dtype=np.float64)
+
+    for _ in range(iters):
+        ref = ray.put((node_ids, ranks / degs))
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            ids, share_of = ray.get(_ref)
+            a = t.column(ca).to_numpy(zero_copy_only=False)
+            b = t.column(cb).to_numpy(zero_copy_only=False)
+            # both directions from one pass over the pairs
+            dst = np.concatenate([b, a])
+            src = np.concatenate([a, b])
+            shares = share_of[np.searchsorted(ids, src)]
+            tbl = pa.Table.from_arrays(
+                [pa.array(dst), pa.array(shares)], names=["dst", "share"]
+            )
+            agg = tbl.group_by(["dst"]).aggregate([("share", "sum")])
+            return agg.rename_columns(["dst", "share"])
+
+        contrib = np.zeros(n_nodes, dtype=np.float64)
+        for b in pairs.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            dst = b.column("dst").to_numpy(zero_copy_only=False)
+            share = b.column("share").to_numpy(zero_copy_only=False)
+            contrib += np.bincount(
+                np.searchsorted(node_ids, dst), weights=share,
+                minlength=n_nodes,
+            )
+        ranks = np.round(teleport + damping * contrib, RANK_DECIMALS)
+
+    out = pa.Table.from_arrays(
+        [pa.array(node_ids), pa.array(ranks)], names=["v", "pagerank"]
+    )
+    return ray.data.from_arrow(out)
+
+
 def pagerank_serial(
     edge_pairs: "list[tuple[int, int]]", damping: float = 0.85, iters: int = 3
 ) -> "dict[int, float]":

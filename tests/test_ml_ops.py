@@ -992,3 +992,31 @@ def test_dsir_distributed_equals_serial(ray_session):
     tgt = np.mean([r["score"] for r in got if r["doc_id"] % 7 == 0])
     raw = np.mean([r["score"] for r in got if r["doc_id"] % 3 == 1])
     assert tgt >= raw
+
+
+def test_pagerank_undirected_pairs_equals_expanded(ray_session):
+    """pagerank_undirected_pairs over each edge ONCE is bit-identical
+    to broadcast-mode pagerank over the 2x expanded edge list."""
+    import pandas as pd
+
+    import ray.data
+
+    from file_analyzer_ray.stages.graph import pagerank, pagerank_undirected_pairs
+
+    rng = np.random.default_rng(29)
+    pairs = sorted({(int(a), 100 + int(b))
+                    for a, b in rng.integers(0, 15, size=(80, 2))})
+    pdf = pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+    ds_pairs = ray.data.from_pandas(pdf).repartition(3)
+    und = pairs + [(v, u) for u, v in pairs]
+    edf = pd.DataFrame({"src": [e[0] for e in und], "dst": [e[1] for e in und]})
+    ds_edges = ray.data.from_pandas(edf).repartition(3)
+    got = sorted(
+        (r["v"], r["pagerank"])
+        for r in pagerank_undirected_pairs(ds_pairs, iters=3).take_all()
+    )
+    exp = sorted(
+        (r["v"], r["pagerank"])
+        for r in pagerank(ds_edges, iters=3, mode="broadcast").take_all()
+    )
+    assert got == exp
