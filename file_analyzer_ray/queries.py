@@ -2340,7 +2340,11 @@ def q_docs_dsir(sf_dir: str):
     in SQL."""
     from .stages.dsir import dsir_score, dsir_weights
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # materialize ONCE: dsir_weights is a full driver-blocking pass and
+    # dsir_score re-reads the same rows — without the pin the parquet
+    # read + upstream plan execute twice (ADVICE r3; the pagerank
+    # edges.materialize() pattern)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
     return dsir_score(ds, dsir_weights(ds))
 
 

@@ -74,7 +74,10 @@ class QualityClassifier:
         b = self._bucket_memo.get(tok)
         if b is None:
             b = token_bucket(tok, self.dim)
-            self._bucket_memo[tok] = b
+            # bounded (ADVICE r3): a long-lived worker process serving
+            # many queries must not accumulate an unbounded token memo
+            if len(self._bucket_memo) < 1_000_000:
+                self._bucket_memo[tok] = b
         return b
 
     def __call__(self, t: pa.Table) -> pa.Table:

@@ -53,8 +53,12 @@ def bigram_bucket(w1: str, w2: str, dim: int = DEFAULT_DIM) -> int:
 
 
 #: per-process bigram→bucket memo (zipfian bigram distribution: the md5
-#: per DISTINCT bigram amortizes to ~zero across batches)
+#: per DISTINCT bigram amortizes to ~zero across batches). BOUNDED
+#: (ADVICE r3): long-lived Ray workers serve many queries; past the cap
+#: new bigrams are hashed without being remembered — the hot head of the
+#: zipf curve is already resident, so the amortization survives.
 _BUCKET_MEMO: "dict[tuple[int, str], int]" = {}
+_BUCKET_MEMO_MAX = 1_000_000
 
 
 def _doc_buckets(text: str, dim: int) -> np.ndarray:
@@ -65,7 +69,8 @@ def _doc_buckets(text: str, dim: int) -> np.ndarray:
         b = _BUCKET_MEMO.get(key)
         if b is None:
             b = bigram_bucket(toks[i], toks[i + 1], dim)
-            _BUCKET_MEMO[key] = b
+            if len(_BUCKET_MEMO) < _BUCKET_MEMO_MAX:
+                _BUCKET_MEMO[key] = b
         out[i] = b
     return out
 

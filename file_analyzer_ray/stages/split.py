@@ -24,6 +24,7 @@ equal coin), not enforced by a join.
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 
 import numpy as np
@@ -51,7 +52,11 @@ def leakage_free_split(
     """``(doc_id, text, ...)`` → same rows + ``fingerprint`` +
     ``split`` ('train' | 'val'). Expected val share = ``val_frac`` of
     DISTINCT contents; all copies of a text land on one side."""
-    threshold = int(val_frac * (1 << 32))
+    # ceil, not floor: the DuckDB twin compares coin < val_frac * 2^32
+    # as a FLOAT, and for integer coins that is exactly coin < ceil(x)
+    # when x is non-integer (ADVICE r3: the floored threshold made a
+    # coin equal to floor(x) 'train' in Python but 'val' in SQL).
+    threshold = math.ceil(val_frac * (1 << 32))
 
     def tag(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pylist()

@@ -111,10 +111,15 @@ def test_leakage_free_split_invariants(ray_session):
     assert (sides == 1).all(), "a duplicate content straddled the split"
     share = (out.drop_duplicates("fingerprint")["split"] == "val").mean()
     assert 0.05 < share < 0.6  # 40 distinct docs, LLN tolerance
-    out2 = leakage_free_split(
-        ray.data.from_arrow(t), val_frac=0.3, seed="s1"
-    ).to_pandas()
-    assert not out2["split"].equals(out.sort_values("doc_id")["split"].reset_index(drop=True)) or True
+    # a different seed re-rolls the coin: aligned on doc_id, the seeded
+    # assignment must differ from the unseeded one (ADVICE r3: the old
+    # `... or True` assertion was tautological and the frames unaligned)
+    out2 = (
+        leakage_free_split(ray.data.from_arrow(t), val_frac=0.3, seed="s1")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    base = out.sort_values("doc_id").reset_index(drop=True)
+    assert not out2["split"].equals(base["split"])
     # determinism: same seed -> identical assignment
     out3 = leakage_free_split(
         ray.data.from_arrow(t), val_frac=0.3
