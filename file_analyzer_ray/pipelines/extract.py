@@ -74,14 +74,20 @@ def extract_pipeline(
     # spans column (measured ~2x wall at 100k docs). ScorerStage remains
     # available as a standalone stage for pipelines that score
     # pre-extracted tables.
+    # Pool minimum must leave at least one CPU for upstream ops: when a
+    # source stage prevents read->pool fusion, a minimum that pins every
+    # core starves ReadParquet and the plan deadlocks (seen at
+    # num_cpus=4 with min=4).
+    cpus = int(ray.cluster_resources().get("CPU", n)) if ray.is_initialized() else n
+    lo = max(1, min(8, n, cpus - 1))
     return ds.map_batches(
         ExtractStage,
         fn_constructor_kwargs={"score": score},
         batch_format="pyarrow",
         batch_size=batch_size,
-        # min 8 so the pool ramps immediately on a busy cluster; max n
+        # min ramps the pool immediately on a busy cluster; max n
         # leaves headroom for the read and sink stages.
-        concurrency=(min(8, n), n),
+        concurrency=(lo, n),
         num_cpus=1,
     )
 

@@ -28,8 +28,8 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -41,34 +41,38 @@ from ..stages.text_dedup import minhash_near_dup_pairs
 KEEP_LANGS = ("en", "und")
 
 
-def _gate(df: pd.DataFrame, min_tokens: int, max_tokens: int) -> pd.DataFrame:
-    """Row-local quality + language gate (vectorized counts; langid is
-    the engine's n-gram heuristic)."""
-    n_tok = df["text"].str.count(r"[A-Za-z0-9]+")
-    keep = (n_tok >= min_tokens) & (n_tok <= max_tokens)
-    keep &= df["text"].str.len() > 0
-    out = df.loc[keep].copy()
-    if out.empty:
-        return out.assign(lang_pred=pd.Series([], dtype="object"))
-    out["lang_pred"] = [detect_language(t) for t in out["text"]]
-    return out.loc[out["lang_pred"].isin(KEEP_LANGS)]
+def _gate(t: pa.Table, min_tokens: int, max_tokens: int) -> pa.Table:
+    """Row-local quality + language gate (Arrow-C++ token/length
+    counts; langid is the engine's n-gram heuristic — the per-row
+    Python there IS the op)."""
+    txt = t.column("text")
+    n_tok = pc.count_substring_regex(txt, r"[A-Za-z0-9]+")
+    keep = pc.and_kleene(
+        pc.and_kleene(
+            pc.greater_equal(n_tok, min_tokens), pc.less_equal(n_tok, max_tokens)
+        ),
+        pc.greater(pc.utf8_length(txt), 0),
+    )
+    out = t.filter(keep)
+    langs = pa.array(
+        [detect_language(x) for x in out.column("text").to_pylist()], pa.string()
+    )
+    out = out.append_column("lang_pred", langs)
+    return out.filter(pc.is_in(langs, value_set=pa.array(list(KEEP_LANGS))))
 
 
-def _fingerprint(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.copy()
-    df["fingerprint"] = [
-        hashlib.md5(normalize_ws(t).lower().encode("utf-8")).hexdigest()
-        for t in df["text"]
+def _fingerprint(t: pa.Table) -> pa.Table:
+    fps = [
+        hashlib.md5(normalize_ws(x).lower().encode("utf-8")).hexdigest()
+        for x in t.column("text").to_pylist()
     ]
-    return df
+    return t.append_column("fingerprint", pa.array(fps, pa.string()))
 
 
 def _keep_first_per_fingerprint(t):
     """Complete fingerprint groups, sorted by (fingerprint, doc_id):
     keep the first (min doc_id) of each run. Arrow-native — the md5
     strings never become pandas object arrays."""
-    import pyarrow as pa
-
     if t.num_rows == 0:
         return t
     return t.filter(pa.array(_run_starts_mask_arrow(t, ["fingerprint"])))
@@ -92,8 +96,8 @@ def training_prep_pipeline(
         override_num_blocks=8,
     )
     gated = ds.map_batches(
-        lambda df: _gate(df, min_tokens, max_tokens), batch_format="pandas"
-    ).map_batches(_fingerprint, batch_format="pandas")
+        lambda t: _gate(t, min_tokens, max_tokens), batch_format="pyarrow"
+    ).map_batches(_fingerprint, batch_format="pyarrow")
 
     # exact dedup: ONE sort by content fingerprint, keep-first per run
     exact = _window_by_key_arrow(
@@ -104,47 +108,44 @@ def training_prep_pipeline(
     # drop the b side of every pair (a < b, so the min-id doc survives)
     # via a streaming left_anti hash join — the drop set never lands on
     # the driver (pattern: queries_joins.q_customers_without_orders).
-    import pyarrow as pa
-
     pairs = minhash_near_dup_pairs(
         exact.select_columns(["doc_id", "text"]), threshold=near_dup_threshold
     )
 
-    def b_keys(df: pd.DataFrame) -> pa.Table:
-        # typed Arrow out: an empty pandas frame would drop the key
-        # column's schema and break the downstream hash join
-        k = df["doc_id_b"].drop_duplicates()
-        return pa.Table.from_arrays([pa.array(list(k), pa.int64())], names=["doc_id_b"])
+    def b_keys(t: pa.Table) -> pa.Table:
+        # typed Arrow out (explicit cast): an untyped empty block would
+        # drop the key column's schema and break the downstream hash join
+        k = pc.unique(t.column("doc_id_b"))
+        return pa.Table.from_arrays([k.cast(pa.int64())], names=["doc_id_b"])
 
     survivors = exact.join(
-        pairs.map_batches(b_keys, batch_format="pandas"),
+        pairs.map_batches(b_keys, batch_format="pyarrow"),
         join_type="left_anti",
         num_partitions=16,
         on=("doc_id",),
         right_on=("doc_id_b",),
     )
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
+    def finalize(t: pa.Table) -> pa.Table:
         if sample_keep < sample_mod:
             keep = [
                 hashlib.md5(str(d).encode()).digest()[0] % sample_mod < sample_keep
-                for d in out["doc_id"]
+                for d in t.column("doc_id").to_pylist()
             ]
-            out = out.loc[keep]
-        if out.empty:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "text": pd.Series([], dtype="object"),
-                    "lang_pred": pd.Series([], dtype="object"),
-                    "fingerprint": pd.Series([], dtype="object"),
-                    "n_bpe_tokens": pd.Series([], dtype="int64"),
-                }
-            )
-        out["n_bpe_tokens"] = np.fromiter(
-            (bpe_token_count(t) for t in out["text"]), dtype=np.int64, count=len(out)
+            t = t.filter(pa.array(keep, pa.bool_()))
+        ntok = pa.array(
+            [bpe_token_count(x) for x in t.column("text").to_pylist()], pa.int64()
         )
-        return out[["doc_id", "text", "lang_pred", "fingerprint", "n_bpe_tokens"]]
+        # explicit casts keep the output schema stable on empty blocks
+        return pa.Table.from_arrays(
+            [
+                t.column("doc_id").cast(pa.int64()),
+                t.column("text").cast(pa.string()),
+                t.column("lang_pred").cast(pa.string()),
+                t.column("fingerprint").cast(pa.string()),
+                ntok,
+            ],
+            names=["doc_id", "text", "lang_pred", "fingerprint", "n_bpe_tokens"],
+        )
 
-    return survivors.map_batches(finalize, batch_format="pandas")
+    return survivors.map_batches(finalize, batch_format="pyarrow")

@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -40,18 +41,10 @@ from .query_utils import _cents, _preagg_native, _read
 # ---------------------------------------------------------------------------
 # distributed hash joins (Dataset.join — the real exchange)
 
-def _typed_key_table(values, col: str, dtype=None) -> "pa.Table":
-    """Schema-stable single-key-column Arrow table. Key-producing
-    map_batches stages must NOT return pandas: an empty pandas frame
-    converts to a schema-less Arrow block and the downstream hash join
-    then fails to resolve the key column ("No match ... on right side
-    of the join")."""
-    import pyarrow as pa
-
-    dtype = dtype or pa.int64()
-    return pa.Table.from_arrays([pa.array(list(values), dtype)], names=[col])
-
-
+# Key-producing map_batches stages must return TYPED Arrow (the
+# explicit cast below): an empty pandas frame converts to a schema-less
+# Arrow block and the downstream hash join then fails to resolve the
+# key column ("No match ... on right side of the join").
 
 
 def q_orders_lineitem_join_agg(sf_dir: str):
@@ -133,11 +126,13 @@ def q_orders_semi_lineitem_returns(sf_dir: str):
     before the ``left_semi`` hash join."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
 
-    def returned_keys(df: pd.DataFrame):
-        keys = df.loc[df["l_returnflag"] == "R", "l_orderkey"].drop_duplicates()
-        return _typed_key_table(keys, "l_orderkey")
+    def returned_keys(t: pa.Table) -> pa.Table:
+        keys = pc.unique(
+            t.filter(pc.equal(t.column("l_returnflag"), "R")).column("l_orderkey")
+        )
+        return pa.Table.from_arrays([keys.cast(pa.int64())], names=["l_orderkey"])
 
-    keys = li.map_batches(returned_keys, batch_format="pandas")
+    keys = li.map_batches(returned_keys, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     semi = orders.join(
         keys,
@@ -180,11 +175,13 @@ def q_customers_without_orders(sf_dir: str):
     so only distinct custkeys cross the wire)."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
 
-    def dedup(df: pd.DataFrame):
-        keys = df.loc[df["o_orderstatus"] == "F", "o_custkey"].drop_duplicates()
-        return _typed_key_table(keys, "o_custkey")
+    def dedup(t: pa.Table) -> pa.Table:
+        keys = pc.unique(
+            t.filter(pc.equal(t.column("o_orderstatus"), "F")).column("o_custkey")
+        )
+        return pa.Table.from_arrays([keys.cast(pa.int64())], names=["o_custkey"])
 
-    keys = orders.map_batches(dedup, batch_format="pandas")
+    keys = orders.map_batches(dedup, batch_format="pyarrow")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
     anti = cust.join(
         keys,

@@ -230,13 +230,18 @@ def pairwise_image_compare(
         return t.filter(pa.array(mask))
 
     docs = docs.map_batches(only_candidates, batch_format="pyarrow")
-    # Decode ONCE and pin: the image table feeds BOTH join sides — left
-    # lazy, each join branch would re-run the decode pool and the
-    # combined minimum actor demand deadlocks small clusters. The table
-    # is (doc_id, target²×3 bytes) narrow; the object store spills it
-    # at scale (at 10^12 docs, checkpoint it to parquet instead and
-    # read twice).
-    imgs = _first_media_images(docs, target, concurrency).materialize()
+    # Decode ONCE, CHECKPOINT to parquet, read on both join sides: left
+    # lazy, each join branch would re-run the decode pool (and the
+    # combined minimum actor demand deadlocks small clusters); pinned
+    # with materialize() the decoded table sits in the object store for
+    # the whole query. The parquet checkpoint is the 10^12 shape — the
+    # decode cost is paid once, the two join probes stream from storage,
+    # and nothing corpus-sized stays pinned.
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="fa_compare_imgs_")
+    _first_media_images(docs, target, concurrency).write_parquet(ckpt)
+    imgs = ray.data.read_parquet(ckpt)
 
     def rename_a(t: pa.Table) -> pa.Table:
         return t.rename_columns(["id_a", "img_a"])

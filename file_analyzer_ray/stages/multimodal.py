@@ -174,8 +174,22 @@ class DecodeStage:
             import io
 
             return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
-        # Deterministic fake decode: dims and pixels are pure functions
-        # of the payload bytes (content-hash-seeded PCG64).
+        # Self-describing synthetic codec: a payload carrying the
+        # harness dims header (stages/harness.py DIM_HEADER — 3 sentinel
+        # PCM samples + <u16 h><u16 w>) decodes to exactly those
+        # dimensions, the way a real codec reads dims from the
+        # container; that makes decode dims a CLOSED FORM of the planted
+        # header, so the media_features driver oracle can state them.
+        if payload[:6] == b"\x01\x00\x02\x00\x03\x00" and len(payload) >= 10:
+            import struct as _struct
+
+            h, w = _struct.unpack_from("<HH", payload, 6)
+            rng = np.random.default_rng(stable_u64(payload, b"decode:"))
+            return rng.integers(
+                0, 256, size=(max(1, h), max(1, w), 3), dtype=np.uint8
+            )
+        # Headerless fallback: dims and pixels are pure functions of the
+        # payload bytes (content-hash-seeded PCG64).
         h64 = stable_u64(payload, b"decode:")
         h = 32 + (h64 & 0x3F)          # 32..95
         w = 32 + ((h64 >> 6) & 0x7F)   # 32..159

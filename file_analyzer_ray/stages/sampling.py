@@ -20,7 +20,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 _SCALE = float(1 << 32)
@@ -51,16 +50,17 @@ def stratified_sample_rate(
     else:  # a bare float applies to every stratum
         rate_map, default_rate = {}, float(rates)
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        h = _hash_frac_u32(df[id_col])
+    def keep(t: pa.Table) -> pa.Table:
+        h = _hash_frac_u32(t.column(id_col).to_pylist())
         thr = np.fromiter(
-            (rate_map.get(s, default_rate) * _SCALE for s in df[strat_col]),
+            (rate_map.get(s, default_rate) * _SCALE
+             for s in t.column(strat_col).to_pylist()),
             dtype=np.float64,
-            count=len(df),
+            count=t.num_rows,
         )
-        return df.loc[h < thr]
+        return t.filter(pa.array(h < thr))
 
-    return ds.map_batches(keep, batch_format="pandas")
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def sample_k_per_group(
@@ -71,12 +71,11 @@ def sample_k_per_group(
     run-boundary arange (no per-group dispatch)."""
     from ..query_utils import _run_starts_mask_arrow, _window_by_key_arrow
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["_h"] = _hash_frac_u32(df[id_col]).astype("int64")
-        return out
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = _hash_frac_u32(t.column(id_col).to_pylist()).astype("int64")
+        return t.append_column("_h", pa.array(h))
 
-    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
     def rank_keep(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -560,8 +560,13 @@ def test_semdedup_distributed_matches_serial(ray_session):
         f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).repartition(7)
     for eps in (0.35, 0.4):
-        # BOTH trainer paths must equal the serial oracle bit-for-bit
-        for mode in ("distributed", "driver"):
+        # ALL trainer paths must equal the serial oracle bit-for-bit.
+        # "sample" at sf scale: input_rows ≤ the sample bound → stride
+        # 1 → the content-addressed sample IS the full set, training
+        # streams to the driver and the tag/kernel passes stream from
+        # the source (no corpus-sized materialize anywhere) — the
+        # 10^12 code path, equality-pinned here (r3 verdict #3).
+        for mode in ("distributed", "driver", "sample"):
             got = sorted(
                 (r["vec_id"], r["cluster"], r["kept"])
                 for r in semdedup(
@@ -573,6 +578,59 @@ def test_semdedup_distributed_matches_serial(ray_session):
     # the threshold actually bites: some rows dropped, most kept
     kept = sum(1 for _, _, k in exp if k)
     assert 0 < kept < len(exp)
+
+
+def test_semdedup_blocked_kernel_matches(ray_session, monkeypatch):
+    """The hot-cluster blocked kernel (runs > _KERNEL_RUN_BLOCK compare
+    column blocks against all earlier rows) must give exactly the
+    single-matmul answer — forced here by shrinking the block bound far
+    below the run length."""
+    import ray.data
+
+    from file_analyzer_ray.stages import semdedup as sd
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).repartition(5)
+    base = sorted(
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in sd.semdedup(ds, k=2, iters=1, eps=0.35).take_all()
+    )
+    monkeypatch.setattr(sd, "_KERNEL_RUN_BLOCK", 13)
+    blocked = sorted(
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in sd.semdedup(ds, k=2, iters=1, eps=0.35).take_all()
+    )
+    assert blocked == base
+
+
+def test_semdedup_strided_sample_training(ray_session):
+    """Above the training bound the content-addressed sample strides:
+    force stride > 1 by lying about input_rows far above the bound via
+    a tiny bound. The result is deterministic, covers every row exactly
+    once, and flags at least one duplicate on the sf table."""
+    import ray.data
+
+    from file_analyzer_ray.stages import semdedup as sd
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).repartition(4)
+    ids_sample, mat_sample = sd._train_sample(ds, bound=100, input_rows=500)
+    assert 0 < len(ids_sample) <= 200  # ≈ bound, hard-capped at 2×
+    assert len(set(ids_sample.tolist())) == len(ids_sample)
+    a = sorted(
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in sd.semdedup(ds, k=4, iters=2, eps=0.35,
+                             train_mode="sample", input_rows=500).take_all()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in sd.semdedup(ds, k=4, iters=2, eps=0.35,
+                             train_mode="sample", input_rows=500).take_all()
+    )
+    assert a == b
+    assert len(a) == 500 and len({v for v, _, _ in a}) == 500
 
 
 def test_semdedup_empty_cluster_vanishes(ray_session):

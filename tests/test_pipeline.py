@@ -72,6 +72,29 @@ def test_scorer_columns_deterministic(pipeline_rows):
         assert row["model_status"] == exp["model_status"]
 
 
+def test_standalone_scorer_equals_fused(ray_session, ray_docs, pipeline_rows):
+    """The standalone ScorerStage (pipelines that score PRE-EXTRACTED
+    tables) must emit byte-identical scoring columns to the fused
+    ExtractStage(score=True) path — pinned across the r4 port of the
+    standalone stage onto the fused flat-Arrow kernel."""
+    from file_analyzer_ray.pipelines.extract import extract_pipeline
+    from file_analyzer_ray.stages.scorer import ScorerStage
+
+    ext = extract_pipeline(ray_docs, score=False, concurrency=2, batch_size=64)
+    scored = ext.map_batches(
+        ScorerStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    got = {r["doc_id"]: r for r in scored.take_all()}
+    assert set(got) == set(pipeline_rows)
+    for doc_id, exp in pipeline_rows.items():
+        row = got[doc_id]
+        for col in ("mode", "description", "recommended_filename",
+                    "model_status", "attempts"):
+            assert row[col] == exp[col], (doc_id, col)
+        assert list(row["tags"]) == list(exp["tags"]), doc_id
+        assert [dict(o) for o in row["objects"]] == [dict(o) for o in exp["objects"]]
+
+
 def test_detect_mode_objects_column(pipeline_rows):
     """Detect-mode rows surface the typed objects column (reference
     src/models/mock_adapter.py:190-218, src/utils/json_utils.py:190-196
