@@ -2550,13 +2550,95 @@ SQL_EXTRACT_CARVE = _build_sql_extract_carve()
 
 
 def q_extract_pairwise_compare(sf_dir: str):
-    """SSIM + pixel-diff pairwise comparison over phash candidate pairs
-    (reference ``fa validate images``, src/cli/validate/main.py:275-418;
-    rows-only — the metric kernels are pytest-verified against a naive
-    serial implementation and the identical/perturbed invariants). The
-    emitted rows carry the phash candidate pair ids themselves, so this
-    entry also covers the r2-separate extract_near_dup demonstration
-    (phash banding → hamming verify)."""
+    """SSIM + pixel-diff pairwise comparison (reference ``fa validate
+    images``, src/cli/validate/main.py:275-418), driver-green via the
+    constant-color harness codec: a constant square survives the
+    letterbox exactly, so SSIM collapses to its zero-variance closed
+    form ((2·ga·gb+c1)/(ga²+gb²+c1) of the two planted grays) and the
+    pixelmatch YIQ test to one per-pair threshold comparison — both
+    STATED by the DuckDB oracle from doc_id arithmetic. Pairs are
+    (2k, 2k+1); the planted color rules exercise identical,
+    below-threshold-different and mismatching pairs. The full
+    production path runs — explode→decode pool→parquet checkpoint→
+    double hash join→metric kernel, Bloom pushdown included. The phash
+    candidate-pair variant stays as the bench/pytest path
+    (:func:`q_extract_pairwise_compare_corpus`). ``ssim`` is re-rounded
+    to 4 decimals for the cross-engine hash (the kernel's 6-decimal
+    value sits on summed-area-table float error ~1e-10)."""
+    from .stages.compare import pairwise_image_compare
+    from .stages.harness import wrap_documents_const_images
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        wrap_documents_const_images, batch_format="pyarrow"
+    )
+
+    def mk_pairs(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        a = d[d % 2 == 0]
+        # (d, d+1) for every even d; pairs whose b-side doc doesn't
+        # exist drop out of the inner image joins (the SQL join mirrors
+        # this exactly)
+        return pa.Table.from_arrays(
+            [
+                pa.array([str(x) for x in a], pa.string()),
+                pa.array([str(x + 1) for x in a], pa.string()),
+            ],
+            names=["doc_id_a", "doc_id_b"],
+        )
+
+    pairs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        mk_pairs, batch_format="pyarrow"
+    )
+    cmp_ds = pairwise_image_compare(docs, pairs, target=64)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("ssim"),
+            "ssim",
+            pc.round(t.column("ssim"), ndigits=4),
+        )
+
+    return cmp_ds.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_EXTRACT_PAIRWISE_COMPARE = """
+WITH col AS (
+  SELECT doc_id AS d,
+         CASE WHEN doc_id % 10 IN (1, 3) THEN doc_id - 1 ELSE doc_id END AS c,
+         CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END AS bump
+  FROM documents
+), rgb AS (
+  SELECT d, (c % 251) + bump AS r, ((3*c+7) % 251) + bump AS g,
+         ((7*c+13) % 251) + bump AS b
+  FROM col
+), gray AS (
+  SELECT d, r, g, b, 0.299*r + 0.587*g + 0.114*b AS ga FROM rgb
+), pairs AS (
+  SELECT a.d AS da, b.d AS db, a.ga AS ga, b.ga AS gb,
+         a.r - b.r AS dr, a.g - b.g AS dg, a.b - b.b AS dbl
+  FROM gray a JOIN gray b ON b.d = a.d + 1
+  WHERE a.d % 2 = 0
+), m AS (
+  SELECT da, db, ga, gb,
+    0.5053 * pow(dr*0.29889531 + dg*0.58662247 + dbl*0.11448223, 2)
+    + 0.299 * pow(dr*0.59597799 - dg*0.27417610 - dbl*0.32180189, 2)
+    + 0.1957 * pow(dr*0.21147017 - dg*0.52261711 + dbl*0.31114694, 2) AS delta
+  FROM pairs
+)
+SELECT CAST(da AS VARCHAR) AS doc_id_a, CAST(db AS VARCHAR) AS doc_id_b,
+       round(round((2*ga*gb + (0.01*255)*(0.01*255))
+             / (ga*ga + gb*gb + (0.01*255)*(0.01*255)), 6), 4) AS ssim,
+       CASE WHEN delta > 0.1*0.1*35215.0 THEN 100.0 ELSE 0.0 END AS mismatch_pct,
+       delta <= 0.1*0.1*35215.0 AS identical
+FROM m
+"""
+
+
+def q_extract_pairwise_compare_corpus(sf_dir: str):
+    """Corpus-scale pairwise compare over phash candidate pairs (the
+    bench path; metric kernels pytest-verified against a naive serial
+    implementation and the identical/perturbed invariants; also covers
+    the phash banding → hamming verify near-dup demonstration)."""
     from .pipelines.extract import corpus_path
     from .stages.compare import pairwise_image_compare
     from .stages.dedup import phash_near_dup_pairs
@@ -2846,6 +2928,7 @@ ORACLE_SQL = {
     "extract_dedup_clusters": SQL_EXTRACT_DEDUP_CLUSTERS,
     "media_features": SQL_MEDIA_FEATURES,
     "embeddings_knn_ivf": SQL_EMBEDDINGS_KNN_IVF,
+    "extract_pairwise_compare": SQL_EXTRACT_PAIRWISE_COMPARE,
 }
 
 _merge_registries()

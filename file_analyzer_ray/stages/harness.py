@@ -176,6 +176,56 @@ def wrap_documents_clone_docs(batch: pa.Table) -> pa.Table:
 #: descriptors stay closed-form) followed by <u16 height><u16 width>.
 DIM_HEADER = b"\x01\x00\x02\x00\x03\x00"
 
+#: constant-color codec header: sentinel + <u16 side><u8 r><u8 g><u8 b>
+#: decodes to a side×side constant RGB image. Constant squares survive
+#: the letterbox EXACTLY (nearest-neighbor of a constant is the
+#: constant; a square fills the canvas), so SSIM and the pixelmatch YIQ
+#: test become CLOSED FORMS of the two planted colors — the pairwise
+#: compare oracle's whole trick.
+CONST_HEADER = b"\x04\x00\x05\x00\x06\x00"
+
+
+def const_color(d: int) -> tuple[int, int, int]:
+    """Planted RGB for doc ``d``: ``d % 10 == 1`` clones ``d-1`` (an
+    identical pair), ``d % 10 == 3`` is ``d-1``'s color +1 per channel
+    (below the YIQ mismatch threshold: non-identical bytes, zero
+    mismatching pixels), everything else is its own base color. Base
+    channels are mod 251 so the +1 never wraps uint8."""
+    c = d - 1 if d % 10 in (1, 3) else d
+    r, g, b = c % 251, (3 * c + 7) % 251, (7 * c + 13) % 251
+    if d % 10 == 3:
+        r, g, b = r + 1, g + 1, b + 1
+    return r, g, b
+
+
+def const_payload(d: int) -> bytes:
+    side = 16 + d % 17
+    r, g, b = const_color(d)
+    return CONST_HEADER + struct.pack("<HBBB", side, r, g, b)
+
+
+def wrap_documents_const_images(batch: pa.Table) -> pa.Table:
+    """(doc_id) → docs rows with ONE media span carrying a
+    constant-color square payload (see :func:`const_color`)."""
+    rows = []
+    for d in batch.column("doc_id").to_pylist():
+        d = int(d)
+        rows.append(
+            {
+                "doc_id": str(d),
+                "spans": [
+                    {
+                        "kind": "media",
+                        "text": "",
+                        "media_ref": f"m/{d}/0",
+                        "offset": 1,
+                    }
+                ],
+                "binary": _frame([const_payload(d)]),
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+
 
 def media_dims(d: int) -> tuple[int, int]:
     return 32 + d % 61, 32 + (d * 3) % 97

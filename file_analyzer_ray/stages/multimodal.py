@@ -188,6 +188,18 @@ class DecodeStage:
             return rng.integers(
                 0, 256, size=(max(1, h), max(1, w), 3), dtype=np.uint8
             )
+        # Constant-color variant (harness CONST_HEADER): side×side square
+        # filled with the header's RGB — SSIM / pixelmatch of two such
+        # images are closed forms of the planted colors, which is what
+        # lets the pairwise-compare driver oracle state its answer.
+        if payload[:6] == b"\x04\x00\x05\x00\x06\x00" and len(payload) >= 11:
+            import struct as _struct
+
+            side, r, g, b = _struct.unpack_from("<HBBB", payload, 6)
+            side = max(1, side)
+            return np.broadcast_to(
+                np.array([r, g, b], dtype=np.uint8), (side, side, 3)
+            ).copy()
         # Headerless fallback: dims and pixels are pure functions of the
         # payload bytes (content-hash-seeded PCG64).
         h64 = stable_u64(payload, b"decode:")

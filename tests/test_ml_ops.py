@@ -181,6 +181,44 @@ def test_pixel_mismatch_kernel():
     assert pixel_mismatch_count(img, img3) == 0
 
 
+def test_const_image_closed_forms():
+    """The pairwise-compare driver oracle's whole premise: for two
+    constant-color images the REAL kernels collapse to the closed forms
+    the SQL states — SSIM to (2·ga·gb+c1)/(ga²+gb²+c1) of the planted
+    grays (zero variance), pixelmatch to one YIQ threshold test."""
+    from file_analyzer_ray.stages.compare import (
+        pixel_mismatch_count,
+        ssim,
+        to_grayscale,
+    )
+    from file_analyzer_ray.stages.harness import const_color
+    from file_analyzer_ray.stages.multimodal import resize_letterbox
+
+    c1 = (0.01 * 255) * (0.01 * 255)
+    for da in (0, 10, 12, 20, 96, 130):
+        db = da + 1
+        ca, cb = const_color(da), const_color(db)
+        side_a, side_b = 16 + da % 17, 16 + db % 17
+        ia = resize_letterbox(
+            np.broadcast_to(np.array(ca, np.uint8), (side_a, side_a, 3)).copy(), 64
+        )
+        ib = resize_letterbox(
+            np.broadcast_to(np.array(cb, np.uint8), (side_b, side_b, 3)).copy(), 64
+        )
+        # a constant square survives the letterbox exactly
+        assert (ia == np.array(ca, np.uint8)).all() and ia.shape == (64, 64, 3)
+        ga = 0.299 * ca[0] + 0.587 * ca[1] + 0.114 * ca[2]
+        gb = 0.299 * cb[0] + 0.587 * cb[1] + 0.114 * cb[2]
+        expect = (2 * ga * gb + c1) / (ga * ga + gb * gb + c1)
+        assert abs(ssim(to_grayscale(ia), to_grayscale(ib)) - expect) < 1e-9
+        mm = pixel_mismatch_count(ia, ib)
+        assert mm in (0, 64 * 64)  # all-or-nothing for constant pairs
+    # the planted rules: %10==1 clones (identical), %10==3 is +1/channel
+    # (different bytes, still below the YIQ mismatch threshold)
+    assert const_color(11) == const_color(10)
+    assert const_color(13) == tuple(v + 1 for v in const_color(12))
+
+
 def test_pairwise_compare_operator_invariants(ray_session):
     """Byte-identical first payloads → SSIM 1.0 / 0 mismatched pixels;
     different payloads (stub decode reseeds) → SSIM < 1. (hamming 0 is

@@ -138,6 +138,7 @@ SQL_CHECKED = [
     "extract_dedup_clusters",
     "media_features",
     "embeddings_knn_ivf",
+    "extract_pairwise_compare",
 ]
 
 
@@ -159,24 +160,13 @@ def test_query_vs_duckdb(name, registry, con):
     _compare(got, exp, name)
 
 
-ROWS_ONLY = [
-    "extract_pairwise_compare",
-]
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(name, registry):
+def test_every_registry_entry_has_an_oracle(registry):
+    """r4 closes the last ``no_oracle`` row: every one of the 50 driver
+    entries now ships a DuckDB oracle (extract_pairwise_compare was the
+    final holdout — constant-color harness codec)."""
     queries, oracles = registry
-    assert name in queries
-    assert name not in oracles  # intentionally weaker check
-    res = queries[name](SF_DIR)
-    df = _to_pandas(res)
-    assert df is not None
-    # deterministic across two invocations
-    df2 = _to_pandas(queries[name](SF_DIR))
-    a = df[sorted(df.columns)].astype(str).sort_values(list(sorted(df.columns))).reset_index(drop=True)
-    b = df2[sorted(df2.columns)].astype(str).sort_values(list(sorted(df2.columns))).reset_index(drop=True)
-    assert a.equals(b), f"{name} not deterministic"
+    assert len(queries) == 50
+    assert sorted(queries) == sorted(oracles)
 
 
 def test_ivf_recall_vs_bruteforce(registry):
@@ -200,6 +190,7 @@ CORPUS_VARIANTS = [
     "q_extract_dedup_clusters_corpus",
     "q_extract_carve_corpus",
     "q_media_features_corpus",
+    "q_extract_pairwise_compare_corpus",
 ]
 
 
