@@ -287,8 +287,13 @@ def semdedup(
         ids, mat = _train_sample(ds, DRIVER_TRAIN_MAX_ROWS, n)
         cids, cents = _train_numpy(ids, mat, k, iters)
     else:
-        unit_cache = ds.map_batches(_unit_table, batch_format="pyarrow").materialize()
-        cids, cents = kmeans_train(unit_cache, k, iters)
+        # exact full-corpus Lloyd: each iteration is one streaming
+        # broadcast-reduce pass over the LAZY unit plan (the normalize
+        # re-runs per pass — read-dominated either way at scale, and
+        # nothing corpus-sized is ever pinned)
+        cids, cents = kmeans_train(
+            ds.map_batches(_unit_table, batch_format="pyarrow"), k, iters
+        )
     ref = ray.put((cids, cents))
 
     def tag(t: pa.Table) -> pa.Table:
