@@ -209,20 +209,28 @@ def _train_sample(
     ``1/stride`` slice, so the sample is a pure function of the data
     (stable under re-partitioning / id reassignment) and only
     ~``bound`` rows ever reach the driver. One streaming pass — the
-    corpus itself is never cached."""
-    from ..functions.hashing import stable_u64
-
+    corpus itself is never cached; the filter is a vectorized
+    splitmix-style column mixer over the quantized vectors (this pass
+    touches EVERY row at scale — a per-row Python hash here would be
+    the hot-loop anti-pattern)."""
     stride = max(1, -(-input_rows // bound))
+    m1 = np.uint64(0x9E3779B97F4A7C15)
+    m2 = np.uint64(0xBF58476D1CE4E5B9)
 
     def partial(t: pa.Table) -> pa.Table:
         ids, u = _unit_cols(t)
         if stride > 1:
-            qb = np.round(u, CENTROID_DECIMALS)
-            keep = np.fromiter(
-                (stable_u64(row.tobytes(), b"semsample:") % stride == 0
-                 for row in qb),
-                dtype=bool, count=len(ids),
-            )
+            q = np.round(u * (10.0 ** CENTROID_DECIMALS)).astype(
+                np.int64
+            ).view(np.uint64)
+            h = np.full(len(ids), m2, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(q.shape[1]):  # columns: vectorized over rows
+                    h = (h ^ q[:, j]) * m1
+                    h ^= h >> np.uint64(29)
+                    h *= m2
+                    h ^= h >> np.uint64(32)
+            keep = h % np.uint64(stride) == 0
             ids, u = ids[keep], u[keep]
         return pa.Table.from_arrays(
             [pa.array(ids), pa.array(list(u))], names=["vec_id", "u"]
