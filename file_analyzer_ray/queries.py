@@ -2761,6 +2761,69 @@ def q_docs_crawl_frontier(sf_dir: str):
     return crawl_frontier_prep(ds, per_host_cap=5)
 
 
+def q_docs_inverted_index(sf_dir: str):
+    """Distributed inverted-index build (stages/inverted.py): per-term
+    df / total_tf / best-hit doc / bounded postings head from ONE
+    (term, doc_id) sort + run-scan merge. The search-engine inverse of
+    the reference's ripgrep-style forward scans
+    (src/core/analyzer.py:66-124)."""
+    from .stages.inverted import inverted_index
+
+    return inverted_index(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DOCS_INVERTED_INDEX = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+per_doc AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+)
+SELECT term,
+       count(*) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       (list(doc_id ORDER BY tf DESC, doc_id))[1] AS top_doc,
+       array_to_string((list(doc_id ORDER BY doc_id))[1:8], ',') AS postings_head
+FROM per_doc GROUP BY term
+"""
+
+
+def q_docs_gopher_rules(sf_dir: str):
+    """Gopher-style rule gate (Rae et al. '21): per-doc word count /
+    mean word length / distinct ratio / stop-word fraction + combined
+    keep verdict — entirely row-local (stages/gopher.py), the rule
+    filter a web pipeline runs before any model-based scoring."""
+    from .stages.gopher import gopher_rules
+
+    return gopher_rules(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DOCS_GOPHER_RULES = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), feat AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CASE WHEN len(w)=0 THEN 0.0 ELSE
+           CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE)
+             / len(w) END AS mean_word_len,
+         CASE WHEN len(w)=0 THEN 0.0 ELSE
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS distinct_ratio,
+         CASE WHEN len(w)=0 THEN 0.0 ELSE
+           CAST(len(list_filter(w, x -> x IN
+             ('a','the','and','of','to','in','with','for'))) AS DOUBLE)
+             / len(w) END AS stop_frac
+  FROM tok
+)
+SELECT *,
+  (n_words >= 30 AND n_words <= 10000 AND mean_word_len >= 3.0
+   AND mean_word_len <= 5.0 AND distinct_ratio >= 0.3
+   AND stop_frac <= 0.10) AS keep
+FROM feat
+"""
+
+
 def q_docs_dsir(sf_dir: str):
     """DSIR-style data selection (Xie et al. '23): per-doc importance
     score = Σ log-ratio of target/raw hashed-bigram frequencies
@@ -2948,6 +3011,8 @@ RETIRED_QUERIES.update(
         "docs_crawl_frontier": q_docs_crawl_frontier,
         "docs_train_val_split": q_docs_train_val_split,
         "docs_dsir": q_docs_dsir,
+        "docs_inverted_index": q_docs_inverted_index,
+        "docs_gopher_rules": q_docs_gopher_rules,
     }
 )
 RETIRED_ORACLE_SQL.update(
@@ -2965,5 +3030,7 @@ RETIRED_ORACLE_SQL.update(
         "docs_crawl_frontier": SQL_DOCS_CRAWL_FRONTIER,
         "docs_train_val_split": SQL_DOCS_TRAIN_VAL_SPLIT,
         "docs_dsir": SQL_DOCS_DSIR,
+        "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
+        "docs_gopher_rules": SQL_DOCS_GOPHER_RULES,
     }
 )

@@ -138,6 +138,9 @@ SQL_CHECKED = [
     "extract_dedup_clusters",
     "media_features",
     "embeddings_knn_ivf",
+    # r4 additions: search-index build + rule-based quality gate
+    "docs_inverted_index",
+    "docs_gopher_rules",
     "extract_pairwise_compare",
 ]
 
