@@ -2789,6 +2789,58 @@ FROM per_doc GROUP BY term
 """
 
 
+def q_docs_cms_top_terms(sf_dir: str):
+    """Count-min-sketch frequency estimation, SELF-VERIFYING under the
+    HLL doctrine (events_approx_users): the exact top-10 terms by total
+    occurrences come from the inverted-index run-scan (one sort); the
+    CMS (stages/sketches.countmin_sketch — sparse mergeable partials,
+    bounded slot space) answers point queries for those terms, and the
+    emitted flag asserts exact ≤ estimate ≤ exact + ⌈e/width·N⌉. The
+    oracle states the exact counts and TRUE, so the hash matches iff
+    the exact side agrees AND every estimate is in-bound."""
+    import math
+
+    from .stages.inverted import inverted_index
+    from .stages.sketches import countmin_query, countmin_sketch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    width, depth = 2048, 4
+    sketch, n_total = countmin_sketch(docs, width=width, depth=depth)
+    idx = (
+        inverted_index(docs)
+        .select_columns(["term", "total_tf"])
+        .to_pandas()
+        .sort_values(["total_tf", "term"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    est = countmin_query(sketch, idx["term"].tolist(), width, depth)
+    bound = math.ceil(math.e / width * n_total)
+    ok = (est >= idx["total_tf"].to_numpy()) & (
+        est <= idx["total_tf"].to_numpy() + bound
+    )
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "term": idx["term"],
+                "n_occurrences": idx["total_tf"].astype("int64"),
+                "cms_within_bound": ok.astype(bool),
+            }
+        )
+    )
+
+
+SQL_DOCS_CMS_TOP_TERMS = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT term, count(*) AS n_occurrences, TRUE AS cms_within_bound
+FROM tok GROUP BY term
+ORDER BY n_occurrences DESC, term LIMIT 10
+"""
+
+
 def q_docs_gopher_rules(sf_dir: str):
     """Gopher-style rule gate (Rae et al. '21): per-doc word count /
     mean word length / distinct ratio / stop-word fraction + combined
@@ -3013,6 +3065,7 @@ RETIRED_QUERIES.update(
         "docs_dsir": q_docs_dsir,
         "docs_inverted_index": q_docs_inverted_index,
         "docs_gopher_rules": q_docs_gopher_rules,
+        "docs_cms_top_terms": q_docs_cms_top_terms,
     }
 )
 RETIRED_ORACLE_SQL.update(
@@ -3032,5 +3085,6 @@ RETIRED_ORACLE_SQL.update(
         "docs_dsir": SQL_DOCS_DSIR,
         "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
         "docs_gopher_rules": SQL_DOCS_GOPHER_RULES,
+        "docs_cms_top_terms": SQL_DOCS_CMS_TOP_TERMS,
     }
 )

@@ -204,6 +204,97 @@ def _mg_truncate(words: np.ndarray, counts: np.ndarray, k: int):
     return words[m], c2[m]
 
 
+def _cms_slots(terms: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(n_terms, depth) slot indices — row r lives in the flat sketch at
+    ``r*width + h_r(term) % width``. One sha256 per (distinct term, row):
+    the per-batch-distinct hashing convention the classifier pinned."""
+    out = np.empty((len(terms), depth), dtype=np.int64)
+    for r in range(depth):
+        salt = f"cms{r}:".encode()
+        out[:, r] = [
+            r * width + int(stable_u64(t.encode(), salt) % width) for t in terms
+        ]
+    return out
+
+
+def countmin_sketch(
+    ds: "ray.data.Dataset", width: int = 2048, depth: int = 4
+) -> tuple[np.ndarray, int]:
+    """``(text)`` → (flat count-min sketch of depth×width int64 counters,
+    total token count N). Cormode–Muthukrishnan '05: per-batch partials
+    are SPARSE (slot, n) rows (≤ depth × batch-distinct-terms of them —
+    never the term space), merged per slot by the engine's ONE
+    sort + run-scan — scale-safe at any batch count. Point estimates
+    (min over rows) are always ≥ the true count; each is ≤ true +
+    ⌈e/width·N⌉ with probability ≥ 1−e^−depth."""
+    import pyarrow as pa
+
+    from ..query_utils import _run_starts_mask_arrow, _window_by_key_arrow
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(txt), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["slot", "n"],
+            )
+        # distinct + counts in Arrow C++; only batch-distinct terms are
+        # hashed in Python below (the classifier's pinned convention)
+        vc = flat.value_counts()
+        uniq = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        cnt = vc.field("counts").to_numpy()
+        slots = _cms_slots(uniq, width, depth)  # (u, depth)
+        n = np.broadcast_to(cnt[:, None], slots.shape)
+        # total-token count rides slot -1 (outside the sketch range)
+        return pa.Table.from_arrays(
+            [pa.array(np.r_[slots.ravel(), -1]),
+             pa.array(np.r_[n.ravel(), cnt.sum()].astype(np.int64))],
+            names=["slot", "n"],
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+
+    def merge(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["slot", "n"],
+            )
+        starts = np.flatnonzero(_run_starts_mask_arrow(t, ["slot"]))
+        sums = np.add.reduceat(t.column("n").to_numpy(), starts)
+        return pa.Table.from_arrays(
+            [t.column("slot").take(pa.array(starts)),
+             pa.array(sums.astype(np.int64))],
+            names=["slot", "n"],
+        )
+
+    # merged table is hard-bounded at depth*width+1 rows → driver fold
+    rows = _window_by_key_arrow(parts, ["slot"], ["slot"], merge).take_all()
+    sketch = np.zeros(depth * width, dtype=np.int64)
+    total = 0
+    for r in rows:
+        if r["slot"] < 0:
+            total = int(r["n"])
+        else:
+            sketch[r["slot"]] = int(r["n"])
+    return sketch, total
+
+
+def countmin_query(
+    sketch: np.ndarray, terms: "list[str]", width: int, depth: int
+) -> np.ndarray:
+    """Point estimates for ``terms``: min over the depth rows."""
+    slots = _cms_slots(np.asarray(terms, dtype=object), width, depth)
+    return sketch[slots].min(axis=1)
+
+
 def heavy_hitter_terms(
     ds: "ray.data.Dataset", k: int = 10, sketch_k: int = 256
 ) -> "ray.data.Dataset":

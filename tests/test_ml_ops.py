@@ -1116,3 +1116,42 @@ def test_pagerank_undirected_pairs_equals_expanded(ray_session):
         for r in pagerank(ds_edges, iters=3, mode="broadcast").take_all()
     )
     assert got == exp
+
+
+def test_countmin_overestimates_and_bounds(ray_session):
+    """CMS point estimates are NEVER below the true count (structural:
+    every occurrence lands in each row's counter), and with a tiny
+    width the collision overshoot stays within the e/width*N bound for
+    the top terms (the self-verifying flag the driver query emits)."""
+    import math
+
+    import pandas as pd
+
+    import ray.data
+
+    from file_analyzer_ray.stages.sketches import countmin_query, countmin_sketch
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+        for _ in range(300)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(4)
+
+    from collections import Counter
+
+    truth = Counter(t for txt in texts for t in txt.split())
+    n_total = sum(truth.values())
+
+    for width, depth in [(8, 4), (512, 3)]:
+        sketch, n = countmin_sketch(ds, width=width, depth=depth)
+        assert n == n_total
+        est = countmin_query(sketch, vocab, width, depth)
+        exact = np.array([truth[w] for w in vocab], dtype=np.int64)
+        assert (est >= exact).all(), "CMS must never under-count"
+        bound = math.ceil(math.e / width * n_total)
+        frac_ok = float(((est <= exact + bound)).mean())
+        # Markov guarantee is per-query >= 1 - e^-depth; with depth>=3
+        # virtually all of a 40-term vocab must be in bound
+        assert frac_ok >= 0.9, f"width={width}: only {frac_ok} in bound"

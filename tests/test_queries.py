@@ -141,6 +141,7 @@ SQL_CHECKED = [
     # r4 additions: search-index build + rule-based quality gate
     "docs_inverted_index",
     "docs_gopher_rules",
+    "docs_cms_top_terms",
     "extract_pairwise_compare",
 ]
 
