@@ -3068,6 +3068,16 @@ RETIRED_QUERIES.update(
         "docs_cms_top_terms": q_docs_cms_top_terms,
     }
 )
+
+
+def _merge_retired_joins() -> None:
+    from . import queries_joins as qj
+
+    RETIRED_QUERIES["events_funnel"] = qj.q_events_funnel
+    RETIRED_ORACLE_SQL["events_funnel"] = qj.SQL_EVENTS_FUNNEL
+
+
+_merge_retired_joins()
 RETIRED_ORACLE_SQL.update(
     {
         "lineitem_filter_project": SQL_LINEITEM_FILTER,

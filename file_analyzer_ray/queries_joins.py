@@ -639,6 +639,114 @@ JOIN_QUERIES = {
     "users_click_setops": q_users_click_setops,
 }
 
+
+def q_events_funnel(sf_dir: str, window_hours: int = 24):
+    """Conversion-window funnel analysis (view → click within 24 h →
+    purchase within 24 h of that click, strictly increasing
+    (ts, event_id) per user): how many users reach each stage. ONE sort
+    by (user_id, ts, event_id), then a fully vectorized per-user-run
+    pass — first-view / first-qualifying-click / first-qualifying-
+    purchase are each a where + minimum.reduceat, no per-user Python.
+    Blocks emit 3-count partials; one tiny merge task sums them. Exact
+    integer microsecond semantics throughout (no float thresholds —
+    the ADVICE r3 split-threshold class is designed out)."""
+    from .query_utils import _window_by_key_arrow
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    win_us = np.int64(window_hours) * 3_600_000_000
+
+    _EMPTY = pa.schema(
+        [("n_view", pa.int64()), ("n_view_click", pa.int64()),
+         ("n_view_click_purchase", pa.int64())]
+    )
+
+    def funnel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY.empty_table()
+        u = t.column("user_id").to_numpy()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        run_of = np.repeat(
+            np.arange(len(starts)), np.diff(np.r_[starts, n])
+        )
+        pos = np.arange(n)
+        _NEVER = np.int64(-(1 << 62))  # missing stage: no deadline qualifies
+
+        def stage_ts(idx: np.ndarray) -> np.ndarray:
+            return np.where(idx < n, ts[np.minimum(idx, n - 1)], _NEVER)
+
+        is_view = et == "view"
+        is_click = et == "click"
+        is_purchase = et == "purchase"
+        # first view per user (sentinel n when absent)
+        fv = np.minimum.reduceat(np.where(is_view, pos, n), starts)
+        t1 = stage_ts(fv)
+        # first click strictly after the first view, within the window
+        fc = np.minimum.reduceat(
+            np.where(
+                is_click & (pos > fv[run_of]) & (ts <= t1[run_of] + win_us),
+                pos, n,
+            ),
+            starts,
+        )
+        t2 = stage_ts(fc)
+        # first purchase strictly after that click, within the window
+        fp = np.minimum.reduceat(
+            np.where(
+                is_purchase & (pos > fc[run_of]) & (ts <= t2[run_of] + win_us),
+                pos, n,
+            ),
+            starts,
+        )
+        return pa.Table.from_arrays(
+            [pa.array([int((fv < n).sum())]), pa.array([int((fc < n).sum())]),
+             pa.array([int((fp < n).sum())])],
+            schema=_EMPTY,
+        )
+
+    partials = _window_by_key_arrow(
+        ds, ["user_id"], ["user_id", "ts", "event_id"], funnel
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array([pc.sum(t.column(c)).as_py() or 0]) for c in t.column_names],
+            schema=_EMPTY,
+        )
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+fv AS (SELECT user_id, min(rn) AS r1 FROM ordered
+       WHERE event_type = 'view' GROUP BY user_id),
+fvt AS (SELECT f.user_id, r1, o.ts AS t1 FROM fv f
+        JOIN ordered o ON o.user_id = f.user_id AND o.rn = f.r1),
+fc AS (SELECT o.user_id, min(rn) AS r2 FROM ordered o JOIN fvt USING (user_id)
+       WHERE event_type = 'click' AND rn > r1
+         AND ts <= t1 + INTERVAL 24 HOUR GROUP BY o.user_id),
+fct AS (SELECT f.user_id, r2, o.ts AS t2 FROM fc f
+        JOIN ordered o ON o.user_id = f.user_id AND o.rn = f.r2),
+fp AS (SELECT DISTINCT o.user_id FROM ordered o JOIN fct USING (user_id)
+       WHERE event_type = 'purchase' AND rn > r2
+         AND ts <= t2 + INTERVAL 24 HOUR)
+SELECT (SELECT count(*) FROM fv) AS n_view,
+       (SELECT count(*) FROM fc) AS n_view_click,
+       (SELECT count(*) FROM fp) AS n_view_click_purchase
+"""
+
 JOIN_ORACLE_SQL = {
     "lineitem_rank_in_order": SQL_LINEITEM_RANK_IN_ORDER,
     "orders_lineitem_join_agg": SQL_ORDERS_LINEITEM_JOIN_AGG,

@@ -142,6 +142,7 @@ SQL_CHECKED = [
     "docs_inverted_index",
     "docs_gopher_rules",
     "docs_cms_top_terms",
+    "events_funnel",
     "extract_pairwise_compare",
 ]
 
