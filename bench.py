@@ -199,6 +199,12 @@ def run_bench() -> dict:
         _best2("docs_repetition_filter", lambda: repetition_filter(docs))
         for _name in ("docs_perplexity", "docs_dup_spans"):
             _best2(_name, lambda n=_name: _Q[n](SF_DIR))
+        # r4 retired-registry additions: index build + rule gate
+        from file_analyzer_ray.stages.gopher import gopher_rules
+        from file_analyzer_ray.stages.inverted import inverted_index
+
+        _best2("docs_inverted_index", lambda: inverted_index(docs))
+        _best2("docs_gopher_rules", lambda: gopher_rules(docs))
 
     result = {
         "metric": "end_to_end_extraction_sec",

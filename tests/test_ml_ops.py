@@ -1155,3 +1155,67 @@ def test_countmin_overestimates_and_bounds(ray_session):
         # Markov guarantee is per-query >= 1 - e^-depth; with depth>=3
         # virtually all of a 40-term vocab must be in bound
         assert frac_ok >= 0.9, f"width={width}: only {frac_ok} in bound"
+
+
+def test_inverted_index_hand_case(ray_session):
+    """Tiny corpus with known postings: df/total_tf/argmax tie-break
+    (max tf, ties -> lowest doc_id) and the bounded postings head."""
+    import pandas as pd
+
+    import ray.data
+
+    from file_analyzer_ray.stages.inverted import inverted_index
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "apple apple banana",      # apple tf=2
+            "apple cherry",            # apple tf=1
+            "banana banana banana",    # banana tf=3
+            "apple apple cherry",      # apple tf=2 -> tie with doc 1
+        ],
+    })).repartition(2)
+    out = {r["term"]: r for r in inverted_index(docs, head=2).take_all()}
+    assert out["apple"]["df"] == 3
+    assert out["apple"]["total_tf"] == 5
+    # max tf=2 shared by docs 1 and 4 -> lowest doc_id wins
+    assert out["apple"]["top_doc"] == 1
+    assert out["apple"]["postings_head"] == "1,2"  # head=2 of [1,2,4]
+    assert out["banana"]["top_doc"] == 3
+    assert out["banana"]["df"] == 2
+    assert out["cherry"]["postings_head"] == "2,4"
+
+
+def test_inverted_index_matches_brute_force(ray_session):
+    """Random corpus: distributed index equals a serial dict oracle."""
+    import re
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    import ray.data
+
+    from file_analyzer_ray.stages.inverted import inverted_index
+
+    rng = np.random.default_rng(13)
+    vocab = [f"t{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 40)))
+             for _ in range(200)]
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(200), "text": texts})
+    ).repartition(5)
+    got = {r["term"]: r for r in inverted_index(docs, head=8).take_all()}
+
+    postings = defaultdict(Counter)
+    for i, txt in enumerate(texts):
+        for tok in re.findall(r"[a-z0-9]+", txt.lower()):
+            postings[tok][i] += 1
+    assert sorted(got) == sorted(postings)
+    for term, pc_ in postings.items():
+        r = got[term]
+        assert r["df"] == len(pc_)
+        assert r["total_tf"] == sum(pc_.values())
+        best = min(pc_, key=lambda d: (-pc_[d], d))
+        assert r["top_doc"] == best, term
+        head = ",".join(str(d) for d in sorted(pc_)[:8])
+        assert r["postings_head"] == head, term
