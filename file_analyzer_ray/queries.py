@@ -3075,6 +3075,8 @@ def _merge_retired_joins() -> None:
 
     RETIRED_QUERIES["events_funnel"] = qj.q_events_funnel
     RETIRED_ORACLE_SQL["events_funnel"] = qj.SQL_EVENTS_FUNNEL
+    RETIRED_QUERIES["events_retention"] = qj.q_events_retention
+    RETIRED_ORACLE_SQL["events_retention"] = qj.SQL_EVENTS_RETENTION
 
 
 _merge_retired_joins()

@@ -724,6 +724,86 @@ def q_events_funnel(sf_dir: str, window_hours: int = 24):
     )
 
 
+def q_events_retention(sf_dir: str):
+    """Cohort retention: users grouped by their first active DATE; for
+    each cohort, how many users are active again exactly 0/1/7 days
+    later. Per-batch distinct (user, date) combiner → ONE sort by
+    (user_id, d) → run-scan per user (consecutive-dup drop makes the
+    distinct global, first date is the run head, offsets are one
+    vectorized subtract) → bounded-key (≤ days × 3) native count.
+    Exact integer-day semantics."""
+    from ray.data.aggregate import Sum
+
+    from .query_utils import _window_by_key_arrow
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("ts"), pa.date32())
+        pairs = pa.Table.from_arrays(
+            [t.column("user_id"), d], names=["user_id", "d"]
+        )
+        return pairs.group_by(["user_id", "d"]).aggregate([])
+
+    pairs = ds.map_batches(day_pairs, batch_format="pyarrow")
+
+    _OUT = pa.schema([("cohort_date", pa.date32()), ("day_offset", pa.int32())])
+
+    def offsets(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        u = t.column("user_id").to_numpy()
+        d = t.column("d").to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int32)
+        # global distinct: per-batch combiners leave cross-batch dups
+        # adjacent after the sort — drop consecutive equals
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[keep], d[keep]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        run_of = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(u)]))
+        d0 = d[starts]
+        off = d - d0[run_of]
+        m = (off == 0) | (off == 1) | (off == 7)
+        return pa.Table.from_arrays(
+            [pa.array(d0[run_of][m], pa.date32()),
+             pa.array(off[m].astype(np.int32))],
+            schema=_OUT,
+        )
+
+    rows = _window_by_key_arrow(pairs, ["user_id"], ["user_id", "d"], offsets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"cohort_date": df["cohort_date"], "day_offset": df["day_offset"],
+             "n": 1}
+        )
+        return out.groupby(["cohort_date", "day_offset"], as_index=False).sum()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cohort_date": df["cohort_date"],
+                "day_offset": df["day_offset"].astype("int32"),
+                "n_users": df["sum(n)"].astype("int64"),
+            }
+        )
+
+    return _preagg_native(
+        rows, ["cohort_date", "day_offset"], partial, [Sum("n")], finalize
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+fu AS (SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id)
+SELECT d0 AS cohort_date,
+       CAST(datediff('day', d0, d) AS INTEGER) AS day_offset,
+       count(*) AS n_users
+FROM ud JOIN fu USING (user_id)
+WHERE datediff('day', d0, d) IN (0, 1, 7)
+GROUP BY 1, 2
+"""
+
+
 SQL_EVENTS_FUNNEL = """
 WITH ordered AS (
   SELECT user_id, event_type, ts,

@@ -1219,3 +1219,36 @@ def test_inverted_index_matches_brute_force(ray_session):
         assert r["top_doc"] == best, term
         head = ",".join(str(d) for d in sorted(pc_)[:8])
         assert r["postings_head"] == head, term
+
+
+def test_r4_ops_survive_null_and_empty_text(ray_session):
+    """The r4 text operators (inverted index, Gopher gate, CMS) must
+    pass None/empty/whitespace text through without raising and produce
+    the right degenerate outputs."""
+    import pandas as pd
+
+    import ray.data
+
+    from file_analyzer_ray.stages.gopher import gopher_rules
+    from file_analyzer_ray.stages.inverted import inverted_index
+    from file_analyzer_ray.stages.sketches import countmin_sketch
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": [None, "", "   ", "only real row"]})
+    ds = ray.data.from_pandas(df).repartition(2)
+
+    idx = {r["term"]: r for r in inverted_index(ds).take_all()}
+    assert sorted(idx) == ["only", "real", "row"]
+    assert all(r["df"] == 1 and r["top_doc"] == 4 for r in idx.values())
+
+    g = {r["doc_id"]: r for r in gopher_rules(ds).take_all()}
+    assert len(g) == 4
+    for d in (1, 2, 3):
+        assert g[d]["n_words"] == 0
+        assert g[d]["mean_word_len"] == 0.0
+        assert not g[d]["keep"]
+    assert g[4]["n_words"] == 3
+
+    sketch, total = countmin_sketch(ds, width=64, depth=2)
+    assert total == 3
+    assert sketch.sum() == 3 * 2  # each token lands once per row

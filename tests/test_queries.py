@@ -143,6 +143,7 @@ SQL_CHECKED = [
     "docs_gopher_rules",
     "docs_cms_top_terms",
     "events_funnel",
+    "events_retention",
     "extract_pairwise_compare",
 ]
 
