@@ -2994,6 +2994,104 @@ SELECT doc_id, canon_url, host FROM ranked WHERE rk <= {cap}
 SQL_DOCS_CRAWL_FRONTIER = _build_sql_docs_crawl_frontier()
 
 
+def q_docs_chunk_windows(sf_dir: str):
+    """RAG-style retrieval chunking (stages/packing.chunk_documents):
+    overlapping token windows (window=64, stride=48) per document —
+    a row-local flat explode, no shuffle, no state; the indexing-side
+    sibling of pack_sequences (that one concatenates docs for TRAINING,
+    this one slices them for RETRIEVAL). The oracle replays the window
+    walk with a strided generate_series over the same token array."""
+    from .stages.packing import chunk_documents
+
+    return chunk_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]), window=64, stride=48
+    )
+
+
+SQL_DOCS_CHUNK_WINDOWS = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+), st AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         unnest(generate_series(0, greatest(len(tk) - 1, 0), 48)) AS s
+  FROM tok
+)
+SELECT doc_id,
+       s // 48 AS chunk_id,
+       s AS start_tok,
+       CAST(greatest(least(64, n - s), 0) AS BIGINT) AS n_tok,
+       array_to_string(tk[s + 1 : least(s + 64, n)], ' ') AS chunk_text
+FROM st
+WHERE s = 0 OR s - 48 + 64 < n
+"""
+
+
+def q_events_range_pruned(sf_dir: str):
+    """Time-window analytics THROUGH the range-partitioned zone-map
+    layout (state/ranged.py): events written ONCE into day-width
+    ``r=<id>/`` partitions (idempotent /tmp cache keyed on the input
+    CONTENT fingerprint, atomic rename — the bucketed-layout
+    discipline), then the [2024-01-08, 2024-01-15) window opens ONLY
+    the 7 overlapping day partitions (directory-name zone map + exact
+    residual filter) and aggregates per event type. The oracle is a
+    plain WHERE-range over the full table, so the value hash pins
+    layout + pruning + residual-filter correctness end-to-end."""
+    import hashlib
+    import os
+
+    from ray.data.aggregate import Sum
+
+    from .state.ranged import DAY_US, read_range, write_range_partitioned
+    from .state.shards import input_file_fingerprint
+
+    fp = sf_dir + "|" + input_file_fingerprint(f"{sf_dir}/events.parquet")
+    dest = f"/tmp/fa_ranged_{hashlib.md5(fp.encode()).hexdigest()[:8]}/events"
+    if not os.path.isdir(dest):
+        import shutil
+
+        tmp = dest + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        write_range_partitioned(
+            _read(sf_dir, "events", ["ts", "event_type", "value"]),
+            tmp, "ts", DAY_US,
+        )
+        os.rename(tmp, dest)
+
+    lo = 1_704_672_000_000_000  # 2024-01-08T00:00:00 epoch-us
+    hi = 1_705_276_800_000_000  # 2024-01-15T00:00:00
+    ds = read_range(dest, "ts", lo, hi, DAY_US, columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"event_type": df["event_type"], "cents": _cents(df["value"]), "n": 1}
+        )
+        return out.groupby("event_type", as_index=False).agg(
+            cents=("cents", "sum"), n=("n", "sum")
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n_events": df["sum(n)"].astype("int64"),
+                "sum_value": df["sum(cents)"] / 100.0,
+            }
+        )
+
+    return _preagg_native(ds, ["event_type"], partial, [Sum("cents"), Sum("n")], finalize)
+
+
+SQL_EVENTS_RANGE_PRUNED = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+GROUP BY event_type
+"""
+
+
 # Entries retired from the 50-entry driver registry to fund newer
 # operator demonstrations. They remain fully implemented AND oracle-
 # tested in-repo (tests/test_queries.py checks this dict alongside the
@@ -3066,6 +3164,8 @@ RETIRED_QUERIES.update(
         "docs_inverted_index": q_docs_inverted_index,
         "docs_gopher_rules": q_docs_gopher_rules,
         "docs_cms_top_terms": q_docs_cms_top_terms,
+        "docs_chunk_windows": q_docs_chunk_windows,
+        "events_range_pruned": q_events_range_pruned,
     }
 )
 
@@ -3098,5 +3198,7 @@ RETIRED_ORACLE_SQL.update(
         "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
         "docs_gopher_rules": SQL_DOCS_GOPHER_RULES,
         "docs_cms_top_terms": SQL_DOCS_CMS_TOP_TERMS,
+        "docs_chunk_windows": SQL_DOCS_CHUNK_WINDOWS,
+        "events_range_pruned": SQL_EVENTS_RANGE_PRUNED,
     }
 )

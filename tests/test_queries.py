@@ -145,6 +145,9 @@ SQL_CHECKED = [
     "events_funnel",
     "events_retention",
     "extract_pairwise_compare",
+    # r4 additions: RAG chunking + zone-map range-pruned layout
+    "docs_chunk_windows",
+    "events_range_pruned",
 ]
 
 
