@@ -3057,7 +3057,14 @@ def q_events_range_pruned(sf_dir: str):
             _read(sf_dir, "events", ["ts", "event_type", "value"]),
             tmp, "ts", DAY_US,
         )
-        os.rename(tmp, dest)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            # a concurrent run won the rename race: its layout is
+            # content-identical (same fingerprint tag) — use it
+            if not os.path.isdir(dest):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
 
     lo = 1_704_672_000_000_000  # 2024-01-08T00:00:00 epoch-us
     hi = 1_705_276_800_000_000  # 2024-01-15T00:00:00
