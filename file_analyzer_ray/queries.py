@@ -3099,6 +3099,53 @@ GROUP BY event_type
 """
 
 
+def q_events_interval_join(sf_dir: str):
+    """Distributed interval (range) join (stages/interval.py): activity
+    attribution — for every purchase by a sampled user cohort
+    (user_id % 50 == 0), count ALL events inside the 2-hour window
+    starting at the purchase. No equality key exists, so the join runs
+    as the bin-overlap plan: 4-hour bins tag both sides, ONE ordinary
+    hash equi-join on the bin id, exact range predicate as the residual
+    filter, sort+run-scan count with union-of-zeros zero-fill. The
+    oracle is a plain range-predicate LEFT JOIN (DuckDB's IEJoin), so
+    the hash pins binning + residual + zero-fill end-to-end."""
+    from .stages.interval import interval_join_count
+
+    TWO_H = 7_200_000_000
+    FOUR_H = 14_400_000_000
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        mask = (et == "purchase") & (uid % 50 == 0)
+        kept = t.filter(pa.array(mask))
+        ts = kept.column("ts").cast(pa.int64())
+        return pa.Table.from_arrays(
+            [kept.column("event_id").cast(pa.int64()), ts,
+             pc.add(ts, TWO_H)],
+            names=["window_id", "w_start", "w_end"],
+        )
+
+    w = ev.map_batches(windows, batch_format="pyarrow")
+    return interval_join_count(
+        ev.select_columns(["ts"]), w,
+        ts_col="ts", id_col="window_id",
+        start_col="w_start", end_col="w_end", width=FOUR_H,
+    )
+
+
+SQL_EVENTS_INTERVAL_JOIN = """
+WITH w AS (
+  SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+  FROM events WHERE event_type = 'purchase' AND user_id % 50 = 0
+)
+SELECT w.window_id, count(e.event_id) AS n_points
+FROM w LEFT JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id
+"""
+
+
 # Entries retired from the 50-entry driver registry to fund newer
 # operator demonstrations. They remain fully implemented AND oracle-
 # tested in-repo (tests/test_queries.py checks this dict alongside the
@@ -3173,6 +3220,7 @@ RETIRED_QUERIES.update(
         "docs_cms_top_terms": q_docs_cms_top_terms,
         "docs_chunk_windows": q_docs_chunk_windows,
         "events_range_pruned": q_events_range_pruned,
+        "events_interval_join": q_events_interval_join,
     }
 )
 
@@ -3207,5 +3255,6 @@ RETIRED_ORACLE_SQL.update(
         "docs_cms_top_terms": SQL_DOCS_CMS_TOP_TERMS,
         "docs_chunk_windows": SQL_DOCS_CHUNK_WINDOWS,
         "events_range_pruned": SQL_EVENTS_RANGE_PRUNED,
+        "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     }
 )

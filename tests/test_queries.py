@@ -145,9 +145,11 @@ SQL_CHECKED = [
     "events_funnel",
     "events_retention",
     "extract_pairwise_compare",
-    # r4 additions: RAG chunking + zone-map range-pruned layout
+    # r4 additions: RAG chunking + zone-map range-pruned layout +
+    # bin-overlap interval join
     "docs_chunk_windows",
     "events_range_pruned",
+    "events_interval_join",
 ]
 
 
