@@ -205,6 +205,13 @@ def run_bench() -> dict:
 
         _best2("docs_inverted_index", lambda: inverted_index(docs))
         _best2("docs_gopher_rules", lambda: gopher_rules(docs))
+        # r4 retired-registry additions: bin-overlap interval join,
+        # last-writer-wins compaction, shuffle-export layout
+        from file_analyzer_ray.queries import RETIRED_QUERIES as _RQ
+
+        for _name in ("events_interval_join", "events_upsert_compact",
+                      "docs_shuffle_export"):
+            _best2(_name, lambda n=_name: _RQ[n](SF_DIR))
 
     result = {
         "metric": "end_to_end_extraction_sec",

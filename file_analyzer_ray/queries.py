@@ -3103,12 +3103,15 @@ def q_events_interval_join(sf_dir: str):
     """Distributed interval (range) join (stages/interval.py): activity
     attribution — for every purchase by a sampled user cohort
     (user_id % 50 == 0), count ALL events inside the 2-hour window
-    starting at the purchase. No equality key exists, so the join runs
-    as the bin-overlap plan: 4-hour bins tag both sides, ONE ordinary
-    hash equi-join on the bin id, exact range predicate as the residual
-    filter, sort+run-scan count with union-of-zeros zero-fill. The
-    oracle is a plain range-predicate LEFT JOIN (DuckDB's IEJoin), so
-    the hash pins binning + residual + zero-fill end-to-end."""
+    starting at the purchase. No equality key exists; the operator
+    auto-selects broadcast-searchsorted (small window side, zero
+    shuffle — what this cohort triggers) vs the bin-overlap equi-join
+    (corpus-sized window side: 4-hour bins tag both sides, ONE hash
+    join on the bin id, exact range predicate as residual filter),
+    both ending in a sort+run-scan count with union-of-zeros
+    zero-fill. The oracle is a plain range-predicate LEFT JOIN
+    (DuckDB's IEJoin); the paths are equality-tested against each
+    other and brute force in tests/test_interval.py."""
     from .stages.interval import interval_join_count
 
     TWO_H = 7_200_000_000
@@ -3143,6 +3146,63 @@ WITH w AS (
 SELECT w.window_id, count(e.event_id) AS n_points
 FROM w LEFT JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
 GROUP BY w.window_id
+"""
+
+
+def q_events_upsert_compact(sf_dir: str):
+    """Last-writer-wins compaction (stages/compaction.py): the
+    lakehouse MERGE kernel — one row per user, the newest event by
+    (ts, event_id). ONE sort + run-scan keep-last; the oracle is the
+    classic row_number()=1 window, so the hash pins key grouping,
+    order-tuple comparison and the tie-break end-to-end."""
+    from .stages.compaction import latest_per_key
+
+    ev = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    return latest_per_key(ev, ["user_id"], ["ts", "event_id"])
+
+
+SQL_EVENTS_UPSERT_COMPACT = """
+SELECT event_id, ts, user_id, event_type, value
+FROM (
+  SELECT event_id, ts, user_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+def q_docs_shuffle_export(sf_dir: str):
+    """Deterministic global-shuffle export layout
+    (stages/shuffle_layout.py): every doc's (shard, band, pos)
+    coordinates are a pure function of md5(doc_id) — the
+    cluster-size/resume-invariant replacement for random_shuffle() at
+    training-export time. The oracle recomputes the hash slice and the
+    per-(shard, band) dense rank with a row_number() window."""
+    from .stages.shuffle_layout import shuffle_export_layout
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return shuffle_export_layout(docs, "doc_id", n_shards=16, n_bands=16)
+
+
+SQL_DOCS_SHUFFLE_EXPORT = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hv % 16 AS BIGINT) AS shard,
+       CAST(hv // 268435456 AS BIGINT) AS band,
+       CAST(row_number() OVER (
+              PARTITION BY hv % 16, hv // 268435456 ORDER BY hv, doc_id
+            ) - 1 AS BIGINT) AS pos
+FROM h
 """
 
 
@@ -3221,6 +3281,8 @@ RETIRED_QUERIES.update(
         "docs_chunk_windows": q_docs_chunk_windows,
         "events_range_pruned": q_events_range_pruned,
         "events_interval_join": q_events_interval_join,
+        "events_upsert_compact": q_events_upsert_compact,
+        "docs_shuffle_export": q_docs_shuffle_export,
     }
 )
 
@@ -3256,5 +3318,7 @@ RETIRED_ORACLE_SQL.update(
         "docs_chunk_windows": SQL_DOCS_CHUNK_WINDOWS,
         "events_range_pruned": SQL_EVENTS_RANGE_PRUNED,
         "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
+        "events_upsert_compact": SQL_EVENTS_UPSERT_COMPACT,
+        "docs_shuffle_export": SQL_DOCS_SHUFFLE_EXPORT,
     }
 )

@@ -2,14 +2,24 @@
 ``point.ts ∈ [interval.start, interval.end)``.
 
 A range join has NO equality key, so a naive distributed plan is a
-cross join. The scalable shape is the bin-overlap join: pick a bin
-width ``w``, tag every point with ``bin = ts // w``, explode every
-interval into the bins it overlaps, hash-join on ``bin`` (an ordinary
-equi-join — Ray's hash exchange does the heavy lifting), then apply
-the exact range predicate as a residual filter. With ``w`` chosen near
-the typical interval length each interval lands in O(1) bins and each
-point meets only the intervals sharing its bin — join fan-out is
-``points × (intervals-per-bin)``, not ``points × intervals``.
+cross join. Two scalable shapes, auto-selected by interval-side size
+(the engine's broadcast-vs-join doctrine, same as pagerank / dup-span
+grams):
+
+- **broadcast** (interval side ≤ ``BROADCAST_INTERVALS_MAX``): ship
+  the (id, lo, hi) vectors once via ``ray.put``; each point batch
+  sorts its timestamps and answers EVERY interval with two
+  ``searchsorted`` ranks — count in [lo, hi) = rank(hi) − rank(lo).
+  Zero shuffle; the only exchange is the bounded per-batch partial
+  counts feeding one sum-by-key.
+- **bins** (corpus-sized interval side): pick a bin width ``w``, tag
+  every point with ``bin = ts // w``, explode every interval into the
+  bins it overlaps, hash-join on ``bin`` (an ordinary equi-join —
+  Ray's hash exchange does the heavy lifting), then apply the exact
+  range predicate as a residual filter. With ``w`` chosen near the
+  typical interval length each interval lands in O(1) bins and each
+  point meets only the intervals sharing its bin — join fan-out is
+  ``points × (intervals-per-bin)``, not ``points × intervals``.
 
 This is the custom-operator pattern SURVEY.md §2's "operators Ray Data
 lacks" clause calls for: composed entirely from ``map_batches`` + one
@@ -34,6 +44,16 @@ import pyarrow.compute as pc
 import ray.data
 
 
+#: interval-count bound for the broadcast path: three int64 vectors
+#: (id, lo, hi) ride the object store once — 2M intervals ≈ 48 MB —
+#: and every point batch answers ALL intervals with two vectorized
+#: searchsorted calls (count in [lo, hi) = rank(hi) - rank(lo) in the
+#: batch's sorted timestamps). Zero shuffle, one streaming pass over
+#: the points. Above the bound the bin-overlap equi-join runs instead
+#: (equality-tested against this path).
+BROADCAST_INTERVALS_MAX = 2_000_000
+
+
 def interval_join_count(
     points: "ray.data.Dataset",
     intervals: "ray.data.Dataset",
@@ -44,12 +64,34 @@ def interval_join_count(
     end_col: str,
     width: int,
     num_partitions: int = 16,
+    mode: str = "auto",
 ) -> "ray.data.Dataset":
     """Count points falling inside each half-open interval
     ``[start, end)``. Timestamps/bounds are taken via their int64 view
     (timestamp[us] keys bin by epoch-microseconds). Intervals that
     contain no point are kept with ``n_points = 0`` (left-outer
-    semantics). Returns ``(id_col, n_points)``."""
+    semantics). Returns ``(id_col, n_points)``.
+
+    ``mode``: ``"broadcast"`` (small interval side, no shuffle),
+    ``"bins"`` (bin-overlap equi-join, any interval cardinality), or
+    ``"auto"`` — materialize + count the interval side and pick by
+    ``BROADCAST_INTERVALS_MAX``. A caller whose interval set is itself
+    corpus-sized should pass ``mode="bins"`` to skip auto's
+    materialize of that side."""
+    import ray
+
+    if mode == "auto":
+        intervals = intervals.materialize()
+        mode = (
+            "broadcast"
+            if intervals.count() <= BROADCAST_INTERVALS_MAX
+            else "bins"
+        )
+    if mode == "broadcast":
+        return _broadcast_count(
+            points, intervals, ts_col=ts_col, id_col=id_col,
+            start_col=start_col, end_col=end_col,
+        )
 
     def tag_points(t: pa.Table) -> pa.Table:
         ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -132,3 +174,82 @@ def interval_join_count(
         return t.rename_columns([id_col, "n_points"])
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _broadcast_count(
+    points: "ray.data.Dataset",
+    intervals: "ray.data.Dataset",
+    *,
+    ts_col: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+) -> "ray.data.Dataset":
+    """Small-interval-side path: broadcast (id, lo, hi) once via
+    ``ray.put``; each point batch sorts its timestamps and answers
+    every interval with two ``searchsorted`` ranks. Per-batch output is
+    only the intervals the batch actually hit; one sum-by-key over the
+    union with (id, 0) zero-fill rows totals across batches."""
+    import ray
+
+    from .graph import _sum_by_key
+
+    rows = intervals.take_all()
+    ids = np.fromiter((r[id_col] for r in rows), dtype=np.int64,
+                      count=len(rows))
+    lo = np.fromiter((_as_i64(r[start_col]) for r in rows), dtype=np.int64,
+                     count=len(rows))
+    hi = np.fromiter((_as_i64(r[end_col]) for r in rows), dtype=np.int64,
+                     count=len(rows))
+    ref = ray.put((ids, lo, hi))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["_iid", "n"],
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return empty
+        i, l, h = ray.get(ref)
+        if len(i) == 0:
+            return empty
+        ts = np.sort(
+            t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        cnt = np.searchsorted(ts, h, side="left") - np.searchsorted(
+            ts, l, side="left"
+        )
+        nz = cnt > 0
+        return pa.Table.from_arrays(
+            [pa.array(i[nz]), pa.array(cnt[nz].astype(np.int64))],
+            names=["_iid", "n"],
+        )
+
+    counts = points.map_batches(partial, batch_format="pyarrow")
+
+    def zeros(t: pa.Table) -> pa.Table:
+        iv = t.column(id_col).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [iv, pa.array(np.zeros(len(iv), dtype=np.int64))],
+            names=["_iid", "n"],
+        )
+
+    counts = counts.union(intervals.map_batches(zeros, batch_format="pyarrow"))
+    out = _sum_by_key(counts, "_iid", "n", "n_points")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=[id_col, "n_points"],
+            )
+        return t.rename_columns([id_col, "n_points"])
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _as_i64(v) -> int:
+    """int64 view of an int or a datetime-like bound (epoch-us)."""
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    return int(pa.scalar(v).cast(pa.timestamp("us")).cast(pa.int64()).as_py())

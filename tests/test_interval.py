@@ -12,7 +12,7 @@ import ray.data
 from file_analyzer_ray.stages.interval import interval_join_count
 
 
-def _run(points, intervals, width):
+def _run(points, intervals, width, mode="bins"):
     pts = pa.table({"ts": pa.array(points, pa.int64())})
     ivs = pa.table(
         {
@@ -24,6 +24,7 @@ def _run(points, intervals, width):
     out = interval_join_count(
         ray.data.from_arrow(pts), ray.data.from_arrow(ivs),
         ts_col="ts", id_col="iid", start_col="lo", end_col="hi", width=width,
+        mode=mode,
     )
     return {r["iid"]: r["n_points"] for r in out.take_all()}
 
@@ -59,15 +60,22 @@ def test_half_open_bounds_at_bin_edges(ray_session):
     assert _run(points, intervals, width=10) == {1: 1}
 
 
+@pytest.mark.parametrize("mode", ["bins", "broadcast", "auto"])
 @pytest.mark.parametrize("width", [3, 16, 1000])
-def test_random_brute_force_equality(ray_session, width):
+def test_random_brute_force_equality(ray_session, width, mode):
     rng = np.random.RandomState(7)
     points = rng.randint(0, 500, size=300).tolist()
     intervals = []
     for i in range(40):
         lo = int(rng.randint(0, 480))
         intervals.append((i, lo, lo + int(rng.randint(0, 60))))
-    assert _run(points, intervals, width) == _brute(points, intervals)
+    assert _run(points, intervals, width, mode) == _brute(points, intervals)
+
+
+def test_broadcast_zero_fill_and_empty_interval(ray_session):
+    points = [50]
+    intervals = [(1, 0, 10), (2, 30, 30), (3, 40, 60)]
+    assert _run(points, intervals, 7, "broadcast") == {1: 0, 2: 0, 3: 1}
 
 
 def test_overlapping_intervals_count_independently(ray_session):

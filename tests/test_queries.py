@@ -150,6 +150,10 @@ SQL_CHECKED = [
     "docs_chunk_windows",
     "events_range_pruned",
     "events_interval_join",
+    # r4 additions: lakehouse upsert compaction + deterministic
+    # shuffle-shard training-export layout
+    "events_upsert_compact",
+    "docs_shuffle_export",
 ]
 
 
