@@ -3294,6 +3294,8 @@ def _merge_retired_joins() -> None:
     RETIRED_ORACLE_SQL["events_funnel"] = qj.SQL_EVENTS_FUNNEL
     RETIRED_QUERIES["events_retention"] = qj.q_events_retention
     RETIRED_ORACLE_SQL["events_retention"] = qj.SQL_EVENTS_RETENTION
+    RETIRED_QUERIES["graph_triangles"] = qj.q_graph_triangles
+    RETIRED_ORACLE_SQL["graph_triangles"] = qj.SQL_GRAPH_TRIANGLES
 
 
 _merge_retired_joins()

@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .query_utils import _cents, _preagg_native, _read
+from .query_utils import _cents, _meta_rows, _preagg_native, _read
 
 # ---------------------------------------------------------------------------
 # distributed hash joins (Dataset.join — the real exchange)
@@ -826,6 +826,53 @@ SELECT (SELECT count(*) FROM fv) AS n_view,
        (SELECT count(*) FROM fc) AS n_view_click,
        (SELECT count(*) FROM fp) AS n_view_click_purchase
 """
+
+def q_graph_triangles(sf_dir: str):
+    """Per-node triangle counts over the part co-occurrence graph
+    (parts sharing an order are adjacent), top 100 nodes by count —
+    the structural-affinity sibling of graph_pagerank. Degree-ordered
+    wedge join (stages/triangles.py): orient edges low→high by
+    (degree, id) so every out-degree is O(√m), ONE sort per super-
+    linear step, wedges matched against the edge set with one hash
+    join. The broadcast-vs-join degree attach is chosen statically
+    from the part table's parquet footer row count (free, no
+    materialize-and-count barrier)."""
+    from .stages.triangles import cooccurrence_edges, triangle_counts
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    counts = triangle_counts(
+        edges, n_nodes_hint=_meta_rows(sf_dir, "part")
+    )
+    return counts.sort(
+        ["n_triangles", "node"], descending=[True, False]
+    ).limit(100)
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, count(*) AS n_triangles
+FROM corners GROUP BY node
+ORDER BY n_triangles DESC, node
+LIMIT 100
+"""
+
 
 JOIN_ORACLE_SQL = {
     "lineitem_rank_in_order": SQL_LINEITEM_RANK_IN_ORDER,

@@ -154,6 +154,8 @@ SQL_CHECKED = [
     # shuffle-shard training-export layout
     "events_upsert_compact",
     "docs_shuffle_export",
+    # r4 addition: degree-ordered distributed triangle counting
+    "graph_triangles",
 ]
 
 
