@@ -3296,6 +3296,10 @@ def _merge_retired_joins() -> None:
     RETIRED_ORACLE_SQL["events_retention"] = qj.SQL_EVENTS_RETENTION
     RETIRED_QUERIES["graph_triangles"] = qj.q_graph_triangles
     RETIRED_ORACLE_SQL["graph_triangles"] = qj.SQL_GRAPH_TRIANGLES
+    RETIRED_QUERIES["docs_crawl_diff"] = qj.q_docs_crawl_diff
+    RETIRED_ORACLE_SQL["docs_crawl_diff"] = qj.SQL_DOCS_CRAWL_DIFF
+    RETIRED_QUERIES["events_weighted_sample"] = qj.q_events_weighted_sample
+    RETIRED_ORACLE_SQL["events_weighted_sample"] = qj.SQL_EVENTS_WEIGHTED_SAMPLE
 
 
 _merge_retired_joins()

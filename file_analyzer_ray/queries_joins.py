@@ -849,6 +849,129 @@ def q_graph_triangles(sf_dir: str):
     ).limit(100)
 
 
+def q_docs_crawl_diff(sf_dir: str):
+    """Two-crawl snapshot delta (added / removed / changed / unchanged
+    per doc) via the zero-join sort-merge diff in stages/snapshot.py.
+    The two snapshots derive deterministically from the documents
+    table: the old crawl misses ids ending in 7, the new crawl misses
+    ids ending in 3, and every id divisible by 5 was revised between
+    crawls (its content fingerprint re-keyed). The repo-wide content
+    fingerprint rule (stages/split.py) keys change detection, so the
+    DuckDB oracle is a closed-form FULL OUTER JOIN."""
+    import hashlib
+
+    from .stages.snapshot import snapshot_diff
+    from .stages.split import text_fingerprint
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        f = [text_fingerprint(x) for x in t.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), pa.array(f, pa.string())],
+            names=["doc_id", "fingerprint"],
+        )
+
+    base = docs.map_batches(fp, batch_format="pyarrow")
+
+    def old_side(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 != 7))
+
+    def new_side(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 10 != 3))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        f = t.column("fingerprint").to_pylist()
+        out = [
+            hashlib.md5((x + "rev2").encode()).hexdigest()
+            if i % 5 == 0
+            else x
+            for i, x in zip(ids, f)
+        ]
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), pa.array(out, pa.string())],
+            names=["doc_id", "fingerprint"],
+        )
+
+    old_ds = base.map_batches(old_side, batch_format="pyarrow")
+    new_ds = base.map_batches(new_side, batch_format="pyarrow")
+    return snapshot_diff(old_ds, new_ds).sort("doc_id")
+
+
+SQL_DOCS_CRAWL_DIFF = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '[\t\n\f\r ]+', ' ', 'g')))) AS f
+  FROM documents
+),
+old_snap AS (SELECT doc_id, f AS fp FROM fp WHERE doc_id % 10 != 7),
+new_snap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN md5(f || 'rev2') ELSE f END AS fp
+  FROM fp WHERE doc_id % 10 != 3
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.fp AS old_fp,
+       n.fp AS new_fp
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+"""
+
+
+def q_events_weighted_sample(sf_dir: str):
+    """Probability-proportional-to-size (Bernoulli PPS) sample of
+    events: include each event with probability min(1, value / theta),
+    decided by a deterministic md5 coin on the event id — the weighted
+    down-sampling primitive a training pipeline uses to thin
+    low-importance rows while keeping estimates unbiased. Each sampled
+    row carries ``inv_p`` (the Horvitz–Thompson reweight 1/p), so
+    ``sum(value * inv_p)`` over the sample estimates the population
+    total. Integer coin vs value*scale comparison uses only IEEE
+    multiply (no pow/log), so the DuckDB oracle reproduces the
+    selection bit-for-bit. Row-local map_batches: no shuffle, no
+    state; the coin rule is the same md5 doctrine as
+    docs_deterministic_sample / stages/split.py."""
+    import hashlib
+
+    theta = 2450.0
+    scale = 4294967296.0 / theta  # 2^32 / theta, one rounding in both engines
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        coins = np.fromiter(
+            (
+                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+                for i in ids
+            ),
+            dtype=np.float64,
+            count=len(ids),
+        )
+        keep = coins < vals * scale
+        inv_p = np.maximum(theta / vals, 1.0)
+        out = t.append_column("inv_p", pa.array(inv_p, pa.float64()))
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(sample, batch_format="pyarrow").sort("event_id")
+
+
+SQL_EVENTS_WEIGHTED_SAMPLE = """
+SELECT event_id, event_type, value,
+       greatest(2450.0 / value, 1.0) AS inv_p
+FROM events
+WHERE CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+      < value * (4294967296.0 / 2450.0)
+ORDER BY event_id
+"""
+
+
 SQL_GRAPH_TRIANGLES = """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (

@@ -156,6 +156,9 @@ SQL_CHECKED = [
     "docs_shuffle_export",
     # r4 addition: degree-ordered distributed triangle counting
     "graph_triangles",
+    # r4 additions: two-crawl snapshot delta + Bernoulli PPS sampling
+    "docs_crawl_diff",
+    "events_weighted_sample",
 ]
 
 
