@@ -2259,6 +2259,54 @@ ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
 """
 
 
+def q_embeddings_knn_pq(sf_dir: str):
+    """Product-quantization ANN (stages/ann.py write_pq_layout /
+    knn_pq: M-byte codes, 32x smaller scan than raw float32, per-query
+    ADC lookup tables, bounded exact rerank), SELF-VERIFYING via the
+    knn_ivf doctrine: rows are the exact brute-force top-k plus
+    engine-asserted ``pq_n`` / ``recall_ok`` columns the oracle states
+    as constants. The PQ layout is built once per (sf, process) under
+    /tmp and reused — the write-once scan-many codec shape."""
+    import os
+    import tempfile
+
+    from .stages.ann import knn_pq, write_pq_layout
+
+    k = 10
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    lay = os.path.join(tempfile.gettempdir(), f"fa_ray_pq_{tag}")
+    if not os.path.isdir(lay) or not os.listdir(lay):
+        os.makedirs(lay, exist_ok=True)
+        write_pq_layout(sf_dir, lay)
+    pq_rows = knn_pq(sf_dir, lay, k=k, rerank=4).take_all()
+    pq_ids = {int(r["vec_id"]) for r in pq_rows}
+    pq_n = len(pq_rows)
+    exact = q_embeddings_knn(sf_dir)
+
+    def flag(t: pa.Table) -> pa.Table:
+        ids = set(t.column("vec_id").to_pylist())
+        recall = len(ids & pq_ids) / max(1, len(ids))
+        n = t.num_rows
+        return (
+            t.append_column("pq_n", pa.array([pq_n] * n, pa.int64()))
+            .append_column("recall_ok", pa.array([recall >= 0.5] * n))
+        )
+
+    return exact.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+SQL_EMBEDDINGS_KNN_PQ = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding, (SELECT qe FROM q))
+             / sqrt(list_dot_product(e.embedding, e.embedding))
+             / sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q))), 4) AS cosine_sim,
+       CAST(10 AS BIGINT) AS pq_n, TRUE AS recall_ok
+FROM embeddings e WHERE e.vec_id != 0
+ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # flagship extraction surface — driver entries run the REAL stages over
 # the closed-form harness wrap (stages/harness.py) so the span-sequence
@@ -3283,6 +3331,7 @@ RETIRED_QUERIES.update(
         "events_interval_join": q_events_interval_join,
         "events_upsert_compact": q_events_upsert_compact,
         "docs_shuffle_export": q_docs_shuffle_export,
+        "embeddings_knn_pq": q_embeddings_knn_pq,
     }
 )
 
@@ -3325,6 +3374,7 @@ RETIRED_ORACLE_SQL.update(
         "events_range_pruned": SQL_EVENTS_RANGE_PRUNED,
         "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
         "events_upsert_compact": SQL_EVENTS_UPSERT_COMPACT,
+        "embeddings_knn_pq": SQL_EMBEDDINGS_KNN_PQ,
         "docs_shuffle_export": SQL_DOCS_SHUFFLE_EXPORT,
     }
 )

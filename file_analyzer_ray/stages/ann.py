@@ -501,3 +501,185 @@ def knn_sq8(
     return part.repartition(1).map_batches(
         merge_candidates, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the canonical billion-scale ANN codec
+# (Jégou/Douze/Schmid '11): split each unit vector into M subvectors,
+# k-means each subspace to 256 centroids, store one byte per subspace.
+# At M=8 over 64 dims that is 8 bytes/vector vs 256 (float32): a 32x
+# smaller scan than raw and 8x smaller than the SQ8 layout — the codec
+# you reach for when even int8-per-dim doesn't fit the scan budget.
+# Scoring is ADC (asymmetric distance computation): the QUERY stays
+# exact; one (M x 256) dot-product lookup table is built per query and
+# every row's approximate dot is M table gathers + a sum — no
+# reconstruction in the hot loop.
+
+
+def train_pq(
+    sf_dir: str, m: int = 8, k: int = 256
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-subspace codebooks ``(codebooks[m][k][dsub],
+    cent_sqnorms[m][k])`` fitted on unit vectors from the same bounded
+    head sample as :func:`train_quantizer` (cosine metric → quantize
+    the normalized space). ``cent_sqnorms`` feeds the reconstructed-
+    norm correction at scan time. Deterministic: seeded per-subspace
+    Lloyd via :func:`kmeans_fit`."""
+    import pyarrow.dataset as pds
+
+    dset = pds.dataset(f"{sf_dir}/embeddings.parquet")
+    sample = np.stack(
+        dset.head(2048, columns=["embedding"])["embedding"].to_pylist()
+    ).astype(np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    codebooks = np.stack(
+        [
+            kmeans_fit(sample[:, j * dsub : (j + 1) * dsub], k, seed=42 + j)
+            for j in range(m)
+        ]
+    )
+    return codebooks, (codebooks**2).sum(axis=2)
+
+
+def write_pq_layout(sf_dir: str, out_dir: str, m: int = 8) -> str:
+    """Materialize the embeddings table as M-byte PQ codes plus
+    ``pq_codebooks.npy``. Pay the encode once at write time, reuse for
+    every query (the write_ivf_layout / write_sq8_layout doctrine).
+    The encode is one (batch x K) distance argmin per subspace —
+    vectorized, no per-row work."""
+    import os
+
+    import pyarrow as pa
+
+    from ..state.guard import validate_sink_dir
+
+    out_dir = validate_sink_dir(out_dir)
+    codebooks, _ = train_pq(sf_dir, m=m)
+    pref = ray.put(codebooks)
+
+    def encode(t: "pa.Table") -> "pa.Table":
+        cbs = ray.get(pref)
+        n_sub, _, dsub = cbs.shape
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = np.asarray(emb.values, dtype=np.float64).reshape(
+            len(t), n_sub * dsub
+        )
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        codes = np.empty((len(t), n_sub), dtype=np.uint8)
+        for j in range(n_sub):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            # ||x - c||^2 argmin == (||c||^2 - 2 x.c) argmin — one GEMM
+            d2 = (cbs[j] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ cbs[j].T)
+            codes[:, j] = d2.argmin(axis=1)
+        buf = codes.tobytes()
+        return pa.Table.from_arrays(
+            [
+                t.column("vec_id"),
+                pa.array(
+                    [buf[i * n_sub : (i + 1) * n_sub] for i in range(len(t))],
+                    pa.binary(),
+                ),
+            ],
+            names=["vec_id", "codes"],
+        )
+
+    ds = _read_embeddings(sf_dir)
+    ds.map_batches(encode, batch_format="pyarrow").write_parquet(out_dir)
+    np.save(os.path.join(out_dir, "pq_codebooks.npy"), codebooks)
+    return out_dir
+
+
+def knn_pq(
+    sf_dir: str,
+    layout_dir: str,
+    k: int = 10,
+    rerank: int = 4,
+    query_vec_id: int = 0,
+) -> "ray.data.Dataset":
+    """Top-k cosine neighbors over a :func:`write_pq_layout` store:
+    the scan reads only M-byte codes (32x less IO than raw float32),
+    ADC-scores every row (M lookup-table gathers + reconstructed-norm
+    correction), keeps a per-batch partial top-(k*rerank), merges in
+    one small task, then RE-RANKS the surviving candidates with their
+    EXACT embeddings (bounded isin point-read, the knn_sq8 shape).
+    Returned scores are exact, so with ``rerank`` covering the table
+    the result is bit-identical to brute force (pytest pins this)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+
+    codebooks = np.load(os.path.join(layout_dir, "pq_codebooks.npy"))
+    n_sub = codebooks.shape[0]
+    qvec = _point_read_query_vec(sf_dir, query_vec_id)
+    qn = qvec / np.linalg.norm(qvec)
+    dsub = len(qn) // n_sub
+    # per-query ADC tables: lut[m][code] = q_m . c_mk ; sq[m][code] = ||c_mk||^2
+    lut = np.einsum(
+        "md,mkd->mk", qn.reshape(n_sub, dsub), codebooks
+    )
+    sqn = (codebooks**2).sum(axis=2)
+    n_cand = k * rerank
+    ref = ray.put((lut, sqn))
+
+    def adc_score(t: "pa.Table") -> "pa.Table":
+        lt, sq = ray.get(ref)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = ids != query_vec_id
+        if not keep.any():
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.float64())],
+                names=["vec_id", "approx_sim"],
+            )
+        codes_col = t.column("codes")
+        if isinstance(codes_col, pa.ChunkedArray):
+            codes_col = codes_col.combine_chunks()
+        raw = np.frombuffer(b"".join(codes_col.to_pylist()), dtype=np.uint8)
+        codes = raw.reshape(len(t), n_sub)[keep]
+        rows = np.arange(n_sub)[None, :]
+        dot = lt[rows, codes].sum(axis=1)
+        norm = np.sqrt(sq[rows, codes].sum(axis=1))
+        sims = dot / np.maximum(norm, 1e-12)
+        order = np.lexsort((ids[keep], -sims))[:n_cand]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[keep][order].astype(np.int64)),
+                pa.array(sims[order]),
+            ],
+            names=["vec_id", "approx_sim"],
+        )
+
+    def merge_candidates(t: "pa.Table") -> "pa.Table":
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = t.column("approx_sim").to_numpy()
+        order = np.lexsort((ids, -sims))[:n_cand]
+        cand = ids[order]
+        exact = pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(cand.tolist()),
+        )
+        eids = exact["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.asarray(
+            exact["embedding"].combine_chunks().values, dtype=np.float64
+        ).reshape(len(eids), -1)
+        es = np.round((mat @ qn) / np.linalg.norm(mat, axis=1), 4)
+        top = np.lexsort((eids, -es))[:k]
+        return pa.Table.from_arrays(
+            [pa.array(eids[top].astype(np.int64)), pa.array(es[top])],
+            names=["vec_id", "cosine_sim"],
+        )
+
+    codes = ray.data.read_parquet(
+        layout_dir, columns=["vec_id", "codes"], file_extensions=["parquet"]
+    )
+    part = codes.map_batches(adc_score, batch_format="pyarrow")
+    return part.repartition(1).map_batches(
+        merge_candidates, batch_format="pyarrow", batch_size=None
+    )

@@ -159,6 +159,8 @@ SQL_CHECKED = [
     # r4 additions: two-crawl snapshot delta + Bernoulli PPS sampling
     "docs_crawl_diff",
     "events_weighted_sample",
+    # r4 addition: product-quantization ANN (self-verifying recall flag)
+    "embeddings_knn_pq",
 ]
 
 
@@ -270,6 +272,44 @@ def test_sq8_layout_knn(registry, tmp_path):
     for v, s in zip(narrow["vec_id"], narrow["cosine_sim"]):
         if v in sim_of:
             assert s == sim_of[v]  # rerank restored the exact score
+
+
+def test_pq_layout_knn(registry, tmp_path):
+    """Product-quantized kNN (8-byte codes, ADC scan): bit-identical
+    to brute force when the rerank window covers the table; high
+    recall with exact restored scores at the default narrow window."""
+    from file_analyzer_ray.stages.ann import knn_pq, write_pq_layout
+
+    queries, _ = registry
+    exact = _to_pandas(queries["embeddings_knn"](SF_DIR))
+    layout = write_pq_layout(SF_DIR, str(tmp_path / "pq"))
+
+    full = _to_pandas(knn_pq(SF_DIR, layout, k=10, rerank=200))
+    assert full["vec_id"].tolist() == exact["vec_id"].tolist()
+    assert full["cosine_sim"].tolist() == exact["cosine_sim"].tolist()
+
+    narrow = _to_pandas(knn_pq(SF_DIR, layout, k=10, rerank=4))
+    recall = len(set(narrow["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.8, f"PQ recall {recall} too low"
+    sim_of = dict(zip(exact["vec_id"], exact["cosine_sim"]))
+    for v, s in zip(narrow["vec_id"], narrow["cosine_sim"]):
+        if v in sim_of:
+            assert s == sim_of[v]  # rerank restored the exact score
+
+
+def test_pq_codes_are_m_bytes(registry, tmp_path):
+    """The layout's whole point: M bytes per row, not 4·D."""
+    import pyarrow.dataset as pds
+
+    from file_analyzer_ray.stages.ann import write_pq_layout
+
+    import glob
+
+    layout = write_pq_layout(SF_DIR, str(tmp_path / "pq8"), m=8)
+    t = pds.dataset(
+        glob.glob(f"{layout}/*.parquet"), format="parquet"
+    ).head(5, columns=["codes"])
+    assert all(len(b) == 8 for b in t["codes"].to_pylist())
 
 
 def test_langid_predictions_sensible(registry):
