@@ -2837,6 +2837,65 @@ FROM per_doc GROUP BY term
 """
 
 
+def q_docs_bm25_search(sf_dir: str):
+    """BM25 ranked keyword retrieval (stages/bm25.py) for the fixed
+    3-term query ('scan', 'merge', 'window'): two row-local streaming
+    passes over a ~20-byte/doc projection, a blocks-bounded stats fold
+    (bytes ∝ query terms, never corpus), partial top-k + one merge —
+    zero corpus sorts, zero joins. The lexical leg of the RAG stack
+    beside the inverted index and the ANN family."""
+    from .stages.bm25 import bm25_search
+
+    return bm25_search(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        ["scan", "merge", "window"],
+        topk=20,
+    )
+
+
+SQL_DOCS_BM25_SEARCH = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(ts) AS dl,
+         len(list_filter(ts, x -> x = 'scan'))   AS tf0,
+         len(list_filter(ts, x -> x = 'merge'))  AS tf1,
+         len(list_filter(ts, x -> x = 'window')) AS tf2
+  FROM tok
+),
+st AS (
+  SELECT count(*) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         CAST(count(*) FILTER (tf0 > 0) AS DOUBLE) AS df0,
+         CAST(count(*) FILTER (tf1 > 0) AS DOUBLE) AS df1,
+         CAST(count(*) FILTER (tf2 > 0) AS DOUBLE) AS df2
+  FROM feat
+),
+sc AS (
+  SELECT f.doc_id,
+         round(
+             ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5))
+               * (f.tf0 * (1.2 + 1.0))
+               / (f.tf0 + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl / st.avgdl)))
+           + ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+               * (f.tf1 * (1.2 + 1.0))
+               / (f.tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl / st.avgdl)))
+           + ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+               * (f.tf2 * (1.2 + 1.0))
+               / (f.tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl / st.avgdl)))
+         , 4) AS bm25
+  FROM feat f, st
+)
+SELECT doc_id, bm25 FROM sc
+WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
 def q_docs_cms_top_terms(sf_dir: str):
     """Count-min-sketch frequency estimation, SELF-VERIFYING under the
     HLL doctrine (events_approx_users): the exact top-10 terms by total
@@ -3332,6 +3391,7 @@ RETIRED_QUERIES.update(
         "events_upsert_compact": q_events_upsert_compact,
         "docs_shuffle_export": q_docs_shuffle_export,
         "embeddings_knn_pq": q_embeddings_knn_pq,
+        "docs_bm25_search": q_docs_bm25_search,
     }
 )
 
@@ -3375,6 +3435,7 @@ RETIRED_ORACLE_SQL.update(
         "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
         "events_upsert_compact": SQL_EVENTS_UPSERT_COMPACT,
         "embeddings_knn_pq": SQL_EMBEDDINGS_KNN_PQ,
+        "docs_bm25_search": SQL_DOCS_BM25_SEARCH,
         "docs_shuffle_export": SQL_DOCS_SHUFFLE_EXPORT,
     }
 )

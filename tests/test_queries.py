@@ -161,6 +161,8 @@ SQL_CHECKED = [
     "events_weighted_sample",
     # r4 addition: product-quantization ANN (self-verifying recall flag)
     "embeddings_knn_pq",
+    # r4 addition: BM25 ranked keyword retrieval
+    "docs_bm25_search",
 ]
 
 
