@@ -2896,6 +2896,68 @@ LIMIT 20
 """
 
 
+def q_docs_hybrid_search(sf_dir: str):
+    """Hybrid retrieval — reciprocal-rank fusion (RRF, Cormack '09;
+    the standard lexical+semantic fusion in RAG stacks) of the BM25
+    top-20 (stages/bm25.py, lexical leg) and the brute-force cosine
+    top-10 (embeddings leg, vec_id ≡ doc_id in the synthetic corpus):
+    rrf(d) = Σ_legs 1/(60 + rank_leg(d)). Both legs are the engine's
+    existing distributed operators; the fusion itself touches only the
+    two bounded top-k lists (≤30 rows by construction — the
+    knn-ivf-style bounded take, never a corpus materialization)."""
+    from .stages.bm25 import bm25_search
+
+    bm = bm25_search(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        ["scan", "merge", "window"],
+        topk=20,
+    ).take_all()
+    ann = q_embeddings_knn(sf_dir).take_all()
+
+    contrib: dict[int, float] = {}
+    # fixed leg order (bm25 then ann) so float accumulation matches
+    # the SQL twin's COALESCE(bm,0) + COALESCE(ann,0)
+    bm_c = {int(r["doc_id"]): 1.0 / (60.0 + (i + 1)) for i, r in enumerate(bm)}
+    ann_c = {int(r["vec_id"]): 1.0 / (60.0 + (i + 1)) for i, r in enumerate(ann)}
+    for d in set(bm_c) | set(ann_c):
+        contrib[d] = bm_c.get(d, 0.0) + ann_c.get(d, 0.0)
+    out = pd.DataFrame(
+        {"doc_id": list(contrib), "rrf": [round(v, 6) for v in contrib.values()]}
+    ).sort_values(["rrf", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    return out
+
+
+SQL_DOCS_HYBRID_SEARCH = (
+    """
+WITH bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM ("""
+    + SQL_DOCS_BM25_SEARCH
+    + """) t
+),
+ann AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS r
+  FROM (
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding, (SELECT qe FROM q))
+                 / sqrt(list_dot_product(e.embedding, e.embedding))
+                 / sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q))), 4) AS cosine_sim
+    FROM embeddings e WHERE e.vec_id != 0
+    ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
+  ) t
+)
+SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+       round(COALESCE(1.0 / (60.0 + bm.r), 0.0)
+             + COALESCE(1.0 / (60.0 + ann.r), 0.0), 6) AS rrf
+FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+ORDER BY rrf DESC, doc_id
+"""
+)
+
+
 def q_docs_cms_top_terms(sf_dir: str):
     """Count-min-sketch frequency estimation, SELF-VERIFYING under the
     HLL doctrine (events_approx_users): the exact top-10 terms by total
@@ -3392,6 +3454,7 @@ RETIRED_QUERIES.update(
         "docs_shuffle_export": q_docs_shuffle_export,
         "embeddings_knn_pq": q_embeddings_knn_pq,
         "docs_bm25_search": q_docs_bm25_search,
+        "docs_hybrid_search": q_docs_hybrid_search,
     }
 )
 
@@ -3436,6 +3499,7 @@ RETIRED_ORACLE_SQL.update(
         "events_upsert_compact": SQL_EVENTS_UPSERT_COMPACT,
         "embeddings_knn_pq": SQL_EMBEDDINGS_KNN_PQ,
         "docs_bm25_search": SQL_DOCS_BM25_SEARCH,
+        "docs_hybrid_search": SQL_DOCS_HYBRID_SEARCH,
         "docs_shuffle_export": SQL_DOCS_SHUFFLE_EXPORT,
     }
 )

@@ -163,6 +163,8 @@ SQL_CHECKED = [
     "embeddings_knn_pq",
     # r4 addition: BM25 ranked keyword retrieval
     "docs_bm25_search",
+    # r4 addition: hybrid lexical+semantic retrieval (RRF fusion)
+    "docs_hybrid_search",
 ]
 
 
