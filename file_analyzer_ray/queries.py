@@ -520,6 +520,61 @@ SELECT count(DISTINCT user_id) AS n_users, TRUE AS within_bound FROM events
 """
 
 
+def q_events_users_by_type_approx(sf_dir: str):
+    """Per-group HyperLogLog distinct (one mergeable 2^p-byte sketch
+    per event type), SELF-VERIFYING under the HLL doctrine
+    (events_approx_users): emits the exact per-type distinct user
+    count (native two-level distinct + run-scan count) plus a flag
+    that every group's HLL estimate landed within its 3-sigma bound.
+    The oracle states the exact counts and TRUE."""
+    from .query_utils import _distinct_native, _window_by_key_arrow
+    from .stages.sketches import approx_distinct_by
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    est = approx_distinct_by(ds, "event_type", "user_id", p=12)
+    est_of = dict(zip(est["event_type"], est["n_distinct_approx"]))
+
+    dv = _distinct_native(ds, ["event_type", "user_id"])
+
+    def count_runs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("event_type", pa.string()), ("n_users", pa.int64())]
+            ).empty_table()
+        from .query_utils import _run_starts_mask_arrow
+
+        mask = _run_starts_mask_arrow(t, ["event_type"])
+        starts = np.flatnonzero(mask)
+        lens = np.diff(np.append(starts, t.num_rows))
+        return pa.Table.from_arrays(
+            [
+                t.column("event_type").take(pa.array(starts)),
+                pa.array(lens.astype(np.int64), pa.int64()),
+            ],
+            names=["event_type", "n_users"],
+        )
+
+    exact = (
+        _window_by_key_arrow(dv, ["event_type"], ["event_type", "user_id"], count_runs)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    sigma = 1.04 / (1 << 12) ** 0.5
+    ok = all(
+        abs(est_of[t] - n) <= 3 * sigma * max(n, 1)
+        for t, n in zip(exact["event_type"], exact["n_users"])
+    )
+    exact["within_bound"] = bool(ok)
+    return exact
+
+
+SQL_EVENTS_USERS_BY_TYPE_APPROX = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS within_bound
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_events_value_percentiles_approx(sf_dir: str):
     """Histogram-sketch approximate percentiles per event type,
     SELF-VERIFYING so the driver can oracle-check it (same pattern as
@@ -3455,6 +3510,7 @@ RETIRED_QUERIES.update(
         "embeddings_knn_pq": q_embeddings_knn_pq,
         "docs_bm25_search": q_docs_bm25_search,
         "docs_hybrid_search": q_docs_hybrid_search,
+        "events_users_by_type_approx": q_events_users_by_type_approx,
     }
 )
 
@@ -3500,6 +3556,7 @@ RETIRED_ORACLE_SQL.update(
         "embeddings_knn_pq": SQL_EMBEDDINGS_KNN_PQ,
         "docs_bm25_search": SQL_DOCS_BM25_SEARCH,
         "docs_hybrid_search": SQL_DOCS_HYBRID_SEARCH,
+        "events_users_by_type_approx": SQL_EVENTS_USERS_BY_TYPE_APPROX,
         "docs_shuffle_export": SQL_DOCS_SHUFFLE_EXPORT,
     }
 )

@@ -95,6 +95,49 @@ def approx_distinct(
     )
 
 
+def approx_distinct_by(
+    ds: "ray.data.Dataset", key: str, column: str, p: int = 12
+) -> pd.DataFrame:
+    """Per-group approximate distinct counts — one HLL register array
+    per key, merged by elementwise max (HLL's mergeability is the
+    whole point: per-batch partials are fixed 2^p bytes PER KEY seen
+    in the batch, and the union of two sketches is their max). Key
+    cardinality must be bounded (the events_value_percentiles
+    contract: 5 event types; an unbounded key space would route
+    through the sort+run-scan merge instead). Returns
+    {key, n_distinct_approx, precision_p} sorted by key."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, sub in df.groupby(key, sort=False):
+            vals = np.fromiter(
+                (stable_u64(str(v).encode(), b"hll:") for v in sub[column]),
+                dtype=np.uint64,
+                count=len(sub),
+            )
+            rows.append({key: k, "regs": hll_registers(vals, p).tobytes()})
+        return pd.DataFrame(rows, columns=[key, "regs"])
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).take_all()  # bounded: blocks x distinct keys
+    merged: dict = {}
+    for r in parts:
+        regs = np.frombuffer(r["regs"], dtype=np.uint8)
+        k = r[key]
+        merged[k] = np.maximum(merged[k], regs) if k in merged else regs
+    return pd.DataFrame(
+        [
+            {
+                key: k,
+                "n_distinct_approx": round(hll_estimate(m, p)),
+                "precision_p": p,
+            }
+            for k, m in sorted(merged.items())
+        ]
+    )
+
+
 def approx_quantiles(
     ds: "ray.data.Dataset",
     column: str,

@@ -165,6 +165,8 @@ SQL_CHECKED = [
     "docs_bm25_search",
     # r4 addition: hybrid lexical+semantic retrieval (RRF fusion)
     "docs_hybrid_search",
+    # r4 addition: per-group HLL distinct (self-verifying)
+    "events_users_by_type_approx",
 ]
 
 
