@@ -575,6 +575,81 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_events_late_arrivals(sf_dir: str):
+    """Streaming-ingest late-data audit via a distributed prefix scan
+    (stages/scan.py, the two-phase Blelloch shape): watermark_i =
+    running max event-time over everything that ARRIVED before row i;
+    a row is LATE when it lands more than 1 hour behind the watermark
+    — the event-time skew check that decides whether a streaming
+    window's results can be trusted. The synthetic events table is
+    already time-ordered (zero skew — the audit would be degenerate),
+    so arrival order is a deterministic shuffle: arr = (event_id ·
+    2654435761) mod 2^32, an odd-multiplier bijection both engines
+    compute exactly. All integer arithmetic (epoch microseconds), so
+    the DuckDB window-function twin matches bit-for-bit."""
+    from .stages.scan import prefix_scan
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        arr = (ids * 2654435761) % 4294967296
+        return pa.Table.from_arrays(
+            [
+                pa.array(arr, pa.int64()),
+                pa.array(ids, pa.int64()),
+                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            ],
+            names=["arr", "event_id", "ts_us"],
+        )
+
+    scanned = prefix_scan(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        ["arr"],
+        "ts_us",
+        op="max",
+        out_col="wm_us",
+    )
+    lateness_us = 3_600_000_000  # 1 hour
+
+    def classify(t: pa.Table) -> pa.Table:
+        wm = t.column("wm_us").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        # the scan identity (int64 min) marks the global first row;
+        # guard it BEFORE subtracting (int64 min - ts would wrap)
+        first = wm == np.iinfo(np.int64).min
+        lag = np.maximum(np.where(first, ts, wm) - ts, 0)
+        return pa.Table.from_arrays(
+            [
+                t.column("event_id"),
+                pa.array(lag, pa.int64()),
+                pa.array(lag > lateness_us),
+            ],
+            names=["event_id", "lag_us", "is_late"],
+        )
+
+    return scanned.map_batches(classify, batch_format="pyarrow").sort("event_id")
+
+
+SQL_EVENTS_LATE_ARRIVALS = """
+WITH arrival AS (
+  SELECT event_id, ts, (event_id * 2654435761) % 4294967296 AS arr
+  FROM events
+)
+SELECT event_id,
+       GREATEST(COALESCE(
+         epoch_us(max(ts) OVER (ORDER BY arr
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         - epoch_us(ts), 0), 0) AS lag_us,
+       GREATEST(COALESCE(
+         epoch_us(max(ts) OVER (ORDER BY arr
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         - epoch_us(ts), 0), 0) > 3600000000 AS is_late
+FROM arrival
+ORDER BY event_id
+"""
+
+
 def q_events_value_percentiles_approx(sf_dir: str):
     """Histogram-sketch approximate percentiles per event type,
     SELF-VERIFYING so the driver can oracle-check it (same pattern as
@@ -3511,6 +3586,7 @@ RETIRED_QUERIES.update(
         "docs_bm25_search": q_docs_bm25_search,
         "docs_hybrid_search": q_docs_hybrid_search,
         "events_users_by_type_approx": q_events_users_by_type_approx,
+        "events_late_arrivals": q_events_late_arrivals,
     }
 )
 
@@ -3557,6 +3633,7 @@ RETIRED_ORACLE_SQL.update(
         "docs_bm25_search": SQL_DOCS_BM25_SEARCH,
         "docs_hybrid_search": SQL_DOCS_HYBRID_SEARCH,
         "events_users_by_type_approx": SQL_EVENTS_USERS_BY_TYPE_APPROX,
+        "events_late_arrivals": SQL_EVENTS_LATE_ARRIVALS,
         "docs_shuffle_export": SQL_DOCS_SHUFFLE_EXPORT,
     }
 )

@@ -167,6 +167,8 @@ SQL_CHECKED = [
     "docs_hybrid_search",
     # r4 addition: per-group HLL distinct (self-verifying)
     "events_users_by_type_approx",
+    # r4 addition: distributed prefix scan — late-data watermark audit
+    "events_late_arrivals",
 ]
 
 
