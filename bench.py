@@ -210,7 +210,11 @@ def run_bench() -> dict:
         from file_analyzer_ray.queries import RETIRED_QUERIES as _RQ
 
         for _name in ("events_interval_join", "events_upsert_compact",
-                      "docs_shuffle_export"):
+                      "docs_shuffle_export",
+                      # late-r4 additions: wedge-join triangles, zero-join
+                      # snapshot diff, BM25 retrieval, global prefix scan
+                      "graph_triangles", "docs_crawl_diff",
+                      "docs_bm25_search", "events_late_arrivals"):
             _best2(_name, lambda n=_name: _RQ[n](SF_DIR))
 
     result = {
