@@ -3398,6 +3398,103 @@ GROUP BY event_type
 """
 
 
+def q_events_zorder_pruned(sf_dir: str):
+    """2-D rectangle analytics THROUGH the Z-order (Morton) layout
+    (state/zorder.py, the Delta/Iceberg ZORDER BY shape): events
+    written ONCE into ``z=<morton>/`` cells interleaving quantized
+    (user_id, ts) bits, then the rectangle "first third of users ×
+    [2024-01-08, 2024-01-15)" opens ONLY its overlapping cells
+    (directory-name pruning + exact residual filter) and aggregates
+    per event type. The 1-D range layout (events_range_pruned) prunes
+    time but scans every user; Z-ordering makes the read proportional
+    to the rectangle's AREA. Oracle = the same predicate over the full
+    table, so the hash pins layout + cell enumeration + residual
+    filter end-to-end. Layout cache keyed on the input CONTENT
+    fingerprint (the bucketed-layout discipline)."""
+    import hashlib
+    import math
+    import os
+
+    from ray.data.aggregate import Sum
+
+    from .state.shards import input_file_fingerprint
+    from .state.zorder import _footer_min_max, read_rect, write_zorder
+
+    src = f"{sf_dir}/events.parquet"
+    u_lo, u_hi = _footer_min_max(src, "user_id")
+    # fixed covering range for the time axis (the corpus is Jan 2024 at
+    # every sf tier; out-of-range values would only clamp to edge cells)
+    T0 = 1_704_067_200_000_000  # 2024-01-01T00:00:00 epoch-us
+    T1 = 1_706_745_600_000_000  # 2024-02-01T00:00:00
+
+    fp = sf_dir + "|z|" + input_file_fingerprint(src)
+    dest = f"/tmp/fa_zorder_{hashlib.md5(fp.encode()).hexdigest()[:8]}/events"
+    if not os.path.isdir(dest):
+        import shutil
+
+        tmp = dest + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+
+        def to_us(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    t.column("user_id").cast(pa.int64()),
+                    t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                    t.column("event_type"),
+                    t.column("value"),
+                ],
+                names=["user_id", "ts_us", "event_type", "value"],
+            )
+
+        write_zorder(
+            _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+            .map_batches(to_us, batch_format="pyarrow"),
+            tmp, "user_id", "ts_us",
+            x_range=(u_lo, u_hi), y_range=(T0, T1 - 1),
+        )
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            if not os.path.isdir(dest):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    x_hi = math.ceil((u_hi + 1) / 3.0)  # first third of the user space
+    lo = 1_704_672_000_000_000  # 2024-01-08T00:00:00 epoch-us
+    hi = 1_705_276_800_000_000  # 2024-01-15T00:00:00
+    ds = read_rect(dest, 0, x_hi, lo, hi)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"event_type": df["event_type"], "cents": _cents(df["value"]), "n": 1}
+        )
+        return out.groupby("event_type", as_index=False).agg(
+            cents=("cents", "sum"), n=("n", "sum")
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n_events": df["sum(n)"].astype("int64"),
+                "sum_value": df["sum(cents)"] / 100.0,
+            }
+        )
+
+    return _preagg_native(ds, ["event_type"], partial, [Sum("cents"), Sum("n")], finalize)
+
+
+SQL_EVENTS_ZORDER_PRUNED = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events
+WHERE user_id < CAST(ceil((SELECT max(user_id) + 1 FROM events) / 3.0) AS BIGINT)
+  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+GROUP BY event_type
+"""
+
+
 def q_events_interval_join(sf_dir: str):
     """Distributed interval (range) join (stages/interval.py): activity
     attribution — for every purchase by a sampled user cohort
@@ -3587,6 +3684,7 @@ RETIRED_QUERIES.update(
         "docs_hybrid_search": q_docs_hybrid_search,
         "events_users_by_type_approx": q_events_users_by_type_approx,
         "events_late_arrivals": q_events_late_arrivals,
+        "events_zorder_pruned": q_events_zorder_pruned,
     }
 )
 
@@ -3634,6 +3732,7 @@ RETIRED_ORACLE_SQL.update(
         "docs_hybrid_search": SQL_DOCS_HYBRID_SEARCH,
         "events_users_by_type_approx": SQL_EVENTS_USERS_BY_TYPE_APPROX,
         "events_late_arrivals": SQL_EVENTS_LATE_ARRIVALS,
+        "events_zorder_pruned": SQL_EVENTS_ZORDER_PRUNED,
         "docs_shuffle_export": SQL_DOCS_SHUFFLE_EXPORT,
     }
 )

@@ -169,6 +169,8 @@ SQL_CHECKED = [
     "events_users_by_type_approx",
     # r4 addition: distributed prefix scan — late-data watermark audit
     "events_late_arrivals",
+    # r4 addition: Z-order (Morton) 2-D pruned layout
+    "events_zorder_pruned",
 ]
 
 
