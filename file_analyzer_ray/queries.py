@@ -650,6 +650,80 @@ ORDER BY event_id
 """
 
 
+def q_docs_length_deciles(sf_dir: str):
+    """Global decile assignment (ntile) over an unbounded total order —
+    the second consumer of the distributed prefix scan (stages/scan.py):
+    global row number = exclusive running COUNT over the (n_chars,
+    doc_id) order, computed with one sort + two streaming passes and a
+    blocks-bounded driver fold — no driver-side rank collection, no
+    single task holding the corpus. The curriculum / length-bucketing
+    primitive (short-to-long ordering, per-decile mixing) a training
+    pipeline runs before packing. Exact ntile semantics (first N mod k
+    buckets take one extra row), integer arithmetic end to end."""
+    from .stages.scan import prefix_scan
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # unique total-order key: (n_chars, doc_id) packed (doc_id < 2^33)
+        return pa.Table.from_arrays(
+            [
+                pa.array(nc * (1 << 33) + ids, pa.int64()),
+                pa.array(ids, pa.int64()),
+                pa.array(nc, pa.int64()),
+                pa.array(np.ones(len(ids), dtype=np.int64)),
+            ],
+            names=["ord_key", "doc_id", "n_chars", "one"],
+        )
+
+    scanned = prefix_scan(
+        ds.map_batches(key, batch_format="pyarrow"),
+        ["ord_key"],
+        "one",
+        op="sum",
+        out_col="rn0",
+    )
+    n_total = _meta_rows_documents(sf_dir)
+    k = 10
+    q, r = divmod(n_total, k)
+
+    def tile(t: pa.Table) -> pa.Table:
+        rn = t.column("rn0").to_numpy(zero_copy_only=False) + 1  # 1-based
+        # ntile: first r buckets hold q+1 rows, the rest hold q
+        big = (q + 1) * r
+        dec = np.where(
+            rn <= big,
+            (rn - 1) // (q + 1) + 1,
+            r + (rn - big - 1) // max(q, 1) + 1,
+        )
+        return pa.Table.from_arrays(
+            [
+                t.column("doc_id"),
+                t.column("n_chars"),
+                pa.array(dec.astype(np.int64), pa.int64()),
+            ],
+            names=["doc_id", "n_chars", "decile"],
+        )
+
+    return scanned.map_batches(tile, batch_format="pyarrow").sort("doc_id")
+
+
+def _meta_rows_documents(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+SQL_DOCS_LENGTH_DECILES = """
+SELECT doc_id, n_chars,
+       CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_events_value_percentiles_approx(sf_dir: str):
     """Histogram-sketch approximate percentiles per event type,
     SELF-VERIFYING so the driver can oracle-check it (same pattern as
@@ -3685,6 +3759,7 @@ RETIRED_QUERIES.update(
         "events_users_by_type_approx": q_events_users_by_type_approx,
         "events_late_arrivals": q_events_late_arrivals,
         "events_zorder_pruned": q_events_zorder_pruned,
+        "docs_length_deciles": q_docs_length_deciles,
     }
 )
 
@@ -3733,6 +3808,7 @@ RETIRED_ORACLE_SQL.update(
         "events_users_by_type_approx": SQL_EVENTS_USERS_BY_TYPE_APPROX,
         "events_late_arrivals": SQL_EVENTS_LATE_ARRIVALS,
         "events_zorder_pruned": SQL_EVENTS_ZORDER_PRUNED,
+        "docs_length_deciles": SQL_DOCS_LENGTH_DECILES,
         "docs_shuffle_export": SQL_DOCS_SHUFFLE_EXPORT,
     }
 )

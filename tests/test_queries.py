@@ -171,6 +171,8 @@ SQL_CHECKED = [
     "events_late_arrivals",
     # r4 addition: Z-order (Morton) 2-D pruned layout
     "events_zorder_pruned",
+    # r4 addition: global ntile via the distributed prefix scan
+    "docs_length_deciles",
 ]
 
 
