@@ -3777,6 +3777,8 @@ def _merge_retired_joins() -> None:
     RETIRED_ORACLE_SQL["docs_crawl_diff"] = qj.SQL_DOCS_CRAWL_DIFF
     RETIRED_QUERIES["events_weighted_sample"] = qj.q_events_weighted_sample
     RETIRED_ORACLE_SQL["events_weighted_sample"] = qj.SQL_EVENTS_WEIGHTED_SAMPLE
+    RETIRED_QUERIES["orders_shipping_priority"] = qj.q_orders_shipping_priority
+    RETIRED_ORACLE_SQL["orders_shipping_priority"] = qj.SQL_ORDERS_SHIPPING_PRIORITY
 
 
 _merge_retired_joins()

@@ -849,6 +849,165 @@ def q_graph_triangles(sf_dir: str):
     ).limit(100)
 
 
+#: above this customer-table size the segment filter routes through a
+#: left_semi Dataset.join instead of an object-store broadcast
+_SEGMENT_BROADCAST_MAX = 2_000_000
+
+
+def q_orders_shipping_priority(sf_dir: str):
+    """TPC-H Q3 analog (shipping priority): revenue of not-yet-shipped
+    lineitems for BUILDING-segment customers' orders placed before the
+    cutoff, top 10 orders by revenue. Three tables, ONE real exchange:
+    the customer side is a bounded dimension — its filtered key set
+    broadcasts via ``ray.put`` and orders filter row-locally (sorted
+    array + searchsorted, the J2 pattern; above 2M customers the same
+    step auto-routes through a left_semi Dataset.join chosen on the
+    FREE parquet footer row count). The lineitem fact side pre-
+    aggregates revenue to one narrow int row per orderkey BEFORE the
+    single orders ⋈ lineitem hash join; after it every joined row IS
+    one result group (both sides key-unique), so no second aggregate
+    — just top-k. Chaining three hash joins in one streaming plan
+    would also stack concurrent aggregator pools (the deadlock
+    documented in stages/triangles.py)."""
+    cutoff = pd.Timestamp("1998-01-01")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("c_mktsegment"), "BUILDING")
+        return t.filter(m).select(["c_custkey"])
+
+    cust_keys = cust.map_batches(seg_keys, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    cutoff_us = np.int64(pd.Timestamp("1998-01-01").value // 1000)
+
+    if _meta_rows(sf_dir, "customer") <= _SEGMENT_BROADCAST_MAX:
+        keys = np.sort(
+            np.fromiter(
+                (r["c_custkey"] for r in cust_keys.take_all()),
+                dtype=np.int64,
+            )
+        )
+        ref = ray.put(keys)
+
+        def ord_filter(t: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            od = (
+                t.column("o_orderdate")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            pos = np.searchsorted(ks, ck)
+            hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == ck)
+            return t.filter(pa.array(hit & (od < cutoff_us))).select(
+                ["o_orderkey", "o_orderdate"]
+            )
+
+        ord_f = orders.map_batches(ord_filter, batch_format="pyarrow")
+    else:
+
+        def date_filter(t: pa.Table) -> pa.Table:
+            od = (
+                t.column("o_orderdate")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            return t.filter(pa.array(od < cutoff_us))
+
+        # materialize: the semi join and the fact join below must not
+        # share one streaming plan — two concurrent hash-join
+        # aggregator pools starve each other on small clusters (the
+        # deadlock documented in stages/triangles.py); the pinned set
+        # is the filtered dimension side, bounded well below the facts
+        ord_f = (
+            orders.map_batches(date_filter, batch_format="pyarrow")
+            .join(
+                cust_keys,
+                join_type="left_semi",
+                num_partitions=16,
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+            .select_columns(["o_orderkey", "o_orderdate"])
+            .materialize()
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["l_shipdate"] > cutoff
+        df = df[keep]
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "rev4": np.round(
+                    (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+                    * 10000
+                ).astype(np.int64),
+            }
+        )
+        return out.groupby("l_orderkey", as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    def li_finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"], "rev4": df["sum(rev4)"].astype("int64")}
+        )
+
+    per_order = _preagg_native(
+        li, ["l_orderkey"], li_partial, [Sum("rev4")], li_finalize,
+        input_rows=_meta_rows(sf_dir, "lineitem"),
+    )
+
+    joined = ord_f.join(
+        per_order,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rev = t.column("rev4").to_numpy(zero_copy_only=False) / 10000.0
+        return pa.Table.from_arrays(
+            [
+                t.column("o_orderkey").cast(pa.int64()),
+                pa.array(rev, pa.float64()),
+                t.column("o_orderdate"),
+            ],
+            names=["o_orderkey", "revenue", "o_orderdate"],
+        )
+
+    return (
+        joined.map_batches(finalize, batch_format="pyarrow")
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_ORDERS_SHIPPING_PRIORITY = """
+SELECT o.o_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
 def q_docs_crawl_diff(sf_dir: str):
     """Two-crawl snapshot delta (added / removed / changed / unchanged
     per doc) via the zero-join sort-merge diff in stages/snapshot.py.

@@ -173,6 +173,8 @@ SQL_CHECKED = [
     "events_zorder_pruned",
     # r4 addition: global ntile via the distributed prefix scan
     "docs_length_deciles",
+    # r4 addition: TPC-H Q3 analog (3 tables, one exchange)
+    "orders_shipping_priority",
 ]
 
 
@@ -284,6 +286,21 @@ def test_sq8_layout_knn(registry, tmp_path):
     for v, s in zip(narrow["vec_id"], narrow["cosine_sim"]):
         if v in sim_of:
             assert s == sim_of[v]  # rerank restored the exact score
+
+
+def test_shipping_priority_both_paths_equal(registry):
+    """The broadcast segment filter and the left_semi join fallback
+    must produce identical top-10 rows."""
+    import file_analyzer_ray.queries_joins as qj
+
+    bc = _to_pandas(qj.q_orders_shipping_priority(SF_DIR)).reset_index(drop=True)
+    old = qj._SEGMENT_BROADCAST_MAX
+    try:
+        qj._SEGMENT_BROADCAST_MAX = 0
+        sj = _to_pandas(qj.q_orders_shipping_priority(SF_DIR)).reset_index(drop=True)
+    finally:
+        qj._SEGMENT_BROADCAST_MAX = old
+    pd.testing.assert_frame_equal(bc, sj)
 
 
 def test_pq_layout_knn(registry, tmp_path):
