@@ -724,6 +724,68 @@ ORDER BY doc_id
 """
 
 
+def q_events_burst_suppress(sf_dir: str):
+    """Telemetry burst suppression — the throttling dedup a streaming
+    ingest runs before counting: an event is KEPT only when the
+    previous event of the same (user, type) is at least the cooldown
+    (1 day) older; duplicates inside the window are suppressed (35% of
+    rows at sf0.01). One sort co-partitions each (user, type) stream
+    (`_window_by_key_arrow`), then a vectorized shifted-diff per run —
+    the per-key `lag()` without per-key dispatch. Integer epoch-µs
+    arithmetic, so the window-function oracle matches exactly."""
+    cooldown_us = 86_400_000_000  # 1 day
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t.column("event_id").cast(pa.int64()),
+                t.column("user_id").cast(pa.int64()),
+                t.column("event_type"),
+                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            ],
+            names=["event_id", "user_id", "event_type", "ts_us"],
+        )
+
+    out_schema = pa.schema([("event_id", pa.int64()), ("kept", pa.bool_())])
+
+    def suppress(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        from .query_utils import _run_starts_mask_arrow
+
+        starts = _run_starts_mask_arrow(t, ["user_id", "event_type"])
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[0] = cooldown_us
+        gap[1:] = ts[1:] - ts[:-1]
+        kept = starts | (gap >= cooldown_us)
+        return pa.Table.from_arrays(
+            [t.column("event_id"), pa.array(kept)],
+            names=["event_id", "kept"],
+        )
+
+    from .query_utils import _window_by_key_arrow
+
+    return _window_by_key_arrow(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        ["user_id", "event_type", "ts_us", "event_id"],
+        suppress,
+    ).sort("event_id")
+
+
+SQL_EVENTS_BURST_SUPPRESS = """
+SELECT event_id,
+       COALESCE(epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id))
+         >= 86400000000, TRUE) AS kept
+FROM events
+ORDER BY event_id
+"""
+
+
 def q_events_value_percentiles_approx(sf_dir: str):
     """Histogram-sketch approximate percentiles per event type,
     SELF-VERIFYING so the driver can oracle-check it (same pattern as
@@ -3760,6 +3822,7 @@ RETIRED_QUERIES.update(
         "events_late_arrivals": q_events_late_arrivals,
         "events_zorder_pruned": q_events_zorder_pruned,
         "docs_length_deciles": q_docs_length_deciles,
+        "events_burst_suppress": q_events_burst_suppress,
     }
 )
 
@@ -3811,6 +3874,7 @@ RETIRED_ORACLE_SQL.update(
         "events_late_arrivals": SQL_EVENTS_LATE_ARRIVALS,
         "events_zorder_pruned": SQL_EVENTS_ZORDER_PRUNED,
         "docs_length_deciles": SQL_DOCS_LENGTH_DECILES,
+        "events_burst_suppress": SQL_EVENTS_BURST_SUPPRESS,
         "docs_shuffle_export": SQL_DOCS_SHUFFLE_EXPORT,
     }
 )

@@ -175,6 +175,8 @@ SQL_CHECKED = [
     "docs_length_deciles",
     # r4 addition: TPC-H Q3 analog (3 tables, one exchange)
     "orders_shipping_priority",
+    # r4 addition: cooldown-window burst suppression (telemetry dedup)
+    "events_burst_suppress",
 ]
 
 
