@@ -786,6 +786,79 @@ ORDER BY event_id
 """
 
 
+def q_events_value_zscore(sf_dir: str):
+    """Per-group z-score outlier flagging — grouped mean/stddev as
+    EXACT integer moments (n, Σcents, Σcents², one bounded partial row
+    per batch per type), broadcast, then a row-local flag pass:
+    |v − mean| > 1.5·σ (sample stddev). The float path (one division,
+    one multiply chain, one sqrt — all IEEE-exact ops) mirrors the SQL
+    twin expression-for-expression, so the oracle matches bit-for-bit
+    without trusting DuckDB's own stddev implementation. Σcents² in
+    int64 holds to ~10^9 rows per group; past that the partial fold
+    would move to Python ints / two-level split."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        vc = _cents(df["value"]).astype("int64")
+        out = pd.DataFrame(
+            {"event_type": df["event_type"], "n": 1, "s": vc, "ss": vc * vc}
+        )
+        return out.groupby("event_type", as_index=False).sum()
+
+    parts = ds.map_batches(
+        moments, batch_format="pandas", batch_size=65536
+    ).take_all()  # bounded: one row per (block, type)
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["event_type"], [0, 0, 0])
+        a[0] += int(r["n"]); a[1] += int(r["s"]); a[2] += int(r["ss"])
+    stats = {
+        t: (
+            s / n,  # mean (cents, double)
+            1.5
+            * np.sqrt((float(ss) - float(s) * float(s) / n) / (n - 1)),
+        )
+        for t, (n, s, ss) in agg.items()
+    }
+    ref = ray.put(stats)
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        vc = np.round(
+            t.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        types = t.column("event_type").to_pylist()
+        mean = np.array([st[x][0] for x in types])
+        thr = np.array([st[x][1] for x in types])
+        out = np.abs(vc.astype(np.float64) - mean) > thr
+        return pa.Table.from_arrays(
+            [t.column("event_id").cast(pa.int64()), pa.array(out)],
+            names=["event_id", "is_outlier"],
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow").sort("event_id")
+
+
+SQL_EVENTS_VALUE_ZSCORE = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS vc
+  FROM events
+),
+st AS (
+  SELECT event_type, count(*) AS n,
+         sum(vc) AS s, sum(vc*vc) AS ss
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id,
+       abs(CAST(c.vc AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+         > 1.5 * sqrt((CAST(st.ss AS DOUBLE)
+                       - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n)
+                      / (st.n - 1)) AS is_outlier
+FROM c JOIN st USING (event_type)
+ORDER BY c.event_id
+"""
+
+
 def q_events_value_percentiles_approx(sf_dir: str):
     """Histogram-sketch approximate percentiles per event type,
     SELF-VERIFYING so the driver can oracle-check it (same pattern as
@@ -3823,6 +3896,7 @@ RETIRED_QUERIES.update(
         "events_zorder_pruned": q_events_zorder_pruned,
         "docs_length_deciles": q_docs_length_deciles,
         "events_burst_suppress": q_events_burst_suppress,
+        "events_value_zscore": q_events_value_zscore,
     }
 )
 
@@ -3875,6 +3949,7 @@ RETIRED_ORACLE_SQL.update(
         "events_zorder_pruned": SQL_EVENTS_ZORDER_PRUNED,
         "docs_length_deciles": SQL_DOCS_LENGTH_DECILES,
         "events_burst_suppress": SQL_EVENTS_BURST_SUPPRESS,
+        "events_value_zscore": SQL_EVENTS_VALUE_ZSCORE,
         "docs_shuffle_export": SQL_DOCS_SHUFFLE_EXPORT,
     }
 )

@@ -177,6 +177,8 @@ SQL_CHECKED = [
     "orders_shipping_priority",
     # r4 addition: cooldown-window burst suppression (telemetry dedup)
     "events_burst_suppress",
+    # r4 addition: grouped z-score outliers from exact integer moments
+    "events_value_zscore",
 ]
 
 
