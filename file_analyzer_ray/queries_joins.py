@@ -829,7 +829,9 @@ SELECT (SELECT count(*) FROM fv) AS n_view,
 
 def q_graph_triangles(sf_dir: str):
     """Per-node triangle counts over the part co-occurrence graph
-    (parts sharing an order are adjacent), top 100 nodes by count —
+    (parts repeatedly bought together: co-occurrence support >= 2, the
+    frequent-itemset sparsifier — one-off co-purchases are noise and
+    their raw pair set is quadratically dense), top 100 nodes by count —
     the structural-affinity sibling of graph_pagerank. Degree-ordered
     wedge join (stages/triangles.py): orient edges low→high by
     (degree, id) so every out-degree is O(√m), ONE sort per super-
@@ -840,7 +842,7 @@ def q_graph_triangles(sf_dir: str):
     from .stages.triangles import cooccurrence_edges, triangle_counts
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
     counts = triangle_counts(
         edges, n_nodes_hint=_meta_rows(sf_dir, "part")
     )
@@ -1134,9 +1136,11 @@ ORDER BY event_id
 SQL_GRAPH_TRIANGLES = """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM op a JOIN op b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
 ),
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c

@@ -142,12 +142,20 @@ def _emit_run_pairs(
 
 
 def cooccurrence_edges(
-    ds: "ray.data.Dataset", key: str, val: str
+    ds: "ray.data.Dataset", key: str, val: str, min_support: int = 1
 ) -> "ray.data.Dataset":
     """Distinct undirected edges ``(u, v)``, ``u < v``, between values
-    co-occurring under the same key (items sharing a basket). Input
-    may carry duplicate (key, val) rows; they are deduped first so a
-    repeated item never fabricates a self-loop."""
+    co-occurring under the same key (items sharing a basket), kept
+    only when they co-occur under at least ``min_support`` distinct
+    keys. Input may carry duplicate (key, val) rows; they are deduped
+    first so a repeated item never fabricates a self-loop.
+
+    ``min_support=2`` is the frequent-itemset sparsifier that makes
+    triangle counting tractable on dense co-occurrence data: random
+    one-off co-purchases dominate the raw pair set (1.2M edges over
+    20k parts at sf0.1 → avg degree ~120 → O(m^1.5) wedge explosion),
+    while repeated pairs are the actual affinity signal (3.6k edges
+    at the same tier)."""
     dv = _distinct_native(ds, [key, val])
 
     def emit(t: pa.Table) -> pa.Table:
@@ -164,7 +172,20 @@ def cooccurrence_edges(
         )
 
     pairs = _window_by_key_arrow(dv, [key], [key, val], emit)
-    return _distinct_native(pairs, ["u", "v"])
+    if min_support <= 1:
+        return _distinct_native(pairs, ["u", "v"])
+
+    def support(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        # one (u, v) row per qualifying pair: runs are per-basket
+        # emissions (one per distinct basket containing both), so the
+        # run length IS the pair's support
+        starts, lengths = _runs(t, ["u", "v"])
+        keep = starts[lengths >= min_support]
+        return t.take(pa.array(keep)).select(["u", "v"])
+
+    return _window_by_key_arrow(pairs, ["u", "v"], ["u", "v"], support)
 
 
 def _sum_by_node(part: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
