@@ -859,6 +859,110 @@ ORDER BY c.event_id
 """
 
 
+def q_events_table_profile(sf_dir: str):
+    """Table profiler — the schema-audit pass a pipeline runs before
+    trusting a new data drop: per column, null count, EXACT distinct
+    count, numeric min/max (timestamps as epoch-µs; the string column
+    reports NULL bounds), plus a per-column flag that the mergeable
+    HLL sketch (the 10^12-scale path, where the exact pass would be
+    one sort per column) landed inside its 3σ bound. Nulls/min/max
+    fold into one partial row per batch (bounded driver merge);
+    distinct counts run the native two-level distinct per column.
+    Numeric bounds ≤ 2^53 stay exact as doubles, so the UNION-ALL
+    DuckDB oracle matches bit-for-bit."""
+    from .query_utils import _distinct_native
+    from .stages.sketches import approx_distinct
+
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    ds = _read(sf_dir, "events", cols)
+
+    def to_num(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t.column("event_id").cast(pa.int64()).cast(pa.float64()),
+                t.column("user_id").cast(pa.int64()).cast(pa.float64()),
+                t.column("event_type"),
+                t.column("value").cast(pa.float64()),
+                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).cast(pa.float64()),
+            ],
+            names=cols,
+        )
+
+    nds = ds.map_batches(to_num, batch_format="pyarrow").materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        arrs, names = [], []
+        for c in cols:
+            col = t.column(c)
+            nn = col.null_count
+            if c == "event_type":
+                mn = mx = None
+            else:
+                mn = pc.min(col).as_py()
+                mx = pc.max(col).as_py()
+            arrs += [
+                pa.array([nn], pa.int64()),
+                pa.array([mn], pa.float64()),
+                pa.array([mx], pa.float64()),
+            ]
+            names += [f"nn_{c}", f"mn_{c}", f"mx_{c}"]
+        return pa.Table.from_arrays(arrs, names=names)
+
+    parts = nds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()  # bounded: one tiny row per block
+    sigma3 = 3 * 1.04 / (1 << 12) ** 0.5
+
+    rows = []
+    for c in cols:
+        nn = sum(r[f"nn_{c}"] for r in parts)
+        mns = [r[f"mn_{c}"] for r in parts if r[f"mn_{c}"] is not None]
+        mxs = [r[f"mx_{c}"] for r in parts if r[f"mx_{c}"] is not None]
+        exact = int(_distinct_native(nds.select_columns([c]), [c]).count())
+        est = int(
+            approx_distinct(nds.select_columns([c]), c, p=12)[
+                "n_distinct_approx"
+            ].iloc[0]
+        )
+        rows.append(
+            {
+                "column": c,
+                "n_nulls": nn,
+                "n_distinct": exact,
+                "min_num": min(mns) if mns else None,
+                "max_num": max(mxs) if mxs else None,
+                "hll_ok": abs(est - exact) <= sigma3 * max(exact, 1),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
+
+
+SQL_EVENTS_TABLE_PROFILE = """
+WITH n AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'event_id' AS "column", count(*) - count(event_id) AS n_nulls,
+         count(DISTINCT event_id) AS n_distinct,
+         CAST(min(event_id) AS DOUBLE) AS min_num,
+         CAST(max(event_id) AS DOUBLE) AS max_num, TRUE AS hll_ok FROM n
+  UNION ALL
+  SELECT 'user_id', count(*) - count(user_id), count(DISTINCT user_id),
+         CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE), TRUE FROM n
+  UNION ALL
+  SELECT 'event_type', count(*) - count(event_type), count(DISTINCT event_type),
+         NULL, NULL, TRUE FROM n
+  UNION ALL
+  SELECT 'value', count(*) - count(value), count(DISTINCT value),
+         min(value), max(value), TRUE FROM n
+  UNION ALL
+  SELECT 'ts', count(*) - count(ts), count(DISTINCT ts),
+         CAST(min(ts) AS DOUBLE), CAST(max(ts) AS DOUBLE), TRUE FROM n
+) ORDER BY "column"
+"""
+
+
 def q_events_value_percentiles_approx(sf_dir: str):
     """Histogram-sketch approximate percentiles per event type,
     SELF-VERIFYING so the driver can oracle-check it (same pattern as
@@ -3897,6 +4001,7 @@ RETIRED_QUERIES.update(
         "docs_length_deciles": q_docs_length_deciles,
         "events_burst_suppress": q_events_burst_suppress,
         "events_value_zscore": q_events_value_zscore,
+        "events_table_profile": q_events_table_profile,
     }
 )
 
@@ -3950,6 +4055,7 @@ RETIRED_ORACLE_SQL.update(
         "docs_length_deciles": SQL_DOCS_LENGTH_DECILES,
         "events_burst_suppress": SQL_EVENTS_BURST_SUPPRESS,
         "events_value_zscore": SQL_EVENTS_VALUE_ZSCORE,
+        "events_table_profile": SQL_EVENTS_TABLE_PROFILE,
         "docs_shuffle_export": SQL_DOCS_SHUFFLE_EXPORT,
     }
 )

@@ -179,6 +179,8 @@ SQL_CHECKED = [
     "events_burst_suppress",
     # r4 addition: grouped z-score outliers from exact integer moments
     "events_value_zscore",
+    # r4 addition: table profiler (nulls / exact distinct / bounds + HLL flag)
+    "events_table_profile",
 ]
 
 
