@@ -963,6 +963,45 @@ SELECT * FROM (
 """
 
 
+def q_part_fuzzy_match(sf_dir: str):
+    """Blocked fuzzy record linkage over part names (the entity-merge
+    primitive of catalog / crawl dedup; reference analog: the tag and
+    filename normalization family, src/core/analyzer.py). Ray shape:
+    distinct-name compression (bounded-key combiner aggregate) →
+    token blocking via ONE sort + vectorized within-run pair gen →
+    pairwise Levenshtein DP vectorized ACROSS pairs (numpy cube) →
+    integer similarity gate. Blocking (>= 1 shared token) is part of
+    the spec; the DuckDB oracle applies the identical predicate, so
+    equality is exact (all-integer output)."""
+    from .stages.fuzzy import fuzzy_name_matches
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    return fuzzy_name_matches(ds, "p_name", threshold_pct=60)
+
+
+SQL_PART_FUZZY_MATCH = """
+WITH names AS (
+  SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY p_name
+),
+toks AS (
+  SELECT name, n_rows, list_distinct(string_split(name, ' ')) AS ts
+  FROM names
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+       CAST((100 * (greatest(len(a.name), len(b.name))
+                    - levenshtein(a.name, b.name)))
+            // greatest(len(a.name), len(b.name)) AS BIGINT) AS sim_pct,
+       a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+FROM toks a, toks b
+WHERE a.name < b.name
+  AND len(list_intersect(a.ts, b.ts)) >= 1
+  AND 100 * (greatest(len(a.name), len(b.name))
+             - levenshtein(a.name, b.name))
+      >= 60 * greatest(len(a.name), len(b.name))
+"""
+
+
 def q_events_value_percentiles_approx(sf_dir: str):
     """Histogram-sketch approximate percentiles per event type,
     SELF-VERIFYING so the driver can oracle-check it (same pattern as
@@ -4002,6 +4041,7 @@ RETIRED_QUERIES.update(
         "events_burst_suppress": q_events_burst_suppress,
         "events_value_zscore": q_events_value_zscore,
         "events_table_profile": q_events_table_profile,
+        "part_fuzzy_match": q_part_fuzzy_match,
     }
 )
 
@@ -4057,5 +4097,6 @@ RETIRED_ORACLE_SQL.update(
         "events_value_zscore": SQL_EVENTS_VALUE_ZSCORE,
         "events_table_profile": SQL_EVENTS_TABLE_PROFILE,
         "docs_shuffle_export": SQL_DOCS_SHUFFLE_EXPORT,
+        "part_fuzzy_match": SQL_PART_FUZZY_MATCH,
     }
 )

@@ -181,6 +181,9 @@ SQL_CHECKED = [
     "events_value_zscore",
     # r4 addition: table profiler (nulls / exact distinct / bounds + HLL flag)
     "events_table_profile",
+    # r4 addition: blocked fuzzy record linkage (compression -> token
+    # blocking -> vectorized-across-pairs Levenshtein)
+    "part_fuzzy_match",
 ]
 
 
