@@ -1002,6 +1002,52 @@ WHERE a.name < b.name
 """
 
 
+def q_events_skyline(sf_dir: str):
+    """2-D Pareto skyline of events over (value, ts) minimization —
+    the earliest-and-cheapest non-dominated frontier (multi-criteria
+    pruning before an expensive downstream stage). Skyline is an
+    idempotent associative reduction, so it runs as a combiner
+    aggregate: per-batch vectorized frontier (lexsort + run-min +
+    prefix-min) kills ~everything at the read, a cascade re-reduce,
+    one in-process merge of the O(log n)-sized candidate set — no
+    shuffle (stages/skyline.py). Oracle: the NOT EXISTS dominance
+    definition verbatim."""
+    from .stages.skyline import skyline
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        tu = pc.cast(t.column("ts"), pa.timestamp("us")).cast(pa.int64())
+        out = pa.Table.from_arrays(
+            [t.column("event_id"), t.column("value"), tu],
+            names=["event_id", "value", "tu"],
+        )
+        mask = pc.and_(
+            pc.is_valid(out.column("value")), pc.is_valid(out.column("tu"))
+        )
+        return out.filter(mask)
+
+    return skyline(
+        ds.map_batches(prep, batch_format="pyarrow"), "value", "tu"
+    ).sort("event_id")
+
+
+SQL_EVENTS_SKYLINE = """
+WITH t AS (
+  SELECT event_id, value, epoch_us(ts) AS tu
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+)
+SELECT a.event_id, a.value, a.tu
+FROM t a
+WHERE NOT EXISTS (
+  SELECT 1 FROM t b
+  WHERE b.value <= a.value AND b.tu <= a.tu
+    AND (b.value < a.value OR b.tu < a.tu)
+)
+ORDER BY event_id
+"""
+
+
 def q_events_value_percentiles_approx(sf_dir: str):
     """Histogram-sketch approximate percentiles per event type,
     SELF-VERIFYING so the driver can oracle-check it (same pattern as
@@ -4042,6 +4088,7 @@ RETIRED_QUERIES.update(
         "events_value_zscore": q_events_value_zscore,
         "events_table_profile": q_events_table_profile,
         "part_fuzzy_match": q_part_fuzzy_match,
+        "events_skyline": q_events_skyline,
     }
 )
 
@@ -4098,5 +4145,6 @@ RETIRED_ORACLE_SQL.update(
         "events_table_profile": SQL_EVENTS_TABLE_PROFILE,
         "docs_shuffle_export": SQL_DOCS_SHUFFLE_EXPORT,
         "part_fuzzy_match": SQL_PART_FUZZY_MATCH,
+        "events_skyline": SQL_EVENTS_SKYLINE,
     }
 )

@@ -184,6 +184,8 @@ SQL_CHECKED = [
     # r4 addition: blocked fuzzy record linkage (compression -> token
     # blocking -> vectorized-across-pairs Levenshtein)
     "part_fuzzy_match",
+    # r4 addition: distributed Pareto skyline (combiner-shaped frontier)
+    "events_skyline",
 ]
 
 
