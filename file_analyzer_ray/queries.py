@@ -1032,6 +1032,77 @@ def q_events_skyline(sf_dir: str):
     ).sort("event_id")
 
 
+def q_events_markov(sf_dir: str):
+    """Per-user event-sequence transition counts (the first-order
+    Markov matrix over event types — the sequence-mining / next-event-
+    model primitive). ONE sort co-partitions each user's stream in
+    time order (ties broken by event_id: a total order, so the window
+    engine's unstable boundary re-sort is safe); transitions are the
+    shifted-slice pairs within user runs — no per-user dispatch, no
+    lag() machinery. Counts fold per block (|types|² bounded key
+    space) and merge in-process, the `_preagg_native` argument."""
+    from .query_utils import _run_starts_mask_arrow, _window_by_key_arrow
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        tu = pc.cast(t.column("ts"), pa.timestamp("us")).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [t.column("user_id"), tu, t.column("event_id"),
+             t.column("event_type")],
+            names=["user_id", "tu", "event_id", "event_type"],
+        )
+
+    def _counts(pt: pa.Table) -> pa.Table:
+        g = pt.group_by(["from_type", "to_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["from_type", "to_type", "n"])
+
+    def transitions(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows < 2:
+            return empty
+        starts = _run_starts_mask_arrow(t, ["user_id"])
+        et = t.column("event_type").combine_chunks()
+        pt = pa.Table.from_arrays(
+            [
+                et.slice(0, t.num_rows - 1),
+                et.slice(1),
+                pa.array(np.ones(t.num_rows - 1, dtype=np.int64)),
+            ],
+            names=["from_type", "to_type", "n"],
+        ).filter(pa.array(~starts[1:]))
+        return _counts(pt)
+
+    part = _window_by_key_arrow(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        ["user_id", "tu", "event_id"],
+        transitions,
+    ).map_batches(_counts, batch_format="pyarrow", batch_size=65536)
+    merged = _counts(pa.concat_tables(ray.get(part.to_arrow_refs())))
+    return ray.data.from_arrow(merged).sort(["from_type", "to_type"])
+
+
+SQL_EVENTS_MARKOV = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY prev, event_type
+ORDER BY from_type, to_type
+"""
+
+
 SQL_EVENTS_SKYLINE = """
 WITH t AS (
   SELECT event_id, value, epoch_us(ts) AS tu
@@ -4089,6 +4160,7 @@ RETIRED_QUERIES.update(
         "events_table_profile": q_events_table_profile,
         "part_fuzzy_match": q_part_fuzzy_match,
         "events_skyline": q_events_skyline,
+        "events_markov": q_events_markov,
     }
 )
 
@@ -4146,5 +4218,6 @@ RETIRED_ORACLE_SQL.update(
         "docs_shuffle_export": SQL_DOCS_SHUFFLE_EXPORT,
         "part_fuzzy_match": SQL_PART_FUZZY_MATCH,
         "events_skyline": SQL_EVENTS_SKYLINE,
+        "events_markov": SQL_EVENTS_MARKOV,
     }
 )

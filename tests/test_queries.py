@@ -186,6 +186,8 @@ SQL_CHECKED = [
     "part_fuzzy_match",
     # r4 addition: distributed Pareto skyline (combiner-shaped frontier)
     "events_skyline",
+    # r4 addition: per-user event-transition (Markov bigram) counts
+    "events_markov",
 ]
 
 
