@@ -1089,6 +1089,92 @@ def q_events_markov(sf_dir: str):
     return ray.data.from_arrow(merged).sort(["from_type", "to_type"])
 
 
+def q_events_rolling_active_users(sf_dir: str):
+    """Trailing-24h distinct active users per hour bucket (the rolling
+    DAU/WAU engagement metric). Sliding-window DISTINCT without any
+    window machinery: (hour, user) exact dedup (`_distinct_native` —
+    per-batch Arrow dedup, one sort, run-scan) collapses the corpus to
+    presence pairs; each pair then FANS OUT to the <=24 window buckets
+    it can serve (bounded explode, filtered to observed buckets — the
+    observed-hour set is calendar-bounded, merged in-process and
+    captured by the filter closure, i.e. broadcast once); a second
+    dedup over (bucket, user) kills multi-hour repeats; bounded-key
+    counts fold per block and merge in-process. Corpus-sized data
+    crosses the exchange exactly twice (the two dedup sorts) — no
+    per-window state, no per-user dispatch."""
+    from .query_utils import _distinct_native
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    hour_us = 3_600_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        tu = pc.cast(t.column("ts"), pa.timestamp("us")).cast(pa.int64())
+        h = pc.divide(tu, hour_us)
+        return pa.Table.from_arrays(
+            [h, t.column("user_id")], names=["h", "user_id"]
+        )
+
+    pres = _distinct_native(
+        ds.map_batches(prep, batch_format="pyarrow"), ["h", "user_id"]
+    ).materialize()
+
+    def hours_only(t: pa.Table) -> pa.Table:
+        return t.select(["h"]).group_by(["h"]).aggregate([])
+
+    observed = pa.concat_tables(
+        ray.get(pres.map_batches(hours_only, batch_format="pyarrow").to_arrow_refs())
+    )
+    hour_set = np.unique(observed.column("h").to_numpy(zero_copy_only=False))
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"hour": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64())}
+            )
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        w = np.repeat(h, 24) + np.tile(np.arange(24, dtype=np.int64), len(h))
+        uu = np.repeat(u, 24)
+        keep = np.isin(w, hour_set)
+        return pa.table(
+            {"hour": pa.array(w[keep], pa.int64()),
+             "user_id": pa.array(uu[keep], pa.int64())}
+        )
+
+    served = _distinct_native(
+        pres.map_batches(fan_out, batch_format="pyarrow"),
+        ["hour", "user_id"],
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["hour"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["hour", "users_24h"])
+
+    def recount(t: pa.Table) -> pa.Table:
+        g = t.group_by(["hour"]).aggregate([("users_24h", "sum")])
+        return g.rename_columns(["hour", "users_24h"])
+
+    part = served.map_batches(
+        counts, batch_format="pyarrow", batch_size=65536
+    ).map_batches(recount, batch_format="pyarrow", batch_size=65536)
+    merged = recount(pa.concat_tables(ray.get(part.to_arrow_refs())))
+    return ray.data.from_arrow(merged).sort("hour")
+
+
+SQL_EVENTS_ROLLING_ACTIVE_USERS = """
+WITH du AS (
+  SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, user_id
+  FROM events
+),
+hrs AS (SELECT DISTINCT h FROM du)
+SELECT hrs.h AS hour, COUNT(DISTINCT du.user_id) AS users_24h
+FROM hrs JOIN du ON du.h BETWEEN hrs.h - 23 AND hrs.h
+GROUP BY hrs.h
+ORDER BY hour
+"""
+
+
 SQL_EVENTS_MARKOV = """
 WITH s AS (
   SELECT user_id, event_type,
@@ -4161,6 +4247,7 @@ RETIRED_QUERIES.update(
         "part_fuzzy_match": q_part_fuzzy_match,
         "events_skyline": q_events_skyline,
         "events_markov": q_events_markov,
+        "events_rolling_active_users": q_events_rolling_active_users,
     }
 )
 
@@ -4219,5 +4306,6 @@ RETIRED_ORACLE_SQL.update(
         "part_fuzzy_match": SQL_PART_FUZZY_MATCH,
         "events_skyline": SQL_EVENTS_SKYLINE,
         "events_markov": SQL_EVENTS_MARKOV,
+        "events_rolling_active_users": SQL_EVENTS_ROLLING_ACTIVE_USERS,
     }
 )

@@ -188,6 +188,8 @@ SQL_CHECKED = [
     "events_skyline",
     # r4 addition: per-user event-transition (Markov bigram) counts
     "events_markov",
+    # r4 addition: trailing-24h rolling distinct active users
+    "events_rolling_active_users",
 ]
 
 
