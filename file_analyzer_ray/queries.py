@@ -1162,6 +1162,88 @@ def q_events_rolling_active_users(sf_dir: str):
     return ray.data.from_arrow(merged).sort("hour")
 
 
+def q_events_hourly_regression(sf_dir: str):
+    """Grouped OLS fit + Pearson correlation of event value against
+    hour-of-day — the distributed statistical-model-fit primitive
+    (drift detection, seasonality screening). The entire corpus folds
+    to SIX moments per group inside map_batches (n, Σx, Σy, Σxy, Σx²,
+    Σy²) — sums re-reduce losslessly, so the plan is combiner →
+    cascade → one in-process closed-form solve; nothing shuffles, no
+    second pass. x = hour-of-day (bounded magnitude, so the moment
+    formulas are numerically benign vs the oracle's streaming
+    kernels)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        tu = pc.cast(t.column("ts"), pa.timestamp("us")).cast(pa.int64())
+        ok = pc.and_(pc.is_valid(tu), pc.is_valid(t.column("value")))
+        hod = (
+            tu.to_numpy(zero_copy_only=False) // 3_600_000_000
+        ) % 24  # no pc.mod kernel in this pyarrow
+        t = pa.Table.from_arrays(
+            [t.column("event_type"),
+             pa.array(hod.astype(np.float64), pa.float64()),
+             t.column("value")],
+            names=["event_type", "x", "y"],
+        ).filter(ok)
+        x = t.column("x")
+        y = t.column("y")
+        m = pa.Table.from_arrays(
+            [t.column("event_type"), x, y,
+             pc.multiply(x, y), pc.multiply(x, x), pc.multiply(y, y)],
+            names=["event_type", "sx", "sy", "sxy", "sxx", "syy"],
+        )
+        g = m.group_by(["event_type"]).aggregate(
+            [("sx", "count"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "n", "sx", "sy", "sxy", "sxx", "syy"]
+        )
+
+    def refold(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "n", "sx", "sy", "sxy", "sxx", "syy"]
+        )
+
+    part = ds.map_batches(
+        fold, batch_format="pyarrow", batch_size=65536
+    ).map_batches(refold, batch_format="pyarrow", batch_size=65536)
+    m = refold(pa.concat_tables(ray.get(part.to_arrow_refs()))).to_pandas()
+    n = m["n"].astype(float)
+    cov = n * m["sxy"] - m["sx"] * m["sy"]
+    varx = n * m["sxx"] - m["sx"] ** 2
+    vary = n * m["syy"] - m["sy"] ** 2
+    slope = cov / varx
+    out = pd.DataFrame(
+        {
+            "event_type": m["event_type"],
+            "n": m["n"].astype(np.int64),
+            "slope": slope,
+            "intercept": (m["sy"] - slope * m["sx"]) / n,
+            "r": cov / np.sqrt(varx * vary),
+        }
+    ).sort_values("event_type").reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
+SQL_EVENTS_HOURLY_REGRESSION = """
+WITH t AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE) AS x,
+         value AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+)
+SELECT event_type, COUNT(*) AS n, regr_slope(y, x) AS slope,
+       regr_intercept(y, x) AS intercept, corr(y, x) AS r
+FROM t GROUP BY event_type ORDER BY event_type
+"""
+
+
 SQL_EVENTS_ROLLING_ACTIVE_USERS = """
 WITH du AS (
   SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, user_id
@@ -4248,6 +4330,7 @@ RETIRED_QUERIES.update(
         "events_skyline": q_events_skyline,
         "events_markov": q_events_markov,
         "events_rolling_active_users": q_events_rolling_active_users,
+        "events_hourly_regression": q_events_hourly_regression,
     }
 )
 
@@ -4307,5 +4390,6 @@ RETIRED_ORACLE_SQL.update(
         "events_skyline": SQL_EVENTS_SKYLINE,
         "events_markov": SQL_EVENTS_MARKOV,
         "events_rolling_active_users": SQL_EVENTS_ROLLING_ACTIVE_USERS,
+        "events_hourly_regression": SQL_EVENTS_HOURLY_REGRESSION,
     }
 )

@@ -190,6 +190,8 @@ SQL_CHECKED = [
     "events_markov",
     # r4 addition: trailing-24h rolling distinct active users
     "events_rolling_active_users",
+    # r4 addition: grouped OLS + Pearson r via six folded moments
+    "events_hourly_regression",
 ]
 
 
