@@ -1231,6 +1231,66 @@ def q_events_hourly_regression(sf_dir: str):
     return ray.data.from_pandas(out)
 
 
+def q_events_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix (behavioral-
+    diversity scoring — the bot/spam screening analog of the docs
+    quality family, and a per-entity DISTRIBUTION aggregate rather
+    than a scalar one). ONE sort by (user, type) yields complete user
+    groups; per-(user,type) counts AND per-user entropy both fall out
+    of the same run-boundary masks via np.bincount/reduceat — no
+    joins, no second pass, no per-user dispatch. User cardinality
+    scales with the corpus, so the group engine is the windowed
+    sort + side-channel path, never a driver fold."""
+    from .query_utils import _run_starts_mask_arrow, _window_by_key_arrow
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def ent(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "entropy": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ut_starts = np.flatnonzero(
+            _run_starts_mask_arrow(t, ["user_id", "event_type"])
+        )
+        u_starts = np.flatnonzero(_run_starts_mask_arrow(t, ["user_id"]))
+        counts = np.diff(np.append(ut_starts, t.num_rows)).astype(np.float64)
+        urid = np.searchsorted(u_starts, ut_starts, side="right") - 1
+        tot = np.bincount(urid, weights=counts)
+        p = counts / tot[urid]
+        entropy = np.bincount(urid, weights=-p * np.log(p))
+        uids = t.column("user_id").take(pa.array(u_starts))
+        return pa.table(
+            {
+                "user_id": uids,
+                "n_events": pa.array(tot.astype(np.int64), pa.int64()),
+                "entropy": pa.array(entropy, pa.float64()),
+            }
+        )
+
+    return _window_by_key_arrow(
+        ds, ["user_id"], ["user_id", "event_type"], ent
+    ).sort("user_id")
+
+
+SQL_EVENTS_USER_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+),
+u AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.user_id, CAST(u.tot AS BIGINT) AS n_events,
+       -sum((n / tot) * ln(n / tot)) AS entropy
+FROM c JOIN u USING (user_id)
+GROUP BY c.user_id, u.tot
+ORDER BY user_id
+"""
+
+
 SQL_EVENTS_HOURLY_REGRESSION = """
 WITH t AS (
   SELECT event_type,
@@ -4331,6 +4391,7 @@ RETIRED_QUERIES.update(
         "events_markov": q_events_markov,
         "events_rolling_active_users": q_events_rolling_active_users,
         "events_hourly_regression": q_events_hourly_regression,
+        "events_user_entropy": q_events_user_entropy,
     }
 )
 
@@ -4391,5 +4452,6 @@ RETIRED_ORACLE_SQL.update(
         "events_markov": SQL_EVENTS_MARKOV,
         "events_rolling_active_users": SQL_EVENTS_ROLLING_ACTIVE_USERS,
         "events_hourly_regression": SQL_EVENTS_HOURLY_REGRESSION,
+        "events_user_entropy": SQL_EVENTS_USER_ENTROPY,
     }
 )

@@ -192,6 +192,8 @@ SQL_CHECKED = [
     "events_rolling_active_users",
     # r4 addition: grouped OLS + Pearson r via six folded moments
     "events_hourly_regression",
+    # r4 addition: per-user Shannon entropy of the event-type mix
+    "events_user_entropy",
 ]
 
 
