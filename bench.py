@@ -214,7 +214,12 @@ def run_bench() -> dict:
                       # late-r4 additions: wedge-join triangles, zero-join
                       # snapshot diff, BM25 retrieval, global prefix scan
                       "graph_triangles", "docs_crawl_diff",
-                      "docs_bm25_search", "events_late_arrivals"):
+                      "docs_bm25_search", "events_late_arrivals",
+                      # final-r4 additions: fuzzy linkage, skyline,
+                      # markov transitions, rolling distinct, entropy
+                      "part_fuzzy_match", "events_skyline",
+                      "events_markov", "events_rolling_active_users",
+                      "events_user_entropy"):
             _best2(_name, lambda n=_name: _RQ[n](SF_DIR))
 
     result = {

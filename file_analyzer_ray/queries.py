@@ -1278,6 +1278,73 @@ def q_events_user_entropy(sf_dir: str):
     ).sort("user_id")
 
 
+def q_embeddings_gram(sf_dir: str):
+    """Distributed Gram matrix XᵀX over the embedding column — the
+    covariance / PCA / whitening precursor every embedding-quality
+    pipeline runs. The d×d result (64² here) is tiny while the input
+    is corpus-sized, so the whole computation is ONE streaming fold:
+    per batch a zero-copy reshape of the Arrow list values into
+    (n, d) and a single BLAS matmul accumulates the partial Gram; the
+    bounded d(d+1)/2 upper-triangle cells cascade-sum and merge
+    in-process. No shuffle, no second pass, compute is entirely
+    vectorized BLAS. Oracle: the unnest self-join statement of the
+    same sum (per-element float32→double cast matches numpy exactly;
+    only summation order differs — ~1e-13, inside the 1e-9 gate)."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        arr = (
+            col.combine_chunks()
+            if isinstance(col, pa.ChunkedArray)
+            else col
+        )
+        if arr.null_count > 0:
+            arr = arr.filter(arr.is_valid())
+        n = len(arr)
+        empty = pa.table(
+            {"i": pa.array([], pa.int64()), "j": pa.array([], pa.int64()),
+             "g": pa.array([], pa.float64())}
+        )
+        if n == 0:
+            return empty
+        vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(vals) // n
+        G = vals.reshape(n, d).T @ vals.reshape(n, d)
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array((iu + 1).astype(np.int64), pa.int64()),
+                "j": pa.array((ju + 1).astype(np.int64), pa.int64()),
+                "g": pa.array(G[iu, ju], pa.float64()),
+            }
+        )
+
+    def refold(t: pa.Table) -> pa.Table:
+        g = t.group_by(["i", "j"]).aggregate([("g", "sum")])
+        return g.rename_columns(["i", "j", "g"])
+
+    part = ds.map_batches(
+        fold, batch_format="pyarrow", batch_size=65536
+    ).map_batches(refold, batch_format="pyarrow", batch_size=65536)
+    merged = refold(pa.concat_tables(ray.get(part.to_arrow_refs())))
+    return ray.data.from_arrow(merged).sort(["i", "j"])
+
+
+SQL_EMBEDDINGS_GRAM = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       sum(a.v * b.v) AS g
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i
+ORDER BY i, j
+"""
+
+
 SQL_EVENTS_USER_ENTROPY = """
 WITH c AS (
   SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
@@ -4392,6 +4459,7 @@ RETIRED_QUERIES.update(
         "events_rolling_active_users": q_events_rolling_active_users,
         "events_hourly_regression": q_events_hourly_regression,
         "events_user_entropy": q_events_user_entropy,
+        "embeddings_gram": q_embeddings_gram,
     }
 )
 
@@ -4453,5 +4521,6 @@ RETIRED_ORACLE_SQL.update(
         "events_rolling_active_users": SQL_EVENTS_ROLLING_ACTIVE_USERS,
         "events_hourly_regression": SQL_EVENTS_HOURLY_REGRESSION,
         "events_user_entropy": SQL_EVENTS_USER_ENTROPY,
+        "embeddings_gram": SQL_EMBEDDINGS_GRAM,
     }
 )

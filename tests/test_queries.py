@@ -194,6 +194,8 @@ SQL_CHECKED = [
     "events_hourly_regression",
     # r4 addition: per-user Shannon entropy of the event-type mix
     "events_user_entropy",
+    # r4 addition: distributed Gram matrix (X^T X single-pass fold)
+    "embeddings_gram",
 ]
 
 
