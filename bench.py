@@ -219,7 +219,8 @@ def run_bench() -> dict:
                       # markov transitions, rolling distinct, entropy
                       "part_fuzzy_match", "events_skyline",
                       "events_markov", "events_rolling_active_users",
-                      "events_user_entropy", "embeddings_gram"):
+                      "events_user_entropy", "embeddings_gram",
+                      "events_chi2_independence"):
             _best2(_name, lambda n=_name: _RQ[n](SF_DIR))
 
     result = {

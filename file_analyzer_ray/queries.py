@@ -1331,6 +1331,66 @@ def q_embeddings_gram(sf_dir: str):
     return ray.data.from_arrow(merged).sort(["i", "j"])
 
 
+def q_events_chi2_independence(sf_dir: str):
+    """Chi-square independence screen over the (isodow × event_type)
+    contingency table — the feature-relevance / drift hypothesis test
+    a monitoring pipeline runs per dimension pair. The corpus folds to
+    bounded-cardinality cell counts inside map_batches (the combiner);
+    marginals, expected counts and per-cell χ² contributions are
+    closed-form on the merged 35-cell table in-process. One scan, no
+    shuffle. Emits per-cell rows (observed, expected, chi2_term) so
+    the oracle hash pins every contribution, not just the statistic."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "dow": df["ts"].dt.isocalendar().day.astype("int64"),
+                "event_type": df["event_type"],
+                "n": 1,
+            }
+        )
+        return out.groupby(["dow", "event_type"], as_index=False).sum()
+
+    part = ds.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).map_batches(partial_merge := (
+        lambda df: df.groupby(["dow", "event_type"], as_index=False).sum()
+    ), batch_format="pandas", batch_size=65536)
+    fine = partial_merge(part.to_pandas())
+    nn = float(fine["n"].sum())
+    rn = fine.groupby("event_type")["n"].transform("sum").astype(float)
+    cn = fine.groupby("dow")["n"].transform("sum").astype(float)
+    exp = rn * cn / nn
+    out = pd.DataFrame(
+        {
+            "event_type": fine["event_type"],
+            "dow": fine["dow"].astype(np.int64),
+            "n": fine["n"].astype(np.int64),
+            "expected": exp,
+            "chi2_term": (fine["n"] - exp) ** 2 / exp,
+        }
+    ).sort_values(["event_type", "dow"]).reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
+SQL_EVENTS_CHI2_INDEPENDENCE = """
+WITH c AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM c),
+rt AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS rn FROM c GROUP BY 1),
+ct AS (SELECT dow, CAST(sum(n) AS DOUBLE) AS cn FROM c GROUP BY 1)
+SELECT c.event_type, c.dow, c.n,
+       rn * cn / nn AS expected,
+       (c.n - rn * cn / nn) * (c.n - rn * cn / nn) / (rn * cn / nn)
+         AS chi2_term
+FROM c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot
+ORDER BY event_type, dow
+"""
+
+
 SQL_EMBEDDINGS_GRAM = """
 WITH x AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -4460,6 +4520,7 @@ RETIRED_QUERIES.update(
         "events_hourly_regression": q_events_hourly_regression,
         "events_user_entropy": q_events_user_entropy,
         "embeddings_gram": q_embeddings_gram,
+        "events_chi2_independence": q_events_chi2_independence,
     }
 )
 
@@ -4522,5 +4583,6 @@ RETIRED_ORACLE_SQL.update(
         "events_hourly_regression": SQL_EVENTS_HOURLY_REGRESSION,
         "events_user_entropy": SQL_EVENTS_USER_ENTROPY,
         "embeddings_gram": SQL_EMBEDDINGS_GRAM,
+        "events_chi2_independence": SQL_EVENTS_CHI2_INDEPENDENCE,
     }
 )

@@ -196,6 +196,8 @@ SQL_CHECKED = [
     "events_user_entropy",
     # r4 addition: distributed Gram matrix (X^T X single-pass fold)
     "embeddings_gram",
+    # r4 addition: chi-square independence screen (dow x type)
+    "events_chi2_independence",
 ]
 
 
