@@ -1114,6 +1114,11 @@ def q_events_rolling_active_users(sf_dir: str):
             [h, t.column("user_id")], names=["h", "user_id"]
         )
 
+    # Two consumers (observed-hour scan + fan-out) read the presence
+    # table, so it's pinned once; it is the COMPRESSED (hour, user)
+    # distinct — far smaller than the event stream — and the object
+    # store spills if needed. At 10^12 events the same plan would
+    # checkpoint it to parquet and read twice (the compare.py shape).
     pres = _distinct_native(
         ds.map_batches(prep, batch_format="pyarrow"), ["h", "user_id"]
     ).materialize()
@@ -1309,6 +1314,8 @@ def q_embeddings_gram(sf_dir: str):
         if n == 0:
             return empty
         vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(vals) % n:  # ragged embedding lengths would reshape wrong
+            raise ValueError("embeddings_gram requires fixed-dim vectors")
         d = len(vals) // n
         G = vals.reshape(n, d).T @ vals.reshape(n, d)
         iu, ju = np.triu_indices(d)
