@@ -4433,6 +4433,173 @@ FROM h
 """
 
 
+def q_graph_components(sf_dir: str):
+    """Weakly connected components of the part co-occurrence graph
+    (same support-≥2 edge set as graph_triangles) — the graph family's
+    third member beside pagerank (influence) and triangles (cohesion):
+    components answer "which catalog regions are one connected market".
+    Ray shape: the generic distributed min-label propagation already
+    load-bearing in ngram dedup (stages/text_dedup.py
+    cc_min_label_propagation — per round ONE sort + run-scan min, one
+    scalar convergence aggregate, rounds ∝ component diameter; nothing
+    corpus-sized ever lands on the driver). Output: one row per
+    component (label = min part id), size DESC. The DuckDB oracle
+    recomputes components with a recursive reachability CTE — fine at
+    oracle scale, quadratic in component size at corpus scale, which
+    is exactly why the engine side iterates min-label instead."""
+    from .stages.text_dedup import cc_min_label_propagation
+    from .stages.triangles import cooccurrence_edges
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+
+    def as_pairs(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id_a", "doc_id_b"])
+
+    labels = cc_min_label_propagation(
+        edges.select_columns(["u", "v"]).map_batches(
+            as_pairs, batch_format="pyarrow"
+        )
+    )
+
+    def partial_sizes(t: pa.Table) -> pa.Table:
+        g = t.group_by(["label"]).aggregate([([], "count_all")])
+        return g.rename_columns(["component", "n_nodes"])
+
+    sizes = (
+        labels.map_batches(partial_sizes, batch_format="pyarrow")
+        .groupby("component")
+        .aggregate(ray.data.aggregate.Sum("n_nodes", alias_name="n_nodes"))
+    )
+    return sizes.sort(["n_nodes", "component"], descending=[True, False])
+
+
+SQL_GRAPH_COMPONENTS = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+reach(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE r.a != e.v
+),
+labels AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)
+SELECT label AS component, count(*) AS n_nodes
+FROM labels GROUP BY label
+ORDER BY n_nodes DESC, component
+"""
+
+
+def q_docs_naive_bayes(sf_dir: str):
+    """Multinomial Naive Bayes language classifier TRAINED on the
+    corpus (stages/nb.py) — the train-on-your-own-data loop beside the
+    fixed-weight classifier and stopword langid. Sufficient statistics
+    are one vocabulary-bounded count table (combiner aggregate, no
+    shuffle), the model broadcasts once, scoring is stateless tasks.
+    The oracle replays training AND scoring in SQL (same tokenizer,
+    same add-one smoothing, same round-4/alphabetical-first argmax
+    contract as docs_langid / docs_perplexity)."""
+    from .stages.nb import nb_predict, train_nb
+
+    def docs():
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+            override_num_blocks=8,
+        )
+
+    model = train_nb(docs(), train_mod=3)
+    return nb_predict(docs(), model)
+
+
+def _build_sql_docs_naive_bayes(train_mod: int = 3) -> str:
+    from .stages.nb import LANGS
+
+    langs = list(LANGS)
+    vals = ", ".join(f"('{l}')" for l in langs)
+    pivot = ",\n         ".join(
+        f"max(CASE WHEN lang = '{l}' THEN s END) AS s_{l}" for l in langs
+    )
+    g = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = [f"CASE WHEN s_{langs[0]} = {g} THEN '{langs[0]}'"]
+    for l in langs[1:-1]:
+        case.append(f"WHEN s_{l} = {g} THEN '{l}'")
+    case.append(f"ELSE '{langs[-1]}' END")
+    case_sql = "\n       ".join(case)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                        t -> lower(t)) AS tk
+  FROM documents
+),
+tok AS (SELECT doc_id, lang, unnest(tk) AS term FROM toks),
+train_ct AS (
+  SELECT lang, term, count(*) AS c
+  FROM tok WHERE doc_id % {train_mod} = 0 GROUP BY 1, 2
+),
+nl AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS n FROM train_ct GROUP BY 1),
+vv AS (SELECT CAST(greatest(count(DISTINCT term), 1) AS DOUBLE) AS v
+       FROM train_ct),
+prior AS (
+  SELECT lang, ln(CAST(count(*) AS DOUBLE)
+                  / (SELECT count(*) FROM toks
+                     WHERE doc_id % {train_mod} = 0)) AS lp
+  FROM toks WHERE doc_id % {train_mod} = 0 GROUP BY lang
+),
+contrib AS (
+  SELECT t.doc_id, l.lang,
+         sum(ln((coalesce(tc.c, 0) + 1.0) / (nl.n + vv.v))) AS s
+  FROM tok t
+  CROSS JOIN (VALUES {vals}) l(lang)
+  LEFT JOIN train_ct tc ON tc.lang = l.lang AND tc.term = t.term
+  JOIN nl ON nl.lang = l.lang
+  CROSS JOIN vv
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT d.doc_id, d.lang AS lang_actual, p.lang,
+         round(p.lp + coalesce(c.s, 0), 4) AS s
+  FROM documents d CROSS JOIN prior p
+  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.lang = p.lang
+),
+wide AS (
+  SELECT doc_id, lang_actual,
+         {pivot}
+  FROM scores GROUP BY 1, 2
+)
+SELECT doc_id, lang_actual,
+       {case_sql} AS lang_pred,
+       {", ".join(f"s_{l}" for l in langs)}
+FROM wide
+"""
+
+
+SQL_DOCS_NAIVE_BAYES = _build_sql_docs_naive_bayes()
+
+
+def q_docs_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking dedup accounting (stages/cdc.py) —
+    block-level dedup of the document stream (the sub-file sibling of
+    exact whole-doc dedup; FastCDC/LBFS family). Gear boundaries come
+    from 64 shifted vector adds (the rolling hash's exact windowed
+    form), chunk identity is sha256, canonical owners are first-wins
+    under ONE sort + run-scan — two linear passes + one shuffle.
+    No SQL oracle (a rolling content hash isn't SQL-expressible);
+    tests/test_cdc.py pins boundaries, hashes, owners and per-doc
+    stats against the per-byte serial reference implementation."""
+    from .stages.cdc import cdc_dedup_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cdc_dedup_stats(ds).sort("doc_id")
+
+
 # Entries retired from the 50-entry driver registry to fund newer
 # operator demonstrations. They remain fully implemented AND oracle-
 # tested in-repo (tests/test_queries.py checks this dict alongside the
@@ -4528,6 +4695,8 @@ RETIRED_QUERIES.update(
         "events_user_entropy": q_events_user_entropy,
         "embeddings_gram": q_embeddings_gram,
         "events_chi2_independence": q_events_chi2_independence,
+        "graph_components": q_graph_components,
+        "docs_naive_bayes": q_docs_naive_bayes,
     }
 )
 
@@ -4591,5 +4760,7 @@ RETIRED_ORACLE_SQL.update(
         "events_user_entropy": SQL_EVENTS_USER_ENTROPY,
         "embeddings_gram": SQL_EMBEDDINGS_GRAM,
         "events_chi2_independence": SQL_EVENTS_CHI2_INDEPENDENCE,
+        "graph_components": SQL_GRAPH_COMPONENTS,
+        "docs_naive_bayes": SQL_DOCS_NAIVE_BAYES,
     }
 )

@@ -198,6 +198,10 @@ SQL_CHECKED = [
     "embeddings_gram",
     # r4 addition: chi-square independence screen (dow x type)
     "events_chi2_independence",
+    # r4 addition: weakly connected components (min-label propagation)
+    "graph_components",
+    # r4 addition: trained multinomial Naive Bayes language classifier
+    "docs_naive_bayes",
 ]
 
 
