@@ -4600,6 +4600,328 @@ def q_docs_cdc_dedup(sf_dir: str):
     return cdc_dedup_stats(ds).sort("doc_id")
 
 
+def q_docs_pmi_collocations(sf_dir: str):
+    """Collocation / phrase mining via pointwise mutual information
+    (stages/pmi.py — Church & Hanks '90; the word2vec phrase-merge
+    signal): every adjacent token pair scored by
+    ln(p(ab) / (p(a)·p(b))) over corpus unigram/bigram counts. ONE
+    combiner pass (Arrow-C++ tokenize + per-batch group_by for
+    unigrams, bigrams and totals in a unified count table) + ONE
+    sort-by-key run-scan merge; candidate scoring broadcasts the
+    merged counts below a row cap, else a fully distributed
+    explode + second-sort attach (both paths equality-tested). The
+    oracle recomputes tokenization, both count levels AND the PMI
+    formula in SQL."""
+    from .stages.pmi import collocations
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return collocations(ds, min_count=5)
+
+
+SQL_DOCS_PMI_COLLOCATIONS = """
+WITH tok AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents
+),
+uni AS (SELECT unnest(tk) AS w FROM tok),
+ucnt AS (SELECT w, count(*) AS n FROM uni GROUP BY 1),
+utot AS (SELECT count(*) AS nu FROM uni),
+big AS (
+  SELECT tk[i] AS w1, tk[i+1] AS w2
+  FROM tok, lateral (SELECT unnest(range(1, len(tk))) AS i)
+),
+bcnt AS (SELECT w1, w2, count(*) AS n_ab FROM big GROUP BY 1, 2),
+btot AS (SELECT count(*) AS nb FROM big)
+SELECT b.w1, b.w2, b.n_ab, a.n AS n_a, c.n AS n_b,
+       ln(b.n_ab) + 2 * ln(utot.nu) - ln(btot.nb)
+         - ln(a.n) - ln(c.n) AS pmi
+FROM bcnt b
+JOIN ucnt a ON a.w = b.w1
+JOIN ucnt c ON c.w = b.w2
+CROSS JOIN utot CROSS JOIN btot
+WHERE b.n_ab >= 5
+ORDER BY b.w1, b.w2
+"""
+
+
+def q_events_dp_counts(sf_dir: str):
+    """ε-differentially-private event-type counts via the Laplace
+    mechanism (Dwork et al. '06) — the privacy-preserving release
+    family the engine lacked. The noise draw is HASH-SEEDED so the
+    release is reproducible AND the SQL twin recomputes the identical
+    value: u = (h + 0.5) / 2³², h = first 8 md5 hex digits of
+    seed‖event_type, noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) (inverse
+    Laplace CDF). Counting is the bounded-cardinality combiner path
+    (per-batch groupby partials, cascade merge — no shuffle); a real
+    deployment would drop ``n_true`` from the release, it is emitted
+    here so the oracle pins both the count and the mechanism."""
+    import hashlib
+    import math
+
+    eps, seed = 1.0, "dp-r4"
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"event_type": df["event_type"], "n": 1})
+        return out.groupby("event_type", as_index=False).sum()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        noisy = []
+        for et, n in zip(df["event_type"], df["sum(n)"]):
+            h = int(hashlib.md5((seed + et).encode()).hexdigest()[:8], 16)
+            u = (h + 0.5) / 4294967296.0
+            noise = -(1.0 / eps) * math.copysign(1.0, u - 0.5) * math.log(
+                1.0 - 2.0 * abs(u - 0.5)
+            )
+            noisy.append(n + noise)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n_true": df["sum(n)"].astype("int64"),
+                "epsilon": eps,
+                "n_noisy": noisy,
+            }
+        )
+
+    return _preagg_native(ds, ["event_type"], partial, [Sum("n")], finalize)
+
+
+SQL_EVENTS_DP_COUNTS = """
+WITH c AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+),
+d AS (
+  SELECT event_type, n,
+         (CAST(('0x' || substr(md5('dp-r4' || event_type), 1, 8)) AS UBIGINT)
+          + 0.5) / 4294967296.0 AS u
+  FROM c
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_true, 1.0 AS epsilon,
+       n + (-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) AS n_noisy
+FROM d ORDER BY event_type
+"""
+
+
+def q_embeddings_hard_negatives(sf_dir: str):
+    """Contrastive training-pair mining over the embedding table: for
+    each anchor vector, the top-1 SAME-label neighbor (the positive)
+    and the top-3 DIFFERENT-label neighbors (hard negatives) — the
+    pair-generation stage of contrastive / triplet embedding training
+    (e.g. SBERT hard-negative mining). Anchors broadcast once via
+    ``ray.put``; each batch computes a (A × n) cosine block with one
+    BLAS matmul and keeps only per-(anchor, role) partial top-k, so
+    the merge task sees O(batches · A · k) rows — the kNN
+    partial-top-k shape (q_embeddings_knn), widened to a role-split
+    rank. Cosines round to 4 dp on BOTH sides, ties break by vec_id."""
+    import pyarrow.dataset as pds
+
+    n_anchors, k_neg = 4, 3
+    at = pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=pc.field("vec_id") < n_anchors,
+    )
+    a_ids = at.column("vec_id").to_numpy()
+    a_labels = at.column("label").to_numpy()
+    avals = pc.list_flatten(at.column("embedding").combine_chunks()).to_numpy(
+        zero_copy_only=False
+    )
+    amat = avals.reshape(len(a_ids), -1).astype(np.float64)
+    amat /= np.linalg.norm(amat, axis=1, keepdims=True)
+    aref = ray.put((a_ids, a_labels, amat))
+    ds = _read_coalesced(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def topk_rows(ids, sims, kk):
+        order = np.lexsort((ids, -sims))[:kk]
+        return ids[order], sims[order]
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids_, labels_, am = ray.get(aref)
+        col = t.column("embedding").combine_chunks()
+        ids = t.column("vec_id").to_numpy()
+        labels = t.column("label").to_numpy()
+        n = len(col)
+        vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        mat = vals.reshape(n, len(vals) // n).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(am @ mat.T, 4)  # (A, n)
+        out = {"anchor_id": [], "role": [], "vec_id": [], "cosine_sim": []}
+        for ai in range(len(ids_)):
+            not_self = ids != ids_[ai]
+            for role, mask, kk in (
+                ("pos", (labels == labels_[ai]) & not_self, 1),
+                ("neg", (labels != labels_[ai]) & not_self, k_neg),
+            ):
+                vi, vs = topk_rows(ids[mask], sims[ai][mask], kk)
+                out["anchor_id"].extend([ids_[ai]] * len(vi))
+                out["role"].extend([role] * len(vi))
+                out["vec_id"].extend(vi)
+                out["cosine_sim"].extend(vs)
+        return pa.table(
+            {
+                "anchor_id": pa.array(out["anchor_id"], pa.int64()),
+                "role": pa.array(out["role"], pa.string()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "cosine_sim": pa.array(out["cosine_sim"], pa.float64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        aid = t.column("anchor_id").to_numpy()
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        ids = t.column("vec_id").to_numpy()
+        sims = t.column("cosine_sim").to_numpy()
+        cols = {"anchor_id": [], "role": [], "rank": [], "vec_id": [],
+                "cosine_sim": []}
+        for a in np.unique(aid):
+            for r, kk in (("pos", 1), ("neg", k_neg)):
+                m = (aid == a) & (role == r)
+                vi, vs = topk_rows(ids[m], sims[m], kk)
+                cols["anchor_id"].extend([a] * len(vi))
+                cols["role"].extend([r] * len(vi))
+                cols["rank"].extend(range(1, len(vi) + 1))
+                cols["vec_id"].extend(vi)
+                cols["cosine_sim"].extend(vs)
+        return pa.table(
+            {
+                "anchor_id": pa.array(cols["anchor_id"], pa.int64()),
+                "role": pa.array(cols["role"], pa.string()),
+                "rank": pa.array(cols["rank"], pa.int64()),
+                "vec_id": pa.array(cols["vec_id"], pa.int64()),
+                "cosine_sim": pa.array(cols["cosine_sim"], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SQL_EMBEDDINGS_HARD_NEGATIVES = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS ae, label AS alabel
+  FROM embeddings WHERE vec_id < 4
+),
+s AS (
+  SELECT a.anchor_id, e.vec_id, e.label, a.alabel,
+         round(list_dot_product(e.embedding, a.ae)
+               / sqrt(list_dot_product(e.embedding, e.embedding))
+               / sqrt(list_dot_product(a.ae, a.ae)), 4) AS cosine_sim
+  FROM embeddings e CROSS JOIN a
+  WHERE e.vec_id != a.anchor_id
+),
+pos AS (
+  SELECT anchor_id, 'pos' AS role,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine_sim DESC, vec_id) AS rank,
+         vec_id, cosine_sim
+  FROM s WHERE label = alabel QUALIFY rank = 1
+),
+neg AS (
+  SELECT anchor_id, 'neg' AS role,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine_sim DESC, vec_id) AS rank,
+         vec_id, cosine_sim
+  FROM s WHERE label != alabel QUALIFY rank <= 3
+)
+SELECT anchor_id, role, CAST(rank AS BIGINT) AS rank, vec_id, cosine_sim
+FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+ORDER BY anchor_id, role, rank
+"""
+
+
+def q_docs_dedup_keep_best(sf_dir: str):
+    """Canonical-document selection: exact dedup over the NORMALIZED
+    fingerprint (whitespace-collapsed lowercase md5 — docs_fingerprint
+    semantics, so raw variants of one content cluster together) that
+    keeps the HIGHEST-QUALITY member per cluster instead of the first
+    (argmax-per-group at unbounded key cardinality: ONE sort by
+    (fingerprint, quality DESC, doc_id) + run-scan firsts — the D1
+    dedup upgraded with the quality family's scoring, which is how a
+    production corpus dedup actually chooses survivors). The quality
+    score is the exact-rational alpha_ratio, identical doubles in
+    both engines."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"[\t\n\f\r ]+")
+    from .query_utils import _run_starts_mask_arrow, _window_by_key_arrow
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        fps = [
+            hashlib.md5(ws.sub(" ", x).strip().lower().encode()).hexdigest()
+            for x in texts
+        ]
+        alpha = pc.count_substring_regex(t.column("text"), "[A-Za-z]")
+        nchars = pc.utf8_length(t.column("text"))
+        ratio = pc.divide(
+            pc.cast(alpha, pa.float64()), pc.cast(nchars, pa.float64())
+        )
+        return pa.table(
+            {
+                "fingerprint": pa.array(fps, pa.string()),
+                "doc_id": t.column("doc_id"),
+                "alpha_ratio": ratio,
+            }
+        )
+
+    def firsts(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "fingerprint": pa.array([], pa.string()),
+                "kept_doc_id": pa.array([], pa.int64()),
+                "kept_alpha_ratio": pa.array([], pa.float64()),
+                "cluster_size": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts = np.flatnonzero(_run_starts_mask_arrow(t, ["fingerprint"]))
+        sizes = np.diff(np.append(starts, t.num_rows))
+        idx = pa.array(starts)
+        return pa.table(
+            {
+                "fingerprint": t.column("fingerprint").take(idx),
+                "kept_doc_id": t.column("doc_id").take(idx),
+                "kept_alpha_ratio": t.column("alpha_ratio").take(idx),
+                "cluster_size": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return _window_by_key_arrow(
+        scored,
+        ["fingerprint"],
+        ["fingerprint", "alpha_ratio", "doc_id"],
+        firsts,
+        descending=[False, True, False],
+    )
+
+
+SQL_DOCS_DEDUP_KEEP_BEST = """
+WITH s AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '[\t\n\f\r ]+', ' ', 'g'))))
+           AS fingerprint,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+           / length(text) AS alpha_ratio
+  FROM documents
+)
+SELECT fingerprint, doc_id AS kept_doc_id, alpha_ratio AS kept_alpha_ratio,
+       CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+         AS cluster_size
+FROM s
+QUALIFY row_number() OVER (PARTITION BY fingerprint
+                           ORDER BY alpha_ratio DESC, doc_id) = 1
+ORDER BY fingerprint
+"""
+
+
 # Entries retired from the 50-entry driver registry to fund newer
 # operator demonstrations. They remain fully implemented AND oracle-
 # tested in-repo (tests/test_queries.py checks this dict alongside the
@@ -4697,6 +5019,10 @@ RETIRED_QUERIES.update(
         "events_chi2_independence": q_events_chi2_independence,
         "graph_components": q_graph_components,
         "docs_naive_bayes": q_docs_naive_bayes,
+        "docs_pmi_collocations": q_docs_pmi_collocations,
+        "events_dp_counts": q_events_dp_counts,
+        "embeddings_hard_negatives": q_embeddings_hard_negatives,
+        "docs_dedup_keep_best": q_docs_dedup_keep_best,
     }
 )
 
@@ -4762,5 +5088,9 @@ RETIRED_ORACLE_SQL.update(
         "events_chi2_independence": SQL_EVENTS_CHI2_INDEPENDENCE,
         "graph_components": SQL_GRAPH_COMPONENTS,
         "docs_naive_bayes": SQL_DOCS_NAIVE_BAYES,
+        "docs_pmi_collocations": SQL_DOCS_PMI_COLLOCATIONS,
+        "events_dp_counts": SQL_EVENTS_DP_COUNTS,
+        "embeddings_hard_negatives": SQL_EMBEDDINGS_HARD_NEGATIVES,
+        "docs_dedup_keep_best": SQL_DOCS_DEDUP_KEEP_BEST,
     }
 )

@@ -202,6 +202,12 @@ SQL_CHECKED = [
     "graph_components",
     # r4 addition: trained multinomial Naive Bayes language classifier
     "docs_naive_bayes",
+    # r4 additions: PMI phrase mining, DP counts, contrastive pair
+    # mining, quality-argmax dedup
+    "docs_pmi_collocations",
+    "events_dp_counts",
+    "embeddings_hard_negatives",
+    "docs_dedup_keep_best",
 ]
 
 
@@ -328,6 +334,25 @@ def test_shipping_priority_both_paths_equal(registry):
     finally:
         qj._SEGMENT_BROADCAST_MAX = old
     pd.testing.assert_frame_equal(bc, sj)
+
+
+def test_pmi_broadcast_and_distributed_paths_equal(registry):
+    """The PMI scorer's broadcast path (merged count table pulled once
+    below the row cap) and the web-scale explode + two-sort attach path
+    must produce identical scored collocations."""
+    from file_analyzer_ray.query_utils import _read
+    from file_analyzer_ray.stages.pmi import collocations
+
+    def run(**kw):
+        return (
+            _to_pandas(collocations(_read(SF_DIR, "documents", ["text"]), **kw))
+            .sort_values(["w1", "w2"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(
+        run(min_count=5), run(min_count=5, broadcast_max=0)
+    )
 
 
 def test_pq_layout_knn(registry, tmp_path):
