@@ -4600,6 +4600,245 @@ def q_docs_cdc_dedup(sf_dir: str):
     return cdc_dedup_stats(ds).sort("doc_id")
 
 
+def q_graph_bfs_layers(sf_dir: str):
+    """Multi-source-free BFS: hop-distance layers (≤ 3 hops) from the
+    minimum-id node of the part co-occurrence graph — the reachability
+    primitive beside pagerank (influence), triangles (cohesion) and
+    components (partition). Ray shape: the corpus-sized edge table is
+    materialized ONCE and re-scanned per round (pagerank's
+    loop-invariant pin); the frontier/visited sets are NODE-bounded
+    (part catalog — the same boundedness that licenses pagerank's
+    broadcast mode) and ride the object store as sorted id arrays;
+    each round is one map_batches over edges (vectorized searchsorted
+    membership + per-batch distinct) and one bounded collect — the
+    corpus never shuffles and rounds are fixed (3), not data-driven.
+    The DuckDB oracle walks the same graph with a recursive CTE
+    (dedup-union keeps it node×hop bounded)."""
+    from .stages.triangles import cooccurrence_edges
+
+    max_hops = 3
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).materialize()
+    source = int(edges.min("u"))
+
+    visited = np.array([source], dtype=np.int64)
+    layers = [(source, 0)]
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        fref = ray.put(np.sort(frontier))
+
+        def neighbors(t: pa.Table, _f=fref) -> pa.Table:
+            f = ray.get(_f)
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            # undirected: edges store u < v once; expand both ways
+            src = np.concatenate([u, v])
+            dst = np.concatenate([v, u])
+            idx = np.searchsorted(f, src)
+            idx[idx >= len(f)] = 0
+            hit = f[idx] == src
+            return pa.table(
+                {"node": pa.array(np.unique(dst[hit]), pa.int64())}
+            )
+
+        # bounded collect: ≤ |nodes| rows per batch, ≤ |nodes| total
+        # after the driver-side unique (part-catalog bounded)
+        parts = edges.map_batches(neighbors, batch_format="pyarrow")
+        cand = np.array(
+            [r["node"] for r in parts.take_all()], dtype=np.int64
+        )
+        new = np.setdiff1d(np.unique(cand), visited, assume_unique=False)
+        if len(new) == 0:
+            break
+        layers.extend((int(n), hop) for n in new)
+        visited = np.union1d(visited, new)
+        frontier = new
+
+    out = pa.table(
+        {
+            "node": pa.array([n for n, _ in layers], pa.int64()),
+            "hop": pa.array([h for _, h in layers], pa.int64()),
+        }
+    ).sort_by([("hop", "ascending"), ("node", "ascending")])
+    return ray.data.from_arrow(out)
+
+
+SQL_GRAPH_BFS_LAYERS = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+walk(node, hop) AS (
+  SELECT min(u), 0 FROM edges
+  UNION
+  SELECT e.v, w.hop + 1 FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.hop < 3
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS hop
+FROM walk GROUP BY node ORDER BY hop, node
+"""
+
+
+def q_events_user_ewma(sf_dir: str):
+    """Per-user exponentially-decayed value sum (decay ½ per event,
+    latest weight 1) — the streaming feature-engineering aggregate
+    behind recency-weighted user scores (fraud / engagement models).
+    ONE sort by (user_id, ts, event_id) yields complete time-ordered
+    user runs; the decayed sum is a vectorized 2^-k weighting +
+    bincount fold per run — no per-user state, no second pass. Decay
+    ½ makes every weight an exact power of two, so both engines scale
+    each value EXACTLY and only the summation order differs (~1e-13,
+    inside the 1e-9 gate)."""
+    from .query_utils import _run_starts_mask_arrow, _window_by_key_arrow
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def drop_nulls(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.is_valid(t.column("value")), pc.is_valid(t.column("ts"))
+            )
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "decayed_sum": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts = np.flatnonzero(_run_starts_mask_arrow(t, ["user_id"]))
+        n = t.num_rows
+        lens = np.diff(np.append(starts, n))
+        run_of = np.searchsorted(starts, np.arange(n), side="right") - 1
+        pos = np.arange(n) - starts[run_of]  # 0-based rank in time order
+        expo = (lens[run_of] - 1 - pos).astype(np.float64)
+        vals = t.column("value").to_numpy()
+        decayed = np.bincount(
+            run_of, weights=vals * np.exp2(-expo), minlength=len(starts)
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id").take(pa.array(starts)),
+                "n_events": pa.array(lens, pa.int64()),
+                "decayed_sum": pa.array(decayed, pa.float64()),
+            }
+        )
+
+    clean = ds.map_batches(drop_nulls, batch_format="pyarrow")
+    return _window_by_key_arrow(
+        clean, ["user_id"], ["user_id", "ts", "event_id"], fold
+    ).sort("user_id")
+
+
+SQL_EVENTS_USER_EWMA = """
+WITH t AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+       sum(value * pow(0.5, n - rn)) AS decayed_sum
+FROM t GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_docs_winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al. '03 — the
+    MOSS plagiarism-detection sketch): hash every 8-char gram, slide a
+    4-gram window, keep each window's MINIMUM hash; the distinct kept
+    hashes are the document's fingerprint set, guaranteeing any shared
+    substring ≥ 11 chars shares a fingerprint. Row-local and fully
+    vectorized: grams via numpy byte-stride views, md5 only per
+    batch-DISTINCT gram (zipf amortization, the classifier/dsir memo
+    pattern), window minima via sliding_window_view — no shuffle at
+    all until the output. The oracle recomputes grams, hashes and
+    window minima with SQL window functions."""
+    import hashlib
+
+    K, W = 8, 4
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def winnow(t: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        out_doc, out_h = [], []
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        # batch-distinct gram -> hash memo
+        memo: dict[bytes, int] = {}
+        for did, txt in zip(ids, texts):
+            b = (txt or "").encode("utf-8")
+            ng = len(b) - K + 1
+            if ng < W:
+                continue
+            view = sliding_window_view(
+                np.frombuffer(b, dtype=np.uint8), K
+            )
+            grams = view.tobytes()
+            h = np.empty(ng, dtype=np.uint64)
+            for i in range(ng):
+                g = grams[i * K : (i + 1) * K]
+                v = memo.get(g)
+                if v is None:
+                    v = int(hashlib.md5(g).hexdigest()[:8], 16)
+                    memo[g] = v
+                h[i] = v
+            wmin = sliding_window_view(h, W).min(axis=1)
+            sel = np.unique(wmin)
+            out_doc.append(np.full(len(sel), did, np.int64))
+            out_h.append(sel)
+        if not out_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.uint64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "fp": pa.array(np.concatenate(out_h), pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(winnow, batch_format="pyarrow")
+
+
+SQL_DOCS_WINNOW_FINGERPRINTS = """
+WITH g AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 8)) AS UBIGINT)
+           AS h,
+         length(text) - 8 + 1 AS ng
+  FROM documents,
+       lateral (SELECT unnest(range(1, length(text) - 8 + 2)) AS i)
+  WHERE length(text) >= 11
+),
+w AS (
+  SELECT doc_id, pos, ng,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM g
+)
+SELECT DISTINCT doc_id, wmin AS fp
+FROM w WHERE pos <= ng - 3
+ORDER BY doc_id, fp
+"""
+
+
 def q_docs_pmi_collocations(sf_dir: str):
     """Collocation / phrase mining via pointwise mutual information
     (stages/pmi.py — Church & Hanks '90; the word2vec phrase-merge
@@ -5023,6 +5262,9 @@ RETIRED_QUERIES.update(
         "events_dp_counts": q_events_dp_counts,
         "embeddings_hard_negatives": q_embeddings_hard_negatives,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
+        "graph_bfs_layers": q_graph_bfs_layers,
+        "events_user_ewma": q_events_user_ewma,
+        "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
     }
 )
 
@@ -5092,5 +5334,8 @@ RETIRED_ORACLE_SQL.update(
         "events_dp_counts": SQL_EVENTS_DP_COUNTS,
         "embeddings_hard_negatives": SQL_EMBEDDINGS_HARD_NEGATIVES,
         "docs_dedup_keep_best": SQL_DOCS_DEDUP_KEEP_BEST,
+        "graph_bfs_layers": SQL_GRAPH_BFS_LAYERS,
+        "events_user_ewma": SQL_EVENTS_USER_EWMA,
+        "docs_winnow_fingerprints": SQL_DOCS_WINNOW_FINGERPRINTS,
     }
 )

@@ -208,6 +208,11 @@ SQL_CHECKED = [
     "events_dp_counts",
     "embeddings_hard_negatives",
     "docs_dedup_keep_best",
+    # r4 additions: BFS hop layers, recency-decayed user sums, MOSS
+    # winnowing fingerprints
+    "graph_bfs_layers",
+    "events_user_ewma",
+    "docs_winnow_fingerprints",
 ]
 
 
