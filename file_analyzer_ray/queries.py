@@ -4600,6 +4600,76 @@ def q_docs_cdc_dedup(sf_dir: str):
     return cdc_dedup_stats(ds).sort("doc_id")
 
 
+def q_lineitem_small_order_revenue(sf_dir: str):
+    """TPC-H Q17 analog (correlated aggregate subquery, decorrelated):
+    revenue from line items whose quantity is below HALF the average
+    quantity of their own part. The textbook plan is agg + self-join;
+    here BOTH the per-part average and the qualifying rollup come out
+    of ONE sort by partkey — each complete part run computes its sum
+    and its below-threshold members in the same vectorized pass, so
+    the corpus crosses the exchange exactly once and there is no join
+    at all. The threshold test is exact integer arithmetic
+    (2·n·qty < Σqty — quantities are integer-valued, sums < 2⁵³), so
+    no float-ulp row can flip between engines; revenue folds in cents."""
+    from .query_utils import _run_starts_mask_arrow, _window_by_key_arrow
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_partkey": pa.array([], pa.int64()),
+                "n_small": pa.array([], pa.int64()),
+                "small_revenue": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        starts = np.flatnonzero(_run_starts_mask_arrow(t, ["l_partkey"]))
+        n = t.num_rows
+        lens = np.diff(np.append(starts, n))
+        run_of = np.searchsorted(starts, np.arange(n), side="right") - 1
+        qty = t.column("l_quantity").to_numpy()
+        cents = np.rint(t.column("l_extendedprice").to_numpy() * 100.0)
+        qsum = np.bincount(run_of, weights=qty, minlength=len(starts))
+        small = 2.0 * lens[run_of] * qty < qsum[run_of]
+        n_small = np.bincount(
+            run_of, weights=small.astype(np.float64), minlength=len(starts)
+        ).astype(np.int64)
+        rev = np.bincount(
+            run_of, weights=np.where(small, cents, 0.0), minlength=len(starts)
+        )
+        keep = n_small > 0
+        idx = pa.array(starts[keep])
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey").take(idx),
+                "n_small": pa.array(n_small[keep], pa.int64()),
+                "small_revenue": pa.array(rev[keep] / 100.0, pa.float64()),
+            }
+        )
+
+    return _window_by_key_arrow(
+        ds, ["l_partkey"], ["l_partkey"], fold
+    ).sort("l_partkey")
+
+
+SQL_LINEITEM_SMALL_ORDER_REVENUE = """
+WITH a AS (
+  SELECT l_partkey, count(*) AS n, sum(l_quantity) AS s
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_partkey, count(*) AS n_small,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0
+         AS small_revenue
+FROM lineitem l JOIN a USING (l_partkey)
+WHERE 2 * a.n * l.l_quantity < a.s
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_graph_bfs_layers(sf_dir: str):
     """Multi-source-free BFS: hop-distance layers (≤ 3 hops) from the
     minimum-id node of the part co-occurrence graph — the reachability
@@ -5265,6 +5335,7 @@ RETIRED_QUERIES.update(
         "graph_bfs_layers": q_graph_bfs_layers,
         "events_user_ewma": q_events_user_ewma,
         "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
+        "lineitem_small_order_revenue": q_lineitem_small_order_revenue,
     }
 )
 
@@ -5337,5 +5408,6 @@ RETIRED_ORACLE_SQL.update(
         "graph_bfs_layers": SQL_GRAPH_BFS_LAYERS,
         "events_user_ewma": SQL_EVENTS_USER_EWMA,
         "docs_winnow_fingerprints": SQL_DOCS_WINNOW_FINGERPRINTS,
+        "lineitem_small_order_revenue": SQL_LINEITEM_SMALL_ORDER_REVENUE,
     }
 )

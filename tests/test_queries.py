@@ -213,6 +213,8 @@ SQL_CHECKED = [
     "graph_bfs_layers",
     "events_user_ewma",
     "docs_winnow_fingerprints",
+    # r4 addition: TPC-H Q17 correlated-aggregate analog, one sort
+    "lineitem_small_order_revenue",
 ]
 
 
