@@ -4600,6 +4600,273 @@ def q_docs_cdc_dedup(sf_dir: str):
     return cdc_dedup_stats(ds).sort("doc_id")
 
 
+def q_events_user_gini(sf_dir: str):
+    """Gini coefficient of the per-user activity distribution — the
+    concentration / skew observability statistic (is the corpus 1%% of
+    users?) a pipeline checks before trusting per-user sampling. A
+    SECOND-ORDER aggregate: first per-user counts (corpus-scaled keys
+    → the windowed sort+run-scan merge), then a statistic over the
+    ORDERED count distribution, Σ i·xᵢ with global ascending ranks.
+    The rank-weighted sum needs no per-row rank materialization:
+    Σ(offset+j)·xⱼ = Σj·xⱼ + offset·Σxⱼ, so each sorted block emits
+    three scalars and the driver folds the #blocks-bounded summary in
+    order (the prefix-scan shape collapsed to one phase). Every sum is
+    integer-exact; the final expression is evaluated with the same
+    IEEE op order as the SQL twin."""
+    from .query_utils import _run_starts_mask_arrow, _window_by_key_arrow
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        starts = np.flatnonzero(_run_starts_mask_arrow(t, ["user_id"]))
+        sums = np.add.reduceat(t.column("n").to_numpy(), starts)
+        return pa.table(
+            {
+                "user_id": t.column("user_id").take(pa.array(starts)),
+                "n": pa.array(sums, pa.int64()),
+            }
+        )
+
+    counts = _window_by_key_arrow(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        ["user_id"],
+        merge,
+    )
+    s = counts.sort(["n", "user_id"]).materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "first_n": pa.array([], pa.int64()),
+                    "first_uid": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "sum_x": pa.array([], pa.int64()),
+                    "sum_jx": pa.array([], pa.int64()),
+                }
+            )
+        x = t.column("n").to_numpy()
+        j = np.arange(1, len(x) + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "first_n": pa.array([int(x[0])], pa.int64()),
+                "first_uid": pa.array(
+                    [int(t.column("user_id")[0].as_py())], pa.int64()
+                ),
+                "cnt": pa.array([len(x)], pa.int64()),
+                "sum_x": pa.array([int(x.sum())], pa.int64()),
+                "sum_jx": pa.array([int((j * x).sum())], pa.int64()),
+            }
+        )
+
+    blocks = s.map_batches(
+        block_summary, batch_format="pyarrow", batch_size=None
+    ).take_all()  # bounded: one row per block
+    blocks.sort(key=lambda b: (b["first_n"], b["first_uid"]))
+    S = tot = cnt = 0
+    for b in blocks:
+        S += b["sum_jx"] + cnt * b["sum_x"]
+        cnt += b["cnt"]
+        tot += b["sum_x"]
+    gini = (2.0 * S) / (cnt * tot) - (cnt + 1.0) / cnt
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_users": pa.array([cnt], pa.int64()),
+                "n_events": pa.array([tot], pa.int64()),
+                "gini": pa.array([gini], pa.float64()),
+            }
+        )
+    )
+
+
+SQL_EVENTS_USER_GINI = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+r AS (
+  SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       (2.0 * sum(i * n)) / (count(*) * sum(n))
+         - (count(*) + 1.0) / count(*) AS gini
+FROM r
+"""
+
+
+def q_events_winsorize(sf_dir: str):
+    """Per-group winsorization (robust feature clipping at the exact
+    p05/p95 NEAREST-RANK order statistics) — the outlier-taming
+    transform run before a model sees heavy-tailed values. The exact
+    per-type thresholds come from a distributed rank SELECTION, not a
+    per-group materialization: ONE sort by (type, value, id)
+    materialized → per-block per-type count summary (#blocks×|types|
+    rows) → the driver folds block offsets and addresses each block's
+    carry-in by its first sort key → a second streaming pass over the
+    SAME blocks picks exactly the rows whose in-type global rank hits
+    ceil(q·n) (the prefix-scan two-phase shape, specialised to
+    selection). Thresholds (2×|types|) broadcast; the clip pass is
+    row-local Arrow min/max."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("value")))
+
+    clean = ds.map_batches(drop_null, batch_format="pyarrow")
+    s = clean.sort(["event_type", "value", "event_id"]).materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "first_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        from .query_utils import _run_starts_mask_arrow
+
+        starts = np.flatnonzero(_run_starts_mask_arrow(t, ["event_type"]))
+        lens = np.diff(np.append(starts, t.num_rows))
+        fid = int(t.column("event_id")[0].as_py())
+        return pa.table(
+            {
+                "first_id": pa.array(
+                    np.full(len(starts), fid, np.int64), pa.int64()
+                ),
+                "event_type": t.column("event_type").take(pa.array(starts)),
+                "cnt": pa.array(lens, pa.int64()),
+            }
+        )
+
+    # blocks-bounded: (#blocks × |types|) rows; fold offsets in sort
+    # order (first event_id of a block is unique — ids are unique and
+    # the block order follows the sort order of their first rows)
+    summary = s.map_batches(
+        block_summary, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    order = {}
+    for row in summary:
+        order.setdefault(row["first_id"], []).append(row)
+    n_per_type: dict = {}
+    carry_per_block: dict = {}
+    for fid in sorted(order):
+        carry_per_block[fid] = dict(n_per_type)
+        for row in order[fid]:
+            n_per_type[row["event_type"]] = (
+                n_per_type.get(row["event_type"], 0) + row["cnt"]
+            )
+    # exact integer ceil((q·n)): (q100·n + 99) // 100 — NOT float
+    # ceil(0.05*n), whose binary representation error flips the rank at
+    # n multiples of 20 (0.05*300 = 15.000000000000002 → ceil 16)
+    targets = {
+        et: (
+            max(1, (5 * n + 99) // 100),
+            max(1, (95 * n + 99) // 100),
+        )
+        for et, n in n_per_type.items()
+    }
+    cref = ray.put((carry_per_block, targets))
+
+    def pick(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "which": pa.array([], pa.string()),
+                "threshold": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        from .query_utils import _run_starts_mask_arrow
+
+        carry_all, tgt = ray.get(cref)
+        carry = carry_all[int(t.column("event_id")[0].as_py())]
+        starts = np.flatnonzero(_run_starts_mask_arrow(t, ["event_type"]))
+        run_of = (
+            np.searchsorted(starts, np.arange(t.num_rows), side="right") - 1
+        )
+        pos = np.arange(t.num_rows) - starts[run_of] + 1  # 1-based in block
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        vals = t.column("value").to_numpy()
+        out_t, out_w, out_v = [], [], []
+        for ri, st in enumerate(starts):
+            et = types[st]
+            off = carry.get(et, 0)
+            lo_k, hi_k = tgt[et]
+            run = run_of == ri
+            grank = pos[run] + off
+            for which, k in (("lo", lo_k), ("hi", hi_k)):
+                hit = np.flatnonzero(grank == k)
+                if len(hit):
+                    out_t.append(et)
+                    out_w.append(which)
+                    out_v.append(float(vals[run][hit[0]]))
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "which": pa.array(out_w, pa.string()),
+                "threshold": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    th_rows = s.map_batches(
+        pick, batch_format="pyarrow", batch_size=None
+    ).take_all()  # bounded: 2 × |types|
+    lo = {r["event_type"]: r["threshold"] for r in th_rows if r["which"] == "lo"}
+    hi = {r["event_type"]: r["threshold"] for r in th_rows if r["which"] == "hi"}
+    tref = ray.put((lo, hi))
+
+    def clip(t: pa.Table) -> pa.Table:
+        lo_, hi_ = ray.get(tref)
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        vals = t.column("value").to_numpy()
+        lo_arr = np.array([lo_[et] for et in types])
+        hi_arr = np.array([hi_[et] for et in types])
+        return t.append_column(
+            "value_winsor",
+            pa.array(np.minimum(np.maximum(vals, lo_arr), hi_arr)),
+        )
+
+    return clean.map_batches(clip, batch_format="pyarrow").sort("event_id")
+
+
+SQL_EVENTS_WINSORIZE = """
+WITH sel AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+th AS (
+  SELECT event_type,
+         max(CASE WHEN rn = greatest(1, (5 * n + 99) // 100)
+                  THEN value END) AS lo,
+         max(CASE WHEN rn = greatest(1, (95 * n + 99) // 100)
+                  THEN value END) AS hi
+  FROM sel GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, t.lo), t.hi) AS value_winsor
+FROM events e JOIN th t USING (event_type)
+WHERE e.value IS NOT NULL
+ORDER BY e.event_id
+"""
+
+
 def q_lineitem_small_order_revenue(sf_dir: str):
     """TPC-H Q17 analog (correlated aggregate subquery, decorrelated):
     revenue from line items whose quantity is below HALF the average
@@ -5336,6 +5603,8 @@ RETIRED_QUERIES.update(
         "events_user_ewma": q_events_user_ewma,
         "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
         "lineitem_small_order_revenue": q_lineitem_small_order_revenue,
+        "events_user_gini": q_events_user_gini,
+        "events_winsorize": q_events_winsorize,
     }
 )
 
@@ -5409,5 +5678,7 @@ RETIRED_ORACLE_SQL.update(
         "events_user_ewma": SQL_EVENTS_USER_EWMA,
         "docs_winnow_fingerprints": SQL_DOCS_WINNOW_FINGERPRINTS,
         "lineitem_small_order_revenue": SQL_LINEITEM_SMALL_ORDER_REVENUE,
+        "events_user_gini": SQL_EVENTS_USER_GINI,
+        "events_winsorize": SQL_EVENTS_WINSORIZE,
     }
 )

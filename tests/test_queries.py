@@ -215,6 +215,9 @@ SQL_CHECKED = [
     "docs_winnow_fingerprints",
     # r4 addition: TPC-H Q17 correlated-aggregate analog, one sort
     "lineitem_small_order_revenue",
+    # r4 additions: activity-concentration Gini, exact-rank winsorize
+    "events_user_gini",
+    "events_winsorize",
 ]
 
 
