@@ -220,7 +220,13 @@ def run_bench() -> dict:
                       "part_fuzzy_match", "events_skyline",
                       "events_markov", "events_rolling_active_users",
                       "events_user_entropy", "embeddings_gram",
-                      "events_chi2_independence"):
+                      "events_chi2_independence",
+                      # continuation-session additions: PMI phrase
+                      # mining, winnowing fingerprints, Q17 analog,
+                      # Gini concentration, exact-rank winsorize
+                      "docs_pmi_collocations", "docs_winnow_fingerprints",
+                      "lineitem_small_order_revenue", "events_user_gini",
+                      "events_winsorize"):
             _best2(_name, lambda n=_name: _RQ[n](SF_DIR))
 
     result = {
