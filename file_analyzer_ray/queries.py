@@ -4600,6 +4600,76 @@ def q_docs_cdc_dedup(sf_dir: str):
     return cdc_dedup_stats(ds).sort("doc_id")
 
 
+def q_embeddings_jl_project(sf_dir: str):
+    """Johnson–Lindenstrauss random projection 64 → 8 dims (Achlioptas
+    '01 ±1 variant) — the cheap dimensionality-reduction stage an
+    embedding pipeline runs before expensive pairwise work. The sign
+    matrix is HASH-DERIVED (parity of md5("jl-j-k")), so both engines
+    construct the identical matrix with no shipped state; the engine
+    builds it once on the driver (512 md5s), broadcasts via ``ray.put``
+    and projects each batch with one BLAS matmul over the zero-copy
+    reshaped Arrow list values — row-local, no shuffle. The oracle
+    regenerates the signs and the projection entirely in SQL
+    (unnest × generate_series join). y = Sx/√m; float32 inputs promote
+    exactly to double on both sides, only summation order differs."""
+    import hashlib
+
+    m, d = 8, 64
+    sgn = np.empty((m, d), np.float64)
+    for j in range(m):
+        for k in range(d):
+            h = int(hashlib.md5(f"jl-{j}-{k}".encode()).hexdigest()[:8], 16)
+            sgn[j, k] = 1.0 if h % 2 == 0 else -1.0
+    sref = ray.put(sgn / np.sqrt(float(m)))
+    ds = _read_coalesced(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        s = ray.get(sref)
+        col = t.column("embedding").combine_chunks()
+        n = len(col)
+        vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        mat = vals.reshape(n, len(vals) // n).astype(np.float64)
+        y = mat @ s.T  # (n, m)
+        cols = {"vec_id": t.column("vec_id")}
+        for j in range(y.shape[1]):
+            cols[f"y{j}"] = pa.array(y[:, j], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow").sort("vec_id")
+
+
+def _build_sql_jl() -> str:
+    pivots = ",\n  ".join(
+        f"max(CASE WHEN j = {j} THEN y END) AS y{j}" for j in range(8)
+    )
+    return f"""
+WITH sgn AS (
+  SELECT j, k,
+         CASE WHEN CAST(('0x' || substr(md5('jl-' || j || '-' || k), 1, 8))
+                   AS UBIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(range(0, 8)) AS j),
+       (SELECT unnest(range(0, 64)) AS k)
+),
+x AS (
+  SELECT vec_id, k - 1 AS k, embedding[k] AS v
+  FROM embeddings,
+       lateral (SELECT unnest(range(1, len(embedding) + 1)) AS k)
+),
+p AS (
+  SELECT x.vec_id, sgn.j, sum(sgn.s * x.v) / sqrt(8.0) AS y
+  FROM x JOIN sgn ON sgn.k = x.k
+  GROUP BY 1, 2
+)
+SELECT vec_id,
+  {pivots}
+FROM p GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+SQL_EMBEDDINGS_JL_PROJECT = _build_sql_jl()
+
+
 def q_events_user_gini(sf_dir: str):
     """Gini coefficient of the per-user activity distribution — the
     concentration / skew observability statistic (is the corpus 1%% of
@@ -5605,6 +5675,7 @@ RETIRED_QUERIES.update(
         "lineitem_small_order_revenue": q_lineitem_small_order_revenue,
         "events_user_gini": q_events_user_gini,
         "events_winsorize": q_events_winsorize,
+        "embeddings_jl_project": q_embeddings_jl_project,
     }
 )
 
@@ -5680,5 +5751,6 @@ RETIRED_ORACLE_SQL.update(
         "lineitem_small_order_revenue": SQL_LINEITEM_SMALL_ORDER_REVENUE,
         "events_user_gini": SQL_EVENTS_USER_GINI,
         "events_winsorize": SQL_EVENTS_WINSORIZE,
+        "embeddings_jl_project": SQL_EMBEDDINGS_JL_PROJECT,
     }
 )

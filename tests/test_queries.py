@@ -218,6 +218,8 @@ SQL_CHECKED = [
     # r4 additions: activity-concentration Gini, exact-rank winsorize
     "events_user_gini",
     "events_winsorize",
+    # r4 addition: Johnson-Lindenstrauss hash-derived random projection
+    "embeddings_jl_project",
 ]
 
 
@@ -344,6 +346,41 @@ def test_shipping_priority_both_paths_equal(registry):
     finally:
         qj._SEGMENT_BROADCAST_MAX = old
     pd.testing.assert_frame_equal(bc, sj)
+
+
+def test_winsorize_invariants(registry):
+    """Output-level invariants beyond the oracle: every clipped value
+    sits inside its type's [lo, hi] band, and rows strictly inside the
+    band pass through untouched (idempotence of the clip)."""
+    from file_analyzer_ray.queries import RETIRED_QUERIES
+
+    df = _to_pandas(RETIRED_QUERIES["events_winsorize"](SF_DIR))
+    for et, g in df.groupby("event_type"):
+        lo, hi = g["value_winsor"].min(), g["value_winsor"].max()
+        assert ((g["value_winsor"] >= lo) & (g["value_winsor"] <= hi)).all()
+        inner = g[(g["value"] > lo) & (g["value"] < hi)]
+        assert (inner["value_winsor"] == inner["value"]).all()
+    # clipping changed something (the sf data has tails)
+    assert (df["value_winsor"] != df["value"]).any()
+
+
+def test_jl_projection_preserves_norms(registry):
+    """The JL guarantee the projection exists for: squared norms are
+    preserved in expectation — the mean ratio ||y||²/||x||² over the
+    corpus lands near 1 (m=8 gives wide per-vector variance, the
+    corpus mean concentrates)."""
+    import numpy as np
+
+    from file_analyzer_ray.queries import RETIRED_QUERIES, _read
+
+    proj = _to_pandas(RETIRED_QUERIES["embeddings_jl_project"](SF_DIR))
+    y2 = sum(proj[f"y{j}"] ** 2 for j in range(8)).to_numpy()
+    src = _read(SF_DIR, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    src = src.sort_values("vec_id").reset_index(drop=True)
+    proj = proj.sort_values("vec_id").reset_index(drop=True)
+    x2 = np.array([float(np.dot(v, v)) for v in src["embedding"]])
+    ratio = (y2 / x2).mean()
+    assert 0.8 < ratio < 1.2, ratio
 
 
 def test_pmi_broadcast_and_distributed_paths_equal(registry):
