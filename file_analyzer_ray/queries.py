@@ -5009,7 +5009,7 @@ GROUP BY 1 ORDER BY 1
 
 def q_graph_bfs_layers(sf_dir: str):
     """Multi-source-free BFS: hop-distance layers (≤ 3 hops) from the
-    minimum-id node of the part co-occurrence graph — the reachability
+    highest-degree hub of the part co-occurrence graph — the reachability
     primitive beside pagerank (influence), triangles (cohesion) and
     components (partition). Ray shape: the corpus-sized edge table is
     materialized ONCE and re-scanned per round (pagerank's
@@ -5028,7 +5028,31 @@ def q_graph_bfs_layers(sf_dir: str):
     edges = cooccurrence_edges(
         li, "l_orderkey", "l_partkey", min_support=2
     ).materialize()
-    source = int(edges.min("u"))
+
+    # source = highest-degree node (min id on ties): the hub sits in
+    # the giant component at every sf tier, where min-id lands in a
+    # 2-node islet at sf0.1. Degrees are node-bounded: per-batch
+    # partial counts, driver fold over a (#blocks × nodes)-bounded set.
+    def degree_partial(t: pa.Table) -> pa.Table:
+        both = pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column("u").combine_chunks().cast(pa.int64()),
+                        t.column("v").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+        g = both.group_by(["node"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "cnt"])
+
+    deg: dict[int, int] = {}
+    for r in edges.map_batches(
+        degree_partial, batch_format="pyarrow"
+    ).take_all():
+        deg[r["node"]] = deg.get(r["node"], 0) + r["cnt"]
+    source = min(deg, key=lambda n: (-deg[n], n))
 
     visited = np.array([source], dtype=np.int64)
     layers = [(source, 0)]
@@ -5082,8 +5106,12 @@ e0 AS (
   HAVING count(*) >= 2
 ),
 edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+src AS (
+  SELECT u AS s FROM edges GROUP BY u
+  ORDER BY count(*) DESC, u LIMIT 1
+),
 walk(node, hop) AS (
-  SELECT min(u), 0 FROM edges
+  SELECT s, 0 FROM src
   UNION
   SELECT e.v, w.hop + 1 FROM walk w JOIN edges e ON e.u = w.node
   WHERE w.hop < 3
