@@ -4600,6 +4600,94 @@ def q_docs_cdc_dedup(sf_dir: str):
     return cdc_dedup_stats(ds).sort("doc_id")
 
 
+def q_docs_langid_calibration(sf_dir: str):
+    """Model-calibration / reliability table for the langid classifier
+    (the model-MONITORING stage a production pipeline runs beside the
+    model itself): predictions bucket by confidence (best profile
+    score, 20 bins of 0.05) and each bin reports its empirical
+    accuracy against the labeled ``lang`` column — the reliability
+    diagram's data. Scoring is row-local; the rollup is the
+    bounded-cardinality (≤20 bins) combiner path, no shuffle. Both
+    engines compute the identical score doubles (the pinned
+    docs_langid equivalence), so bin assignment can never diverge."""
+    from .functions.text import LANG_PROFILES, tokenize
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    langs = sorted(LANG_PROFILES)
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bins, ns, cs = [], [], []
+        for t, actual in zip(df["text"], df["lang"]):
+            toks = [x.lower() for x in tokenize(t)]
+            best_lang, best = "und", 0.0
+            if toks:
+                for lang in langs:
+                    prof = LANG_PROFILES[lang]
+                    s = sum(1 for x in toks if x in prof) / len(toks)
+                    if s > best:
+                        best_lang, best = lang, s
+            pred = best_lang if best > 0.02 else "und"
+            bins.append(min(19, int(best * 20.0)))
+            ns.append(1)
+            cs.append(1 if pred == actual else 0)
+        out = pd.DataFrame({"bin": bins, "n": ns, "c": cs})
+        return out.groupby("bin", as_index=False).sum()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["sum(n)"].astype("int64")
+        c = df["sum(c)"].astype("int64")
+        return pd.DataFrame(
+            {
+                "bin": df["bin"].astype("int64"),
+                "conf_lo": df["bin"].astype("int64") * 0.05,
+                "n_docs": n,
+                "n_correct": c,
+                "accuracy": c / n,
+            }
+        )
+
+    return _preagg_native(
+        ds, ["bin"], partial, [Sum("n"), Sum("c")], finalize
+    ).sort("bin")
+
+
+def _build_sql_langid_calibration() -> str:
+    from .functions.text import LANG_PROFILES
+
+    tk, scores = _sql_langid_scores("text")
+    g = "greatest(" + ",".join(f"s_{l}" for l in sorted(LANG_PROFILES)) + ")"
+    return f"""
+WITH tk AS (
+  SELECT lang AS lang_actual, {tk}
+  FROM documents
+),
+sc AS (
+  SELECT lang_actual, _tk,
+    {scores}
+  FROM tk
+),
+p AS (
+  SELECT lang_actual,
+         {_sql_langid_case()} AS lang_pred,
+         CASE WHEN len(_tk) = 0 THEN 0.0 ELSE {g} END AS conf
+  FROM sc
+)
+SELECT least(19, CAST(floor(conf * 20) AS BIGINT)) AS bin,
+       least(19, CAST(floor(conf * 20) AS BIGINT)) * 0.05 AS conf_lo,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN lang_pred = lang_actual THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN lang_pred = lang_actual THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS accuracy
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_DOCS_LANGID_CALIBRATION = _build_sql_langid_calibration()
+
+
 def q_embeddings_jl_project(sf_dir: str):
     """Johnson–Lindenstrauss random projection 64 → 8 dims (Achlioptas
     '01 ±1 variant) — the cheap dimensionality-reduction stage an
@@ -5704,6 +5792,7 @@ RETIRED_QUERIES.update(
         "events_user_gini": q_events_user_gini,
         "events_winsorize": q_events_winsorize,
         "embeddings_jl_project": q_embeddings_jl_project,
+        "docs_langid_calibration": q_docs_langid_calibration,
     }
 )
 
@@ -5780,5 +5869,6 @@ RETIRED_ORACLE_SQL.update(
         "events_user_gini": SQL_EVENTS_USER_GINI,
         "events_winsorize": SQL_EVENTS_WINSORIZE,
         "embeddings_jl_project": SQL_EMBEDDINGS_JL_PROJECT,
+        "docs_langid_calibration": SQL_DOCS_LANGID_CALIBRATION,
     }
 )

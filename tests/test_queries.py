@@ -220,6 +220,8 @@ SQL_CHECKED = [
     "events_winsorize",
     # r4 addition: Johnson-Lindenstrauss hash-derived random projection
     "embeddings_jl_project",
+    # r4 addition: langid reliability / calibration table
+    "docs_langid_calibration",
 ]
 
 
