@@ -4600,6 +4600,111 @@ def q_docs_cdc_dedup(sf_dir: str):
     return cdc_dedup_stats(ds).sort("doc_id")
 
 
+def q_events_welch_ttest(sf_dir: str):
+    """Welch two-sample t-test (unequal variances) between the 'click'
+    and 'purchase' value distributions — the continuous-outcome A/B
+    hypothesis test beside the categorical chi-square screen. The
+    corpus folds to SIX scalars (n, Σcents, Σcents² per group) inside
+    map_batches — cents are integers so both engines hold EXACT sums
+    (Σc² < 2⁵³ through ~10⁹ rows at these magnitudes; shard the fold
+    past that) — and the t statistic + Welch–Satterthwaite dof are
+    closed forms evaluated with the identical IEEE expression order as
+    the SQL twin. One streaming pass, no shuffle."""
+    a_type, b_type = "click", "purchase"
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[df["event_type"].isin([a_type, b_type]) & df["value"].notna()]
+        cents = _cents(sel["value"])
+        out = pd.DataFrame(
+            {
+                "event_type": sel["event_type"].to_numpy(),
+                "n": 1,
+                "s1": cents,
+                "s2": cents.astype(np.float64) ** 2,
+            }
+        )
+        return out.groupby("event_type", as_index=False).sum()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        stats = {
+            et: (int(n), float(s1), float(s2))
+            for et, n, s1, s2 in zip(
+                df["event_type"], df["sum(n)"], df["sum(s1)"], df["sum(s2)"]
+            )
+        }
+        n1, a1, a2 = stats[a_type]
+        n2, b1, b2 = stats[b_type]
+        m1 = (a1 / 100.0) / n1
+        m2 = (b1 / 100.0) / n2
+        v1 = (a2 / 10000.0 - n1 * m1 * m1) / (n1 - 1)
+        v2 = (b2 / 10000.0 - n2 * m2 * m2) / (n2 - 1)
+        se2 = v1 / n1 + v2 / n2
+        t = (m1 - m2) / np.sqrt(se2)
+        # explicit x*x (not **2): guaranteed the same correctly-rounded
+        # square the SQL twin's (v/n)*(v/n) computes
+        dof = se2 * se2 / (
+            (v1 / n1) * (v1 / n1) / (n1 - 1)
+            + (v2 / n2) * (v2 / n2) / (n2 - 1)
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "group_a": a_type,
+                    "group_b": b_type,
+                    "n_a": n1,
+                    "n_b": n2,
+                    "mean_a": m1,
+                    "mean_b": m2,
+                    "var_a": v1,
+                    "var_b": v2,
+                    "t_stat": float(t),
+                    "welch_dof": float(dof),
+                }
+            ]
+        )
+
+    return _preagg_native(
+        ds, ["event_type"], partial, [Sum("n"), Sum("s1"), Sum("s2")], finalize
+    )
+
+
+SQL_EVENTS_WELCH_TTEST = """
+WITH m AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) AS s2
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY 1
+),
+s AS (
+  SELECT event_type, n,
+         (s1 / 100.0) / n AS mean,
+         (s2 / 10000.0 - n * ((s1 / 100.0) / n) * ((s1 / 100.0) / n))
+           / (n - 1) AS var
+  FROM m
+),
+ab AS (
+  SELECT a.n AS n1, b.n AS n2, a.mean AS m1, b.mean AS m2,
+         a.var AS v1, b.var AS v2,
+         a.var / a.n + b.var / b.n AS se2
+  FROM (SELECT * FROM s WHERE event_type = 'click') a,
+       (SELECT * FROM s WHERE event_type = 'purchase') b
+)
+SELECT 'click' AS group_a, 'purchase' AS group_b,
+       CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       m1 AS mean_a, m2 AS mean_b, v1 AS var_a, v2 AS var_b,
+       (m1 - m2) / sqrt(se2) AS t_stat,
+       se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS welch_dof
+FROM ab
+"""
+
+
 def q_docs_langid_calibration(sf_dir: str):
     """Model-calibration / reliability table for the langid classifier
     (the model-MONITORING stage a production pipeline runs beside the
@@ -5793,6 +5898,7 @@ RETIRED_QUERIES.update(
         "events_winsorize": q_events_winsorize,
         "embeddings_jl_project": q_embeddings_jl_project,
         "docs_langid_calibration": q_docs_langid_calibration,
+        "events_welch_ttest": q_events_welch_ttest,
     }
 )
 
@@ -5870,5 +5976,6 @@ RETIRED_ORACLE_SQL.update(
         "events_winsorize": SQL_EVENTS_WINSORIZE,
         "embeddings_jl_project": SQL_EMBEDDINGS_JL_PROJECT,
         "docs_langid_calibration": SQL_DOCS_LANGID_CALIBRATION,
+        "events_welch_ttest": SQL_EVENTS_WELCH_TTEST,
     }
 )

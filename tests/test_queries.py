@@ -222,6 +222,8 @@ SQL_CHECKED = [
     "embeddings_jl_project",
     # r4 addition: langid reliability / calibration table
     "docs_langid_calibration",
+    # r4 addition: Welch two-sample t-test from exact integer moments
+    "events_welch_ttest",
 ]
 
 
