@@ -4992,6 +4992,8 @@ def q_events_winsorize(sf_dir: str):
     def block_summary(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
+                "first_type": pa.array([], pa.string()),
+                "first_value": pa.array([], pa.float64()),
                 "first_id": pa.array([], pa.int64()),
                 "event_type": pa.array([], pa.string()),
                 "cnt": pa.array([], pa.int64()),
@@ -5003,31 +5005,41 @@ def q_events_winsorize(sf_dir: str):
 
         starts = np.flatnonzero(_run_starts_mask_arrow(t, ["event_type"]))
         lens = np.diff(np.append(starts, t.num_rows))
-        fid = int(t.column("event_id")[0].as_py())
+        k = len(starts)
         return pa.table(
             {
+                "first_type": pa.array(
+                    [str(t.column("event_type")[0].as_py())] * k, pa.string()
+                ),
+                "first_value": pa.array(
+                    np.full(k, float(t.column("value")[0].as_py())),
+                    pa.float64(),
+                ),
                 "first_id": pa.array(
-                    np.full(len(starts), fid, np.int64), pa.int64()
+                    np.full(k, int(t.column("event_id")[0].as_py()), np.int64),
+                    pa.int64(),
                 ),
                 "event_type": t.column("event_type").take(pa.array(starts)),
                 "cnt": pa.array(lens, pa.int64()),
             }
         )
 
-    # blocks-bounded: (#blocks × |types|) rows; fold offsets in sort
-    # order (first event_id of a block is unique — ids are unique and
-    # the block order follows the sort order of their first rows)
+    # blocks-bounded: (#blocks × |types|) rows; fold offsets in BLOCK
+    # order = the sort order of each block's FULL first sort key
+    # (event_type, value, event_id) — event_id alone does NOT order
+    # blocks, ids are uncorrelated with the (type, value) sort
     summary = s.map_batches(
         block_summary, batch_format="pyarrow", batch_size=None
     ).take_all()
     order = {}
     for row in summary:
-        order.setdefault(row["first_id"], []).append(row)
+        key = (row["first_type"], row["first_value"], row["first_id"])
+        order.setdefault(key, []).append(row)
     n_per_type: dict = {}
     carry_per_block: dict = {}
-    for fid in sorted(order):
-        carry_per_block[fid] = dict(n_per_type)
-        for row in order[fid]:
+    for key in sorted(order):
+        carry_per_block[key[2]] = dict(n_per_type)
+        for row in order[key]:
             n_per_type[row["event_type"]] = (
                 n_per_type.get(row["event_type"], 0) + row["cnt"]
             )
