@@ -4600,6 +4600,112 @@ def q_docs_cdc_dedup(sf_dir: str):
     return cdc_dedup_stats(ds).sort("doc_id")
 
 
+def q_docs_negative_sampling_table(sf_dir: str):
+    """word2vec-style negative-sampling table (Mikolov '13): vocabulary
+    weights ∝ count^0.75 with a running cumulative column, the binary-
+    searchable CDF a sampler draws negatives from. Counting reuses the
+    PMI stage's one-pass combiner + one-sort merge; the cumulative
+    column is the two-phase carry fold (per-block integer sums, driver
+    exclusive-scan over the #blocks-bounded summary, carry-addressed
+    second pass). Two determinism locks: count^0.75 is computed as
+    sqrt(n)·sqrt(√n) — each sqrt correctly rounded, so both engines
+    produce the identical double — and weights round to integer
+    MICRO-units before the cumsum, so the running sum is exact integer
+    arithmetic with no float-association drift at any scale."""
+    from .stages.pmi import corpus_counts
+
+    min_count = 5
+    counts = corpus_counts(_read(sf_dir, "documents", ["text"]))
+
+    def vocab(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.equal(t.column("kind"), "u"),
+                pc.greater_equal(t.column("n"), min_count),
+            )
+        )
+        n = t.column("n").to_numpy().astype(np.float64)
+        w = np.round(np.sqrt(n) * np.sqrt(np.sqrt(n)) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "term": t.column("w1"),
+                "n": t.column("n"),
+                "weight_micro": pa.array(w, pa.int64()),
+            }
+        )
+
+    s = (
+        counts.map_batches(vocab, batch_format="pyarrow")
+        .sort("term")
+        .materialize()
+    )
+
+    def summ(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "first_term": pa.array([], pa.string()),
+                    "total": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "first_term": pa.array(
+                    [str(t.column("term")[0].as_py())], pa.string()
+                ),
+                "total": pa.array(
+                    [int(t.column("weight_micro").to_numpy().sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rows = s.map_batches(
+        summ, batch_format="pyarrow", batch_size=None
+    ).take_all()  # bounded: one row per block
+    rows.sort(key=lambda r: r["first_term"])
+    carries = {}
+    acc = 0
+    for r in rows:
+        carries[r["first_term"]] = acc
+        acc += r["total"]
+    cref = ray.put(carries)
+
+    def apply(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("cum_micro", pa.array([], pa.int64()))
+        carry = ray.get(cref)[str(t.column("term")[0].as_py())]
+        w = t.column("weight_micro").to_numpy()
+        return t.append_column(
+            "cum_micro", pa.array(np.cumsum(w) + carry, pa.int64())
+        )
+
+    return s.map_batches(apply, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DOCS_NEGATIVE_SAMPLING_TABLE = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+c AS (
+  SELECT w AS term, count(*) AS n FROM tok GROUP BY 1
+  HAVING count(*) >= 5
+),
+wt AS (
+  SELECT term, n,
+         CAST(round(sqrt(n) * sqrt(sqrt(n)) * 1000000) AS BIGINT)
+           AS weight_micro
+  FROM c
+)
+SELECT term, CAST(n AS BIGINT) AS n, weight_micro,
+       CAST(sum(weight_micro) OVER (ORDER BY term
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_micro
+FROM wt ORDER BY term
+"""
+
+
 def q_events_welch_ttest(sf_dir: str):
     """Welch two-sample t-test (unequal variances) between the 'click'
     and 'purchase' value distributions — the continuous-outcome A/B
@@ -5911,6 +6017,7 @@ RETIRED_QUERIES.update(
         "embeddings_jl_project": q_embeddings_jl_project,
         "docs_langid_calibration": q_docs_langid_calibration,
         "events_welch_ttest": q_events_welch_ttest,
+        "docs_negative_sampling_table": q_docs_negative_sampling_table,
     }
 )
 
@@ -5989,5 +6096,6 @@ RETIRED_ORACLE_SQL.update(
         "embeddings_jl_project": SQL_EMBEDDINGS_JL_PROJECT,
         "docs_langid_calibration": SQL_DOCS_LANGID_CALIBRATION,
         "events_welch_ttest": SQL_EVENTS_WELCH_TTEST,
+        "docs_negative_sampling_table": SQL_DOCS_NEGATIVE_SAMPLING_TABLE,
     }
 )

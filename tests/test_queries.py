@@ -224,6 +224,8 @@ SQL_CHECKED = [
     "docs_langid_calibration",
     # r4 addition: Welch two-sample t-test from exact integer moments
     "events_welch_ttest",
+    # r4 addition: word2vec negative-sampling CDF table
+    "docs_negative_sampling_table",
 ]
 
 
