@@ -389,6 +389,34 @@ def test_jl_projection_preserves_norms(registry):
     assert 0.8 < ratio < 1.2, ratio
 
 
+def test_carry_folds_survive_tiny_blocks(registry, con):
+    """Force many tiny sorted blocks through the two-phase carry-fold
+    operators (winsorize rank selection, Gini rank-weighted sum,
+    negative-sampling running CDF): block-order bookkeeping must hold
+    at ANY block count, not just the handful the default block size
+    yields at sf0.001 (regression: winsorize once folded carries in
+    event_id order, which only agreed with block order by luck on
+    single-block runs)."""
+    import ray.data as rd
+
+    from file_analyzer_ray.queries import RETIRED_ORACLE_SQL, RETIRED_QUERIES
+
+    ctx = rd.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024  # ~dozens of blocks
+        for name in (
+            "events_winsorize",
+            "events_user_gini",
+            "docs_negative_sampling_table",
+        ):
+            got = _to_pandas(RETIRED_QUERIES[name](SF_DIR))
+            exp = con.execute(RETIRED_ORACLE_SQL[name]).df()
+            _compare(got, exp, f"{name}@tiny-blocks")
+    finally:
+        ctx.target_max_block_size = old
+
+
 def test_pmi_broadcast_and_distributed_paths_equal(registry):
     """The PMI scorer's broadcast path (merged count table pulled once
     below the row cap) and the web-scale explode + two-sort attach path
