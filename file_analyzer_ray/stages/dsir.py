@@ -118,10 +118,15 @@ def dsir_weights(
 
     tgt = np.zeros(dim, dtype=np.int64)
     raw = np.zeros(dim, dtype=np.int64)
+    # batch_size=dim (NOT None): each partial is a dim-row table and
+    # the total row count is a multiple of dim, so dim-sized batches
+    # are always whole partials — block boundaries may split a partial
+    # when the block size is small (tiny-block sweep regression)
     for b in docs.map_batches(
         partial, batch_format="pyarrow", batch_size=4096
-    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+    ).iter_batches(batch_size=dim, batch_format="pyarrow"):
         n = b.num_rows // dim
+        assert n * dim == b.num_rows, (n, dim, b.num_rows)
         tgt += b.column("tgt").to_numpy(zero_copy_only=False).reshape(n, dim).sum(axis=0)
         raw += b.column("raw").to_numpy(zero_copy_only=False).reshape(n, dim).sum(axis=0)
     t_total, r_total = int(tgt.sum()), int(raw.sum())

@@ -409,6 +409,9 @@ def test_carry_folds_survive_tiny_blocks(registry, con):
             "events_winsorize",
             "events_user_gini",
             "docs_negative_sampling_table",
+            # regression: tiny blocks once split dsir's dim-row
+            # partials across block boundaries
+            "docs_dsir",
         ):
             got = _to_pandas(RETIRED_QUERIES[name](SF_DIR))
             exp = con.execute(RETIRED_ORACLE_SQL[name]).df()
