@@ -47,11 +47,31 @@ from .query_utils import _cents, _meta_rows, _preagg_native, _read
 # key column ("No match ... on right side of the join").
 
 
+#: row bound for the broadcast join paths below: a deduped int64 key
+#: set (or key→int64 pair) of ≤2M rows is ~16-32 MB in the object
+#: store — broadcast + row-local searchsorted beats a hash exchange
+#: AND sidesteps Ray's join-aggregator CPU floor (a 2-CPU cluster
+#: cannot schedule read tasks beside the shuffle aggregators; observed
+#: stall in the num_cpus=2 sweep). Above the bound the Dataset.join
+#: path runs; both paths are equality-pinned in pytest.
+_KEYS_BROADCAST_MAX = 2_000_000
+
+
+def _distinct_i64(ds, col) -> "np.ndarray":
+    """Driver-side sorted distinct int64 column of a SMALL dataset
+    (callers gate on ``_meta_rows`` ≤ ``_KEYS_BROADCAST_MAX``; the
+    input is already per-batch deduped so rows ≤ distinct keys)."""
+    vals = np.fromiter((r[col] for r in ds.take_all()), dtype=np.int64)
+    return np.unique(vals)
+
+
 def q_orders_lineitem_join_agg(sf_dir: str):
     """Large ⋈ large inner hash join (orders ⋈ lineitem) → revenue per
     order priority. The lineitem side is pre-aggregated to one narrow
     row per l_orderkey BEFORE the join, so the exchange moves
-    (key, int64) pairs, not raw lineitems."""
+    (key, int64) pairs, not raw lineitems. Below the key-broadcast
+    bound the per-order revenue table rides the object store once and
+    orders attach it row-locally (searchsorted) — no exchange at all."""
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -78,13 +98,37 @@ def q_orders_lineitem_join_agg(sf_dir: str):
     per_order = _preagg_native(li, ["l_orderkey"], li_partial, [Sum("rev4")], li_finalize,
                                input_rows=_meta_rows(sf_dir, "lineitem"))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = orders.join(
-        per_order,
-        join_type="inner",
-        num_partitions=16,
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
-    )
+    if _meta_rows(sf_dir, "orders") <= _KEYS_BROADCAST_MAX:
+        rows = per_order.take_all()  # ≤ #orders ≤ bound by the gate
+        ok = np.fromiter((r["l_orderkey"] for r in rows), dtype=np.int64)
+        rv = np.fromiter((r["rev4"] for r in rows), dtype=np.int64)
+        order_ix = np.argsort(ok)
+        ref = ray.put((ok[order_ix], rv[order_ix]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            keys, revs = ray.get(ref)
+            if len(keys) == 0:
+                return t.slice(0, 0).append_column(
+                    "rev4", pa.array([], pa.int64())
+                )
+            o = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            ix = np.searchsorted(keys, o)
+            ix[ix >= len(keys)] = 0
+            hit = keys[ix] == o  # inner-join semantics: drop misses
+            t = t.filter(pa.array(hit))
+            return t.append_column(
+                "rev4", pa.array(revs[ix[hit]], pa.int64())
+            )
+
+        joined = orders.map_batches(attach, batch_format="pyarrow")
+    else:
+        joined = orders.join(
+            per_order,
+            join_type="inner",
+            num_partitions=16,
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
 
     def pr_partial(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -134,13 +178,28 @@ def q_orders_semi_lineitem_returns(sf_dir: str):
 
     keys = li.map_batches(returned_keys, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    semi = orders.join(
-        keys,
-        join_type="left_semi",
-        num_partitions=16,
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
-    )
+    if _meta_rows(sf_dir, "orders") <= _KEYS_BROADCAST_MAX:
+        # distinct returned orderkeys ≤ #orders ≤ the gate bound
+        ref = ray.put(_distinct_i64(keys, "l_orderkey"))
+
+        def member(t: pa.Table) -> pa.Table:
+            k = ray.get(ref)
+            if len(k) == 0:
+                return t.slice(0, 0)
+            o = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            ix = np.searchsorted(k, o)
+            ix[ix >= len(k)] = 0
+            return t.filter(pa.array(k[ix] == o))
+
+        semi = orders.map_batches(member, batch_format="pyarrow")
+    else:
+        semi = orders.join(
+            keys,
+            join_type="left_semi",
+            num_partitions=16,
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"o_orderpriority": df["o_orderpriority"], "n": 1})
@@ -183,13 +242,28 @@ def q_customers_without_orders(sf_dir: str):
 
     keys = orders.map_batches(dedup, batch_format="pyarrow")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
-    anti = cust.join(
-        keys,
-        join_type="left_anti",
-        num_partitions=16,
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-    )
+    if _meta_rows(sf_dir, "orders") <= _KEYS_BROADCAST_MAX:
+        # distinct F-custkeys ≤ #orders ≤ the gate bound
+        ref = ray.put(_distinct_i64(keys, "o_custkey"))
+
+        def non_member(t: pa.Table) -> pa.Table:
+            k = ray.get(ref)
+            if len(k) == 0:
+                return t
+            c = t.column("c_custkey").to_numpy(zero_copy_only=False)
+            ix = np.searchsorted(k, c)
+            ix[ix >= len(k)] = 0
+            return t.filter(pa.array(k[ix] != c))
+
+        anti = cust.map_batches(non_member, batch_format="pyarrow")
+    else:
+        anti = cust.join(
+            keys,
+            join_type="left_anti",
+            num_partitions=16,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -967,6 +1041,47 @@ def q_orders_shipping_priority(sf_dir: str):
         li, ["l_orderkey"], li_partial, [Sum("rev4")], li_finalize,
         input_rows=_meta_rows(sf_dir, "lineitem"),
     )
+
+    if _meta_rows(sf_dir, "orders") <= _KEYS_BROADCAST_MAX:
+        # filtered orders ≤ #orders ≤ the gate: broadcast (key, date)
+        # and attach to the revenue stream row-locally — the last hash
+        # join disappears, and 2-CPU clusters stay live (the join
+        # aggregators starve the read tasks there)
+        rows = ord_f.take_all()
+        ok_ = np.fromiter((r["o_orderkey"] for r in rows), dtype=np.int64)
+        dt_ = np.fromiter(
+            (pd.Timestamp(r["o_orderdate"]).value // 1000 for r in rows),
+            dtype=np.int64,
+        )
+        order_ix = np.argsort(ok_)
+        oref = ray.put((ok_[order_ix], dt_[order_ix]))
+
+        def attach_date(t: pa.Table) -> pa.Table:
+            keys, dates = ray.get(oref)
+            lk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                hit = np.zeros(len(lk), dtype=bool)
+                ix = hit.astype(np.int64)
+            else:
+                ix = np.searchsorted(keys, lk)
+                ix[ix >= len(keys)] = 0
+                hit = keys[ix] == lk
+            t = t.filter(pa.array(hit))
+            rev = t.column("rev4").to_numpy(zero_copy_only=False) / 10000.0
+            return pa.Table.from_arrays(
+                [
+                    t.column("l_orderkey").cast(pa.int64()),
+                    pa.array(rev, pa.float64()),
+                    pa.array(dates[ix[hit]], pa.timestamp("us")),
+                ],
+                names=["o_orderkey", "revenue", "o_orderdate"],
+            )
+
+        return (
+            per_order.map_batches(attach_date, batch_format="pyarrow")
+            .sort(["revenue", "o_orderkey"], descending=[True, False])
+            .limit(10)
+        )
 
     joined = ord_f.join(
         per_order,

@@ -120,6 +120,12 @@ def to_grayscale(img: np.ndarray) -> np.ndarray:
 
 _IMG_SCHEMA = pa.schema([("doc_id", pa.string()), ("img", pa.large_binary())])
 
+#: decoded-candidate-image count below which the pairwise compare
+#: broadcasts the image dict and skips both hash joins (≤20k × ~12 KB
+#: RGB thumbs ≈ 240 MB object-store ceiling); above it the two-join
+#: parquet-checkpoint path runs (the 10^12 shape)
+_IMGS_BROADCAST_MAX = 20_000
+
 COMPARE_SCHEMA = pa.schema(
     [
         ("doc_id_a", pa.string()),
@@ -242,6 +248,68 @@ def pairwise_image_compare(
     ckpt = tempfile.mkdtemp(prefix="fa_compare_imgs_")
     _first_media_images(docs, target, concurrency).write_parquet(ckpt)
     imgs = ray.data.read_parquet(ckpt)
+
+    # Below the broadcast bound, skip BOTH hash joins: the decoded
+    # candidate-image table rides the object store once as a dict and
+    # each pair batch scores row-locally. Beyond saving two exchanges,
+    # this keeps tiny clusters live — at num_cpus=2 Ray's hash-shuffle
+    # aggregator actors starve the upstream read tasks and the join
+    # plan stalls (observed in the 2-CPU sweep). The join path remains
+    # the 10^12 shape; both paths are equality-pinned in pytest.
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    n_imgs = sum(
+        _pq.read_metadata(f).num_rows
+        for f in _glob.glob(f"{ckpt}/*.parquet")
+    )
+    side_bc = target * target * 3
+    if n_imgs <= _IMGS_BROADCAST_MAX:
+        tbl = _pq.read_table(ckpt)
+        imap = dict(
+            zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist())
+        )
+        iref = ray.put(imap)
+
+        def compare_bc(batch: pa.Table) -> pa.Table:
+            im = ray.get(iref)
+            out = {
+                k: []
+                for k in (
+                    "doc_id_a", "doc_id_b", "ssim", "mismatch_pct",
+                    "identical",
+                )
+            }
+            for a, b in zip(
+                batch.column("doc_id_a").to_pylist(),
+                batch.column("doc_id_b").to_pylist(),
+            ):
+                ba, bb = im.get(a), im.get(b)
+                if ba is None or bb is None:  # inner-join semantics
+                    continue
+                if len(ba) != side_bc or len(bb) != side_bc:
+                    continue
+                ia = np.frombuffer(ba, dtype=np.uint8).reshape(
+                    target, target, 3
+                )
+                ib = np.frombuffer(bb, dtype=np.uint8).reshape(
+                    target, target, 3
+                )
+                s = ssim(to_grayscale(ia), to_grayscale(ib))
+                mm = pixel_mismatch_count(ia, ib, pixel_threshold)
+                out["doc_id_a"].append(a)
+                out["doc_id_b"].append(b)
+                out["ssim"].append(round(s, 6))
+                out["mismatch_pct"].append(
+                    round(100.0 * mm / (target * target), 4)
+                )
+                out["identical"].append(mm == 0)
+            return pa.Table.from_pydict(out, schema=COMPARE_SCHEMA)
+
+        return pairs.select_columns(["doc_id_a", "doc_id_b"]).map_batches(
+            compare_bc, batch_format="pyarrow"
+        )
 
     def rename_a(t: pa.Table) -> pa.Table:
         return t.rename_columns(["id_a", "img_a"])

@@ -64,6 +64,11 @@ from ..query_utils import (
 #: object-store broadcast (~16 bytes/node) to two hash joins
 BROADCAST_NODES_MAX = 2_000_000
 
+#: oriented-edge count below which wedge closure broadcasts the packed
+#: edge-key array (≤2M × 8 B = 16 MB) instead of a wedge ⋈ edge hash
+#: join — see triangle_counts
+_EDGES_BROADCAST_MAX = 2_000_000
+
 #: transient-peak bound for one length-group gather during pair
 #: emission (rows × C(L,2) index matrices are sliced to ≤ this many
 #: pairs at a time)
@@ -389,17 +394,6 @@ def triangle_counts(
         _window_by_key_arrow(oriented, ["src"], ["src", "ddst", "dst"], emit_wedges)
     )
 
-    def ren_edge(t: pa.Table) -> pa.Table:
-        return t.select(["src", "dst"]).rename_columns(["ja", "jb"])
-
-    tri = wedges.join(
-        oriented.map_batches(ren_edge, batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=16,
-        on=("a", "b"),
-        right_on=("ja", "jb"),
-    )
-
     def tri_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _COUNT_SCHEMA.empty_table()
@@ -411,6 +405,72 @@ def triangle_counts(
             [pa.array(un, pa.int64()), pa.array(cnt.astype(np.int64), pa.int64())],
             names=["node", "n_triangles"],
         )
+
+    n_edges = edges.count()  # edges are materialized: footer-cheap
+    if n_edges <= _EDGES_BROADCAST_MAX:
+        # Broadcast closure check: the support-thresholded oriented
+        # edge set packs to one sorted int64 key array (ids < 2³¹) in
+        # the object store; each wedge batch closes row-locally via
+        # searchsorted — NO hash join, which both saves the exchange
+        # and keeps 2-CPU clusters live (Ray's join aggregators starve
+        # the upstream tasks there; observed in the num_cpus=2 sweep).
+        # Above the bound the wedge ⋈ edge hash join runs (the 10^12
+        # shape); both paths equality-pinned in pytest.
+        def pack(t: pa.Table) -> pa.Table:
+            k = _np_col(t, "src") * (1 << 32) + _np_col(t, "dst")
+            return pa.Table.from_arrays([pa.array(k, pa.int64())], ["k"])
+
+        keys = np.sort(
+            np.fromiter(
+                (
+                    r["k"]
+                    for r in oriented.map_batches(
+                        pack, batch_format="pyarrow"
+                    ).take_all()
+                ),
+                dtype=np.int64,
+            )
+        )
+        kref = ray.put(keys)
+
+        def closed_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _COUNT_SCHEMA.empty_table()
+            kk = ray.get(kref)
+            a, b, wit = (_np_col(t, c) for c in ("a", "b", "wit"))
+            if len(kk) == 0:
+                return _COUNT_SCHEMA.empty_table()
+            probe = a * (1 << 32) + b
+            ix = np.searchsorted(kk, probe)
+            ix[ix >= len(kk)] = 0
+            hit = kk[ix] == probe
+            if not hit.any():
+                return _COUNT_SCHEMA.empty_table()
+            corners = np.concatenate([a[hit], b[hit], wit[hit]])
+            un, cnt = np.unique(corners, return_counts=True)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(un, pa.int64()),
+                    pa.array(cnt.astype(np.int64), pa.int64()),
+                ],
+                names=["node", "n_triangles"],
+            )
+
+        part = wedges.map_batches(
+            closed_partial, batch_format="pyarrow", batch_size=65536
+        )
+        return _sum_by_node(part, "n_triangles")
+
+    def ren_edge(t: pa.Table) -> pa.Table:
+        return t.select(["src", "dst"]).rename_columns(["ja", "jb"])
+
+    tri = wedges.join(
+        oriented.map_batches(ren_edge, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=16,
+        on=("a", "b"),
+        right_on=("ja", "jb"),
+    )
 
     part = tri.map_batches(tri_partial, batch_format="pyarrow", batch_size=65536)
     return _sum_by_node(part, "n_triangles")

@@ -389,6 +389,54 @@ def test_jl_projection_preserves_norms(registry):
     assert 0.8 < ratio < 1.2, ratio
 
 
+def test_key_broadcast_joins_equal_hash_join_path(registry):
+    """The key-broadcast join paths (anti / semi / pre-aggregated
+    inner) must produce exactly what the Dataset.join fallback does;
+    the broadcast path also keeps a 2-CPU cluster live, where Ray's
+    hash-shuffle aggregators starve the read tasks."""
+    import file_analyzer_ray.queries_joins as qj
+
+    from file_analyzer_ray.queries import RETIRED_QUERIES
+
+    names = (
+        "customers_without_orders",
+        "orders_semi_lineitem_returns",
+        "orders_lineitem_join_agg",
+        "orders_shipping_priority",
+    )
+    queries, _ = registry
+    queries = {**RETIRED_QUERIES, **queries}
+    bc = {n: _normalize(_to_pandas(queries[n](SF_DIR))) for n in names}
+    old = qj._KEYS_BROADCAST_MAX
+    try:
+        qj._KEYS_BROADCAST_MAX = 0  # force the Dataset.join path
+        for n in names:
+            pd.testing.assert_frame_equal(
+                bc[n], _normalize(_to_pandas(queries[n](SF_DIR)))
+            )
+    finally:
+        qj._KEYS_BROADCAST_MAX = old
+
+
+def test_pairwise_compare_broadcast_equals_join_path(registry):
+    """The image-dict broadcast path (skips both hash joins; keeps a
+    2-CPU cluster live) must equal the parquet-checkpoint two-join
+    path exactly."""
+    import file_analyzer_ray.stages.compare as cmp
+
+    queries, _ = registry
+    bc = _normalize(_to_pandas(queries["extract_pairwise_compare"](SF_DIR)))
+    old = cmp._IMGS_BROADCAST_MAX
+    try:
+        cmp._IMGS_BROADCAST_MAX = 0  # force the two-join path
+        jp = _normalize(
+            _to_pandas(queries["extract_pairwise_compare"](SF_DIR))
+        )
+    finally:
+        cmp._IMGS_BROADCAST_MAX = old
+    pd.testing.assert_frame_equal(bc, jp)
+
+
 def test_carry_folds_survive_tiny_blocks(registry, con):
     """Force many tiny sorted blocks through the two-phase carry-fold
     operators (winsorize rank selection, Gini rank-weighted sum,

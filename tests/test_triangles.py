@@ -77,6 +77,32 @@ def test_triangles_random_graph_both_paths_equal(ray_session):
     assert dict(zip(bc["node"], bc["n_triangles"])) == exp
 
 
+def test_triangles_closure_join_path_equals_broadcast(ray_session):
+    """Force the wedge ⋈ edge hash-join closure (the 10^12 path) and
+    pin it to the packed-key broadcast closure + brute force."""
+    import file_analyzer_ray.stages.triangles as tr
+
+    rng = np.random.default_rng(11)
+    n = 40
+    edges = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(0, n, size=(250, 2))
+        if a != b
+    }
+    e = ray.data.from_items(
+        [{"u": u, "v": v} for u, v in sorted(edges)]
+    ).repartition(4)
+    bc = _counts_df(triangle_counts(e, n_nodes_hint=n))
+    old = tr._EDGES_BROADCAST_MAX
+    try:
+        tr._EDGES_BROADCAST_MAX = 0
+        jn = _counts_df(triangle_counts(e, n_nodes_hint=n))
+    finally:
+        tr._EDGES_BROADCAST_MAX = old
+    pd.testing.assert_frame_equal(bc, jn)
+    assert dict(zip(bc["node"], bc["n_triangles"])) == _brute_counts(edges)
+
+
 def test_cooccurrence_edges_dedup_and_order(ray_session):
     # duplicate (basket, item) rows must not fabricate self-loops or
     # duplicate edges; u < v ordering holds
