@@ -5322,89 +5322,26 @@ def q_graph_bfs_layers(sf_dir: str):
     """Multi-source-free BFS: hop-distance layers (≤ 3 hops) from the
     highest-degree hub of the part co-occurrence graph — the reachability
     primitive beside pagerank (influence), triangles (cohesion) and
-    components (partition). Ray shape: the corpus-sized edge table is
-    materialized ONCE and re-scanned per round (pagerank's
-    loop-invariant pin); the frontier/visited sets are NODE-bounded
-    (part catalog — the same boundedness that licenses pagerank's
-    broadcast mode) and ride the object store as sorted id arrays;
-    each round is one map_batches over edges (vectorized searchsorted
-    membership + per-batch distinct) and one bounded collect — the
-    corpus never shuffles and rounds are fixed (3), not data-driven.
-    The DuckDB oracle walks the same graph with a recursive CTE
-    (dedup-union keeps it node×hop bounded)."""
+    components (partition). Ray shape (stages/graph.py:bfs_layers): the
+    corpus-sized edge table is materialized ONCE and re-scanned per
+    round (pagerank's loop-invariant pin); source selection folds
+    degrees through the engine's sort-based ``_sum_by_key`` (a
+    distributed node-sized dataset — only the argmax row lands on the
+    driver); the iteration auto-switches at ``BROADCAST_NODES_MAX``
+    exactly like pagerank: node-bounded catalogs ride the object store
+    as sorted frontier arrays (one streaming edge pass per round),
+    corpus-scaled node spaces run hop-propagation on the
+    cc_min_label_propagation machinery (state and messages as datasets,
+    one co-locating sort + run-scan per round; equality-pinned against
+    the broadcast path in pytest). Rounds are fixed (3), not
+    data-driven. The DuckDB oracle walks the same graph with a
+    recursive CTE (dedup-union keeps it node×hop bounded)."""
+    from .stages.graph import bfs_layers
     from .stages.triangles import cooccurrence_edges
 
-    max_hops = 3
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    edges = cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", min_support=2
-    ).materialize()
-
-    # source = highest-degree node (min id on ties): the hub sits in
-    # the giant component at every sf tier, where min-id lands in a
-    # 2-node islet at sf0.1. Degrees are node-bounded: per-batch
-    # partial counts, driver fold over a (#blocks × nodes)-bounded set.
-    def degree_partial(t: pa.Table) -> pa.Table:
-        both = pa.table(
-            {
-                "node": pa.concat_arrays(
-                    [
-                        t.column("u").combine_chunks().cast(pa.int64()),
-                        t.column("v").combine_chunks().cast(pa.int64()),
-                    ]
-                )
-            }
-        )
-        g = both.group_by(["node"]).aggregate([([], "count_all")])
-        return g.rename_columns(["node", "cnt"])
-
-    deg: dict[int, int] = {}
-    for r in edges.map_batches(
-        degree_partial, batch_format="pyarrow"
-    ).take_all():
-        deg[r["node"]] = deg.get(r["node"], 0) + r["cnt"]
-    source = min(deg, key=lambda n: (-deg[n], n))
-
-    visited = np.array([source], dtype=np.int64)
-    layers = [(source, 0)]
-    frontier = visited
-    for hop in range(1, max_hops + 1):
-        fref = ray.put(np.sort(frontier))
-
-        def neighbors(t: pa.Table, _f=fref) -> pa.Table:
-            f = ray.get(_f)
-            u = t.column("u").to_numpy(zero_copy_only=False)
-            v = t.column("v").to_numpy(zero_copy_only=False)
-            # undirected: edges store u < v once; expand both ways
-            src = np.concatenate([u, v])
-            dst = np.concatenate([v, u])
-            idx = np.searchsorted(f, src)
-            idx[idx >= len(f)] = 0
-            hit = f[idx] == src
-            return pa.table(
-                {"node": pa.array(np.unique(dst[hit]), pa.int64())}
-            )
-
-        # bounded collect: ≤ |nodes| rows per batch, ≤ |nodes| total
-        # after the driver-side unique (part-catalog bounded)
-        parts = edges.map_batches(neighbors, batch_format="pyarrow")
-        cand = np.array(
-            [r["node"] for r in parts.take_all()], dtype=np.int64
-        )
-        new = np.setdiff1d(np.unique(cand), visited, assume_unique=False)
-        if len(new) == 0:
-            break
-        layers.extend((int(n), hop) for n in new)
-        visited = np.union1d(visited, new)
-        frontier = new
-
-    out = pa.table(
-        {
-            "node": pa.array([n for n, _ in layers], pa.int64()),
-            "hop": pa.array([h for _, h in layers], pa.int64()),
-        }
-    ).sort_by([("hop", "ascending"), ("node", "ascending")])
-    return ray.data.from_arrow(out)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return bfs_layers(edges, source=None, max_hops=3, mode="auto")
 
 
 SQL_GRAPH_BFS_LAYERS = """

@@ -353,3 +353,284 @@ def pagerank_serial(
             for v in nodes
         }
     return rank
+
+
+# ---------------------------------------------------------------------------
+# BFS hop layers — the reachability primitive beside pagerank
+# ---------------------------------------------------------------------------
+
+#: unreached sentinel for the distributed hop-propagation state; 2^62
+#: leaves headroom for the per-round ``hop + 1`` without int64 overflow
+BFS_INF = int(2**62)
+
+
+def bfs_source_and_count(edges: "ray.data.Dataset") -> "tuple[int, int]":
+    """Highest-degree node (min id on ties) and node count of an
+    undirected unique-pair ``(u, v)`` edge dataset — via the engine's
+    unbounded-cardinality ``_sum_by_key`` (per-batch combine → ONE
+    sort → run-sum), NOT a driver-side dict fold: degrees stay a
+    distributed node-sized dataset; only the single argmax row and the
+    scalar count ever land on the driver."""
+
+    def both_ones(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [
+                t.column("u").combine_chunks().cast(pa.int64()),
+                t.column("v").combine_chunks().cast(pa.int64()),
+            ]
+        )
+        return pa.table(
+            {"src": node, "one": pa.array(np.ones(len(node), dtype=np.int64))}
+        )
+
+    deg = _sum_by_key(
+        edges.map_batches(both_ones, batch_format="pyarrow"),
+        "src", "one", "deg",
+    ).materialize()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return -1, 0
+    top = deg.sort(["deg", "src"], descending=[True, False]).limit(1).take_all()
+    return int(top[0]["src"]), n_nodes
+
+
+def bfs_layers(
+    edges: "ray.data.Dataset",
+    source: "int | None" = None,
+    max_hops: int = 3,
+    mode: str = "auto",
+) -> "ray.data.Dataset":
+    """Hop-distance layers (``hop`` ≤ ``max_hops``) from ``source``
+    over an UNDIRECTED unique-pair ``(u, v)`` edge dataset →
+    ``(node, hop)`` sorted by (hop, node), source at hop 0.
+
+    Two equality-pinned modes, auto-switched at the SAME node bound as
+    pagerank (``BROADCAST_NODES_MAX``):
+
+    - ``broadcast`` (node space bounded, e.g. a part catalog): the
+      frontier/visited sets ride the object store as sorted id arrays;
+      each round is one streaming edge pass (vectorized searchsorted
+      membership) plus a node-bounded collect.
+    - ``distributed`` (node space corpus-scaled): hop-propagation on
+      the ``cc_min_label_propagation`` machinery (text_dedup.py:463) —
+      state ``(node, hop)`` and the per-round neighbor messages
+      ``(nbr, hop+1)`` are datasets; each round co-locates state and
+      adjacency rows with ONE sort + run-scan (``max.reduceat``
+      recovers the state hop; adjacency rows are tagged −1), then a
+      min-per-node sort reduces the messages. Rounds are fixed
+      (``max_hops``), nothing node-sized lands on the driver.
+
+    Requires nonnegative node ids (the −1 adjacency tag would alias)."""
+    edges = edges.materialize()  # loop-invariant pin, as pagerank
+    if source is None or mode == "auto":
+        src, n_nodes = bfs_source_and_count(edges)
+        if source is None:
+            source = src
+        if mode == "auto":
+            mode = (
+                "broadcast" if n_nodes <= BROADCAST_NODES_MAX else "distributed"
+            )
+    if source < 0:  # empty edge table
+        return ray.data.from_arrow(_bfs_empty())
+    if mode == "broadcast":
+        return ray.data.from_arrow(_bfs_broadcast(edges, source, max_hops))
+    return _bfs_distributed(edges, source, max_hops)
+
+
+def _bfs_empty() -> pa.Table:
+    return pa.table(
+        {"node": pa.array([], pa.int64()), "hop": pa.array([], pa.int64())}
+    )
+
+
+def _bfs_broadcast(edges, source: int, max_hops: int) -> pa.Table:
+    """Node-bounded BFS: frontier broadcast once per round via
+    ``ray.put``; each round one streaming edge pass with vectorized
+    searchsorted membership + per-batch distinct."""
+    import ray
+
+    visited = np.array([source], dtype=np.int64)
+    layers = [(source, 0)]
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        fref = ray.put(np.sort(frontier))
+
+        def neighbors(t: pa.Table, _f=fref) -> pa.Table:
+            f = ray.get(_f)
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            # undirected: edges store u < v once; expand both ways
+            src = np.concatenate([u, v])
+            dst = np.concatenate([v, u])
+            idx = np.searchsorted(f, src)
+            idx[idx >= len(f)] = 0
+            hit = f[idx] == src
+            return pa.table({"node": pa.array(np.unique(dst[hit]), pa.int64())})
+
+        # bounded collect: ≤ |nodes| rows per batch after the per-batch
+        # distinct, ≤ |nodes| total after the driver-side unique
+        parts = edges.map_batches(neighbors, batch_format="pyarrow")
+        cand = np.array([r["node"] for r in parts.take_all()], dtype=np.int64)
+        new = np.setdiff1d(np.unique(cand), visited, assume_unique=False)
+        if len(new) == 0:
+            break
+        layers.extend((int(n), hop) for n in new)
+        visited = np.union1d(visited, new)
+        frontier = new
+
+    return pa.table(
+        {
+            "node": pa.array([n for n, _ in layers], pa.int64()),
+            "hop": pa.array([h for _, h in layers], pa.int64()),
+        }
+    ).sort_by([("hop", "ascending"), ("node", "ascending")])
+
+
+def _min_per_key(ds: "ray.data.Dataset", key: str, val: str) -> "ray.data.Dataset":
+    """Min ``val`` per ``key`` with ONE sort + first-row-per-run scan
+    (complete runs in-block; boundary runs down the 2-groups-per-block
+    side-channel) — cc_min_label_propagation's reducer, generalized."""
+    import pandas as pd
+
+    from ..query_utils import _edge_key_mask
+
+    s = ds.sort([key, val]).materialize()
+
+    def interior(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return df
+        keep = df.loc[~_edge_key_mask(df, [key])]
+        return keep.drop_duplicates(key, keep="first").reset_index(drop=True)
+
+    def boundary(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return df
+        return df.loc[_edge_key_mask(df, [key])]
+
+    def boundary_min(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.sort_values([key, val], kind="stable")
+            .drop_duplicates(key, keep="first")
+            .reset_index(drop=True)
+        )
+
+    b = (
+        s.map_batches(boundary, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(boundary_min, batch_format="pandas", batch_size=None)
+    )
+    return (
+        s.map_batches(interior, batch_format="pandas", batch_size=None)
+        .union(b)
+        .materialize()
+    )
+
+
+def _bfs_distributed(edges, source: int, max_hops: int) -> "ray.data.Dataset":
+    """Corpus-scaled BFS: hop state and neighbor messages as datasets,
+    ``max_hops`` rounds of (one co-locating sort + run-scan forward,
+    one min-per-node sort). Per round each finite hop extends exactly
+    one edge, so after k rounds state(v) = min(bfs_dist(v), reachable
+    within k) — no convergence scalar needed for fixed-depth layers."""
+    import pandas as pd
+
+    from ..query_utils import _edge_key_mask
+
+    def init_state(df: "pd.DataFrame") -> "pd.DataFrame":
+        nodes = pd.concat([df["u"], df["v"]], ignore_index=True)
+        vals = nodes.to_numpy()
+        if len(vals) and vals.min() < 0:
+            raise ValueError("bfs_layers requires nonnegative node ids")
+        return pd.DataFrame(
+            {
+                "node": vals,
+                "hop": np.where(vals == source, 0, BFS_INF).astype(np.int64),
+            }
+        ).drop_duplicates("node")
+
+    state = _min_per_key(
+        edges.map_batches(init_state, batch_format="pandas"), "node", "hop"
+    )
+
+    def edge_msgs(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "node": pd.concat([df["u"], df["v"]], ignore_index=True),
+                "nbr": pd.concat([df["v"], df["u"]], ignore_index=True),
+            }
+        )
+
+    adj = edges.map_batches(edge_msgs, batch_format="pandas")
+
+    def tag_state(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"node": df["node"], "nbr": -1, "hop": df["hop"]}
+        )
+
+    def tag_adj(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"node": df["node"], "nbr": df["nbr"], "hop": -1})
+
+    def forward(df: "pd.DataFrame") -> "pd.DataFrame":
+        """Per complete node-run: adjacency rows carry hop = −1 and the
+        single state row carries the node's current hop (≥ 0), so
+        ``max.reduceat`` recovers the state hop regardless of row order
+        within the run. Emit (nbr, hop+1) per adjacency row of a
+        REACHED node plus (node, hop) for the node itself."""
+        if df.empty:
+            return pd.DataFrame({"node": df["node"], "hop": df["hop"]})
+        nodes = df["node"].to_numpy()
+        hops = df["hop"].to_numpy()
+        nbrs = df["nbr"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, nodes[1:] != nodes[:-1]])
+        ends = np.r_[starts[1:], len(nodes)]
+        run_hop = np.maximum.reduceat(hops, starts)
+        run_of = np.repeat(np.arange(len(starts)), ends - starts)
+        my_hop = run_hop[run_of]
+        send = (nbrs >= 0) & (my_hop < BFS_INF)
+        out_node = np.concatenate([nbrs[send], nodes[starts]])
+        out_hop = np.concatenate([my_hop[send] + 1, run_hop])
+        return pd.DataFrame({"node": out_node, "hop": out_hop})
+
+    for _ in range(max_hops):
+        combined = state.map_batches(tag_state, batch_format="pandas").union(
+            adj.map_batches(tag_adj, batch_format="pandas")
+        )
+        s = combined.sort(["node", "hop"]).materialize()
+
+        def interior_fwd(df: "pd.DataFrame") -> "pd.DataFrame":
+            if df.empty:
+                return forward(df)
+            return forward(
+                df.loc[~_edge_key_mask(df, ["node"])].reset_index(drop=True)
+            )
+
+        def boundary_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+            if df.empty:
+                return df
+            return df.loc[_edge_key_mask(df, ["node"])]
+
+        def boundary_fwd(df: "pd.DataFrame") -> "pd.DataFrame":
+            return forward(
+                df.sort_values(["node", "hop"], kind="stable").reset_index(
+                    drop=True
+                )
+            )
+
+        msgs = s.map_batches(
+            interior_fwd, batch_format="pandas", batch_size=None
+        ).union(
+            s.map_batches(boundary_rows, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(boundary_fwd, batch_format="pandas", batch_size=None)
+        )
+        state = _min_per_key(msgs, "node", "hop")
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.loc[df["hop"] < BFS_INF, ["node", "hop"]].copy()
+        out["node"] = out["node"].astype(np.int64)
+        out["hop"] = out["hop"].astype(np.int64)
+        return out
+
+    return state.map_batches(finish, batch_format="pandas").sort(
+        ["hop", "node"]
+    )
