@@ -176,8 +176,10 @@ def run_bench() -> dict:
         from file_analyzer_ray.stages.packing import pack_sequences
         from file_analyzer_ray.stages.tfidf import tfidf_top_terms
 
+        from file_analyzer_ray.query_utils import read_parquet_clean
+
         n_docs_tbl = _pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
-        docs = _rd.read_parquet(
+        docs = read_parquet_clean(
             f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
             override_num_blocks=8,
         )

@@ -29,6 +29,7 @@ import ray
 import ray.data
 
 from ..corpus import generate_parquet
+from ..query_utils import read_parquet_clean
 from ..stages.extract import ExtractStage
 
 _CORPUS_CACHE_ROOT = "/tmp/fa_ray_corpus"
@@ -66,7 +67,7 @@ def extract_pipeline(
     batch_size: int = 256,
 ) -> "ray.data.Dataset":
     """Lazy Dataset of extracted (+ scored) documents."""
-    ds = ray.data.read_parquet(source) if isinstance(source, str) else source
+    ds = read_parquet_clean(source) if isinstance(source, str) else source
     n = concurrency or _default_concurrency()
     # Extraction + scoring run FUSED in one actor pool: the scorer
     # consumes the span lists the extractor just built, so a second

@@ -35,7 +35,8 @@ import ray
 import ray.data
 
 from ..functions.text import detect_language, normalize_ws, bpe_token_count
-from ..query_utils import _run_starts_mask_arrow, _window_by_key_arrow
+from ..query_utils import (_run_starts_mask_arrow, _window_by_key_arrow,
+                           read_parquet_clean)
 from ..stages.text_dedup import minhash_near_dup_pairs
 
 KEEP_LANGS = ("en", "und")
@@ -91,7 +92,7 @@ def training_prep_pipeline(
     n_bpe_tokens); ``sample_keep``/``sample_mod`` applies the
     content-addressed sampling rule (keep iff md5(doc_id)[0] <
     sample_keep — default keeps everything)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         override_num_blocks=8,
     )

@@ -33,7 +33,8 @@ import ray
 import ray.data
 
 from .query_utils import (_cents, _preagg_native, _read,  # noqa: F401
-                          _read_coalesced, _small_pdf)
+                          _read_coalesced, _small_pdf,
+                          read_parquet_clean)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -2517,7 +2518,7 @@ def _read_docs_coalesced(sf_dir: str):
     Ray's default split would shred it into 64 sub-100-row blocks and
     the LSH band sort would pay per-block overhead 64x. Blocks sized
     ~1k rows; at real corpus scale the default splitting applies."""
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         override_num_blocks=8,
     )
@@ -3169,7 +3170,7 @@ def q_media_features_corpus(sf_dir: str):
     from .stages.multimodal import fused_media_features
 
     src = corpus_path(_extract_docs_count(sf_dir))
-    docs = ray.data.read_parquet(src, file_extensions=["parquet"])
+    docs = read_parquet_clean(src, file_extensions=["parquet"])
     return fused_media_features(docs)
 
 
@@ -3445,7 +3446,7 @@ def q_extract_carve_corpus(sf_dir: str):
     from .stages.skew import carve_exploded
 
     src = corpus_path(_extract_docs_count(sf_dir))
-    ds = ray.data.read_parquet(src, file_extensions=["parquet"])
+    ds = read_parquet_clean(src, file_extensions=["parquet"])
 
     def summarize(t: pa.Table) -> pa.Table:
         n = pc.list_value_length(t["hits"])
@@ -3653,7 +3654,7 @@ def q_extract_pairwise_compare_corpus(sf_dir: str):
     from .stages.dedup import phash_near_dup_pairs
 
     src = corpus_path(_extract_docs_count(sf_dir))
-    docs = ray.data.read_parquet(src, file_extensions=["parquet"])
+    docs = read_parquet_clean(src, file_extensions=["parquet"])
     return pairwise_image_compare(docs, phash_near_dup_pairs(docs))
 
 
@@ -4484,12 +4485,19 @@ e0 AS (
   HAVING count(*) >= 2
 ),
 edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-reach(a, b) AS (
-  SELECT u, v FROM edges
+-- min-label propagation, not transitive closure: a label travels to a
+-- neighbor only while smaller than it (the component min m < every
+-- other member, so m still reaches all of them), keeping the fixpoint
+-- node x labels-bounded where full reach(a, b) is quadratic in
+-- component size (the r4 artifact run ground >10 min on it at sf0.01;
+-- this form: ~1.4 s)
+lp(node, label) AS (
+  SELECT u, u FROM edges
   UNION
-  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE r.a != e.v
+  SELECT e.v, lp.label FROM lp JOIN edges e ON lp.node = e.u
+  WHERE lp.label < e.v
 ),
-labels AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)
+labels AS (SELECT node, min(label) AS label FROM lp GROUP BY node)
 SELECT label AS component, count(*) AS n_nodes
 FROM labels GROUP BY label
 ORDER BY n_nodes DESC, component
@@ -4508,7 +4516,7 @@ def q_docs_naive_bayes(sf_dir: str):
     from .stages.nb import nb_predict, train_nb
 
     def docs():
-        return ray.data.read_parquet(
+        return read_parquet_clean(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "text", "lang"],
             override_num_blocks=8,

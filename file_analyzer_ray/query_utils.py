@@ -11,9 +11,29 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
+
+
+def _strip_schema_meta(t: "pa.Table") -> "pa.Table":
+    """Drop file-level schema metadata (zero-copy). Parquet written by
+    pandas embeds a b'pandas' blob in the schema; ``pa.Schema`` with
+    metadata is UNHASHABLE, so every downstream sort / unify logs
+    "Failed to hash the schemas (for deduplication): unhashable type:
+    'dict'" per block and defeats Ray's schema-dedup fast path
+    (VERDICT r4 item 4). Arrow ops preserve metadata, so one strip at
+    the read entry cleans the whole descendant plan."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def read_parquet_clean(*args, **kwargs) -> "ray.data.Dataset":
+    """``ray.data.read_parquet`` + fused zero-copy metadata strip —
+    the repo-wide read entry (see ``_strip_schema_meta``)."""
+    return ray.data.read_parquet(*args, **kwargs).map_batches(
+        _strip_schema_meta, batch_format="pyarrow", batch_size=None
+    )
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None,
@@ -29,7 +49,7 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None,
     kwargs = {}
     if rows <= 2_000_000:
         kwargs["override_num_blocks"] = max(1, min(64, -(-rows // rows_per_block)))
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/{table}.parquet", columns=columns, **kwargs
     )
 

@@ -58,7 +58,9 @@ def read_docs(
     for parquet/lance (only requested columns leave storage)."""
     fmt = detect_format(path) if format == "auto" else format
     if fmt == "parquet":
-        return ray.data.read_parquet(
+        from ..query_utils import read_parquet_clean
+
+        return read_parquet_clean(
             path, columns=columns, file_extensions=["parquet"], **kwargs
         )
     if fmt == "lance":

@@ -21,6 +21,8 @@ import pandas as pd
 import ray
 import ray.data
 
+from ..query_utils import read_parquet_clean
+
 
 def kmeans_fit(x: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
     """Deterministic Lloyd's k-means (seeded init, fixed iterations)."""
@@ -204,7 +206,7 @@ def knn_ivf_layout(
                                   ("cosine_sim", pa.float64())])
         ))
     qref = ray.put(qn)
-    ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(paths, columns=["vec_id", "embedding"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         q = ray.get(qref)
@@ -494,7 +496,7 @@ def knn_sq8(
             names=["vec_id", "cosine_sim"],
         )
 
-    codes = ray.data.read_parquet(
+    codes = read_parquet_clean(
         layout_dir, columns=["vec_id", "codes"], file_extensions=["parquet"]
     )
     part = codes.map_batches(approx_score, batch_format="pyarrow")
@@ -676,7 +678,7 @@ def knn_pq(
             names=["vec_id", "cosine_sim"],
         )
 
-    codes = ray.data.read_parquet(
+    codes = read_parquet_clean(
         layout_dir, columns=["vec_id", "codes"], file_extensions=["parquet"]
     )
     part = codes.map_batches(adc_score, batch_format="pyarrow")

@@ -38,6 +38,7 @@ import pyarrow as pa
 import ray.data
 
 from .multimodal import DecodeStage, explode_media, frame_sample, resize_letterbox
+from ..query_utils import read_parquet_clean
 
 # -- metric kernels (pure numpy, public formulas) -------------------------
 
@@ -247,7 +248,7 @@ def pairwise_image_compare(
 
     ckpt = tempfile.mkdtemp(prefix="fa_compare_imgs_")
     _first_media_images(docs, target, concurrency).write_parquet(ckpt)
-    imgs = ray.data.read_parquet(ckpt)
+    imgs = read_parquet_clean(ckpt)
 
     # Below the broadcast bound, skip BOTH hash joins: the decoded
     # candidate-image table rides the object store once as a dict and

@@ -74,6 +74,18 @@ _EDGES_BROADCAST_MAX = 2_000_000
 #: pairs at a time)
 _EMIT_CHUNK_PAIRS = 8_000_000
 
+#: guard on the super-linear wedge step: degree-ordered emission is
+#: bounded by m^1.5 wedges (Suri & Vassilvitskii), so a FREE count of
+#: the (already support-thresholded, already materialized) edge table
+#: bounds the job before committing to it. The ``min_support``
+#: sparsifier usually keeps m tiny (1.2M → 3.6k at sf0.1), but a skewed
+#: corpus where support-k edges stay dense would otherwise silently
+#: enter the quadratic regime the threshold exists to prevent — this
+#: raises instead. 10^10 wedges ≈ 240 GB of (a, b, wit) rows streamed
+#: through the closure step: hours of cluster work, the intend-it
+#: boundary. Warn (via ``warnings``) one decade earlier.
+WEDGE_BOUND = 10_000_000_000
+
 _PAIR_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 _WEDGE_SCHEMA = pa.schema(
     [("a", pa.int64()), ("b", pa.int64()), ("wit", pa.int64())]
@@ -354,15 +366,37 @@ def triangle_counts(
     edges: "ray.data.Dataset",
     n_nodes_hint: "int | None" = None,
     broadcast_nodes_max: int = BROADCAST_NODES_MAX,
+    wedge_bound: int = WEDGE_BOUND,
 ) -> "ray.data.Dataset":
     """Per-node triangle counts ``(node, n_triangles)`` over distinct
     undirected ``(u, v)`` edges (``u < v``); nodes in no triangle are
     absent. ``n_nodes_hint`` is a FREE static upper bound on the id
     space (e.g. a parquet footer row count) choosing broadcast vs join
-    degree attach; ``None`` counts the small degree table instead."""
+    degree attach; ``None`` counts the small degree table instead.
+    Raises ``ValueError`` when the m^1.5 wedge bound of the (post-
+    sparsifier) edge table exceeds ``wedge_bound`` — see WEDGE_BOUND."""
     # _compact: edges built via _distinct_native carry sort-produced
     # schema-less empty blocks that would poison the join path below
     edges = _compact(edges).materialize()  # reused by 3 passes (PageRank shape)
+    n_edges = edges.count()  # materialized: metadata-cheap
+    est_wedges = int(n_edges**1.5)
+    if est_wedges > wedge_bound:
+        raise ValueError(
+            f"triangle_counts: {n_edges} post-threshold edges bound "
+            f"{est_wedges} wedges > wedge_bound={wedge_bound}; the "
+            "support sparsifier did not tame this graph — raise "
+            "min_support (or wedge_bound if the cluster can take it)"
+        )
+    if est_wedges > wedge_bound // 10:
+        import warnings
+
+        warnings.warn(
+            f"triangle_counts: {n_edges} edges bound {est_wedges} wedges "
+            f"(within 10x of wedge_bound={wedge_bound}); the wedge step "
+            "will dominate this job",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if n_nodes_hint is None:
         n_nodes_hint = _degrees(edges).count()
     if n_nodes_hint <= broadcast_nodes_max:
@@ -406,7 +440,6 @@ def triangle_counts(
             names=["node", "n_triangles"],
         )
 
-    n_edges = edges.count()  # edges are materialized: footer-cheap
     if n_edges <= _EDGES_BROADCAST_MAX:
         # Broadcast closure check: the support-thresholded oriented
         # edge set packs to one sorted int64 key array (ids < 2³¹) in

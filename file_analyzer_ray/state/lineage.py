@@ -34,6 +34,7 @@ import ray.data
 
 from .. import __version__
 from ..functions.hashing import stable_u64
+from ..query_utils import read_parquet_clean
 
 MANIFEST_SUFFIX = ".manifest.json"
 
@@ -169,4 +170,4 @@ def write_partitioned(
 
 
 def read_partitioned(out_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(out_dir, file_extensions=["parquet"])
+    return read_parquet_clean(out_dir, file_extensions=["parquet"])

@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from .guard import validate_sink_dir
+from ..query_utils import read_parquet_clean
 
 RANGE_COL = "r"
 
@@ -116,7 +117,7 @@ def read_range(
     ]
     if not files:
         return None
-    ds = ray.data.read_parquet(files, columns=columns)
+    ds = read_parquet_clean(files, columns=columns)
 
     def exact(t: pa.Table) -> pa.Table:
         keys = t.column(col).cast(pa.int64())

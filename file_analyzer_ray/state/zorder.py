@@ -30,6 +30,7 @@ import pyarrow as pa
 import ray.data
 
 from .guard import validate_sink_dir
+from ..query_utils import read_parquet_clean
 
 Z_COL = "z"
 
@@ -139,7 +140,7 @@ def read_rect(
     ]
     if not paths:
         raise FileNotFoundError("query rectangle overlaps no written cell")
-    ds = ray.data.read_parquet(paths, file_extensions=["parquet"])
+    ds = read_parquet_clean(paths, file_extensions=["parquet"])
 
     def residual(t: pa.Table) -> pa.Table:
         x = t.column(xcol).to_numpy(zero_copy_only=False)

@@ -119,3 +119,18 @@ def test_cooccurrence_edges_dedup_and_order(ray_session):
         .reset_index(drop=True)
     )
     assert list(map(tuple, got.to_numpy())) == [(3, 5), (3, 9), (5, 9)]
+
+
+def test_wedge_bound_guard(ray_session):
+    """A lowered wedge_bound must raise BEFORE the super-linear wedge
+    step (VERDICT r4 item 3: the sparsifier is load-bearing and must
+    not silently fail open); one decade under the bound warns."""
+    edges = {(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)}
+    e = ray.data.from_items([{"u": u, "v": v} for u, v in sorted(edges)])
+    # 6 edges -> bound int(6**1.5) = 14 wedges: guard trips at 10
+    with pytest.raises(ValueError, match="wedge_bound"):
+        triangle_counts(e, n_nodes_hint=6, wedge_bound=10)
+    # within 10x of the bound: warns, still computes correctly
+    with pytest.warns(RuntimeWarning, match="wedge"):
+        got = _counts_df(triangle_counts(e, n_nodes_hint=6, wedge_bound=100))
+    assert dict(zip(got["node"], got["n_triangles"])) == _brute_counts(edges)
