@@ -4439,16 +4439,19 @@ def q_graph_components(sf_dir: str):
     (same support-≥2 edge set as graph_triangles) — the graph family's
     third member beside pagerank (influence) and triangles (cohesion):
     components answer "which catalog regions are one connected market".
-    Ray shape: the generic distributed min-label propagation already
-    load-bearing in ngram dedup (stages/text_dedup.py
-    cc_min_label_propagation — per round ONE sort + run-scan min, one
-    scalar convergence aggregate, rounds ∝ component diameter; nothing
-    corpus-sized ever lands on the driver). Output: one row per
-    component (label = min part id), size DESC. The DuckDB oracle
-    recomputes components with a recursive reachability CTE — fine at
-    oracle scale, quadratic in component size at corpus scale, which
-    is exactly why the engine side iterates min-label instead."""
-    from .stages.text_dedup import cc_min_label_propagation
+    Ray shape: alternating large-star/small-star contraction
+    (stages/text_dedup.py cc_star_contraction, Kiveris et al. SoCC'14
+    — per round ONE adjacency sort + run-scan rewiring + a global edge
+    dedup, O(log) rounds; nothing corpus-sized ever lands on the
+    driver). The part co-occurrence giant component is sparse and
+    HIGH-DIAMETER (~50 at sf0.01), where min-label propagation pays
+    rounds ∝ diameter — measured 11 min vs tens of seconds for this
+    form (equality-pinned against cc_min_label_propagation AND driver
+    union-find in pytest). Output: one row per component (label = min
+    part id), size DESC. The DuckDB oracle runs min-label propagation
+    as a pruned recursive CTE (labels travel only while smaller than
+    the receiving node — node×labels-bounded, never full reach)."""
+    from .stages.text_dedup import cc_star_contraction
     from .stages.triangles import cooccurrence_edges
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -4457,7 +4460,7 @@ def q_graph_components(sf_dir: str):
     def as_pairs(t: pa.Table) -> pa.Table:
         return t.rename_columns(["doc_id_a", "doc_id_b"])
 
-    labels = cc_min_label_propagation(
+    labels = cc_star_contraction(
         edges.select_columns(["u", "v"]).map_batches(
             as_pairs, batch_format="pyarrow"
         )

@@ -36,6 +36,21 @@ def read_parquet_clean(*args, **kwargs) -> "ray.data.Dataset":
     )
 
 
+def _pin_blocks(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Materialize + HARD lineage cut for iterative operators:
+    ``from_arrow_refs`` over the materialized blocks yields a fresh
+    InputData plan. A bare ``materialize()`` keeps the upstream
+    LOGICAL plan attached, and a loop whose round output unions two
+    branches of the same subplan doubles that plan tree every round —
+    measured: per-round wall time ×4 on CONSTANT 10-row data (star
+    contraction scratch), and the root cause of graph_components'
+    11 min at sf0.01. Loop state must flow through this, not bare
+    ``materialize()``. (Trade-off: the cut drops recompute-on-loss
+    lineage for these blocks — loop state is checkpoint-like anyway.)"""
+    mat = ds.materialize()
+    return ray.data.from_arrow_refs(mat.to_arrow_refs())
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None,
           rows_per_block: int = 16384):
     """Pruned parquet read with right-sized blocks for small tables:

@@ -156,7 +156,13 @@ def pagerank(
                 [t.column("dst"), pa.array(r)], names=["v", "r"]
             )
 
-        ranks = summed.map_batches(update, batch_format="pyarrow")
+        # _pin_blocks: cut the per-iteration rank plan (the window's
+        # internal materialize keeps upstream lineage; three iterations
+        # of join + union otherwise compound the plan tree — see
+        # query_utils._pin_blocks)
+        from ..query_utils import _pin_blocks
+
+        ranks = _pin_blocks(summed.map_batches(update, batch_format="pyarrow"))
 
     def finalize(t: pa.Table) -> pa.Table:
         return t.rename_columns(["v", "pagerank"])
@@ -623,7 +629,11 @@ def _bfs_distributed(edges, source: int, max_hops: int) -> "ray.data.Dataset":
             .repartition(1)
             .map_batches(boundary_fwd, batch_format="pandas", batch_size=None)
         )
-        state = _min_per_key(msgs, "node", "hop")
+        # _pin_blocks: cut the loop state's logical plan per round
+        # (bare materialize compounds the union tree — see query_utils)
+        from ..query_utils import _pin_blocks
+
+        state = _pin_blocks(_min_per_key(msgs, "node", "hop"))
 
     def finish(df: "pd.DataFrame") -> "pd.DataFrame":
         out = df.loc[df["hop"] < BFS_INF, ["node", "hop"]].copy()

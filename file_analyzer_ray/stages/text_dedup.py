@@ -597,7 +597,11 @@ def cc_min_label_propagation(
             .repartition(1)
             .map_batches(boundary_fwd, batch_format="pandas", batch_size=None)
         )
-        state = min_per_node(msgs)
+        # _pin_blocks: cut the loop state's logical plan per round
+        # (bare materialize compounds the union tree — see query_utils)
+        from ..query_utils import _pin_blocks
+
+        state = _pin_blocks(min_per_node(msgs))
         cur = state.map_batches(
             lambda df: pd.DataFrame({"s": [int(df["label"].sum())]}),
             batch_format="pandas", batch_size=None,
@@ -606,6 +610,170 @@ def cc_min_label_propagation(
             break
         prev_sum = cur
     return state
+
+
+
+def _dedup_pairs(lo: np.ndarray, hi: np.ndarray):
+    """Vectorized distinct over int64 pairs — full-range safe (no
+    packing into one word, which would collide for ids ≥ 2³²)."""
+    if len(lo) == 0:
+        return lo, hi
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    keep = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+    return lo[keep], hi[keep]
+
+
+def cc_star_contraction(
+    pairs: "ray.data.Dataset", max_iters: int = 50
+) -> "ray.data.Dataset":
+    """Distributed connected components by alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — same contract as
+    :func:`cc_min_label_propagation` ((doc_id_a, doc_id_b) →
+    (node, label), label = component min; equality-pinned in pytest)
+    but O(log) rounds instead of rounds ∝ component DIAMETER: each
+    round rewires every node's neighbors at the minimum of its closed
+    neighborhood, halving path lengths, so a sparse high-diameter
+    graph (the part co-occurrence giant component: diameter ~50 at
+    sf0.01) converges in ~8 rounds where min-label propagation pays
+    ~50 (measured 11 min → tens of seconds).
+
+    Per round: ONE sort of the 2m-row adjacency expansion + a
+    vectorized run-scan (minimum.reduceat) emitting the rewired
+    edges — no joins, no driver state but the convergence scalar
+    (a wraparound hash-sum of the canonical edge set)."""
+    from ..query_utils import _window_by_key_arrow
+
+    def init_edges(t: pa.Table) -> pa.Table:
+        a = t.column("doc_id_a").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = t.column("doc_id_b").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(a) and min(a.min(), b.min()) < 0:
+            raise ValueError("cc_star_contraction requires nonnegative node ids")
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        lo, hi = _dedup_pairs(lo, hi)  # per-batch combiner
+        return pa.Table.from_arrays(
+            [pa.array(lo, pa.int64()), pa.array(hi, pa.int64())],
+            names=["u", "v"],
+        )
+
+    edges = pairs.map_batches(init_edges, batch_format="pyarrow").materialize()
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = t.column("u").combine_chunks()
+        v = t.column("v").combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([u, v]), pa.concat_arrays([v, u])],
+            names=["node", "nbr"],
+        )
+
+    _EMPTY_E = pa.schema([("u", pa.int64()), ("v", pa.int64())]).empty_table()
+
+    def star_round(large: bool):
+        def emit(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _EMPTY_E
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            nbr = t.column("nbr").to_numpy(zero_copy_only=False)
+            starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+            ends = np.r_[starts[1:], len(node)]
+            # rows sorted by (node, nbr): run min is the first nbr
+            m = np.minimum(nbr[starts], node[starts])
+            run_of = np.repeat(np.arange(len(starts)), ends - starts)
+            my_m = m[run_of]
+            if large:
+                # connect strictly larger neighbors to min(Γ⁺)
+                mask = nbr > node
+                out_a, out_b = nbr[mask], my_m[mask]
+            else:
+                # connect smaller neighbors AND the node itself to min(Γ⁺)
+                mask = nbr < node
+                out_a = np.concatenate([nbr[mask], node[starts]])
+                out_b = np.concatenate([my_m[mask], m])
+            keep = out_a != out_b
+            out_a, out_b = out_a[keep], out_b[keep]
+            lo, hi = np.minimum(out_a, out_b), np.maximum(out_a, out_b)
+            lo, hi = _dedup_pairs(lo, hi)  # per-batch combiner
+            return pa.Table.from_arrays(
+                [pa.array(lo, pa.int64()), pa.array(hi, pa.int64())],
+                names=["u", "v"],
+            )
+
+        return emit
+
+    def edge_hash(ds: "ray.data.Dataset") -> int:
+        # wraparound mixing hash-SUM over the (globally deduped) edge
+        # set: addition is order- and partitioning-independent, so one
+        # scalar per block leaves each task and the driver folds
+        # #blocks-bounded partials
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"h": pa.array([0], pa.uint64())})
+            lo = t.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+            hi = t.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = (lo * np.uint64(0x9E3779B97F4A7C15)
+                     + hi * np.uint64(0xC2B2AE3D27D4EB4F)) ^ (hi >> np.uint64(7))
+                s = np.add.reduce(h) + np.uint64(len(h))
+            return pa.table({"h": pa.array([int(s)], pa.uint64())})
+
+        tot = np.uint64(0)
+        for b in ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"):
+            with np.errstate(over="ignore"):
+                for x in b.column("h").to_numpy(zero_copy_only=False):
+                    tot = tot + np.uint64(x)
+        return int(tot)
+
+    from ..query_utils import _distinct_native, _pin_blocks
+
+    prev = None
+    for _ in range(max_iters):
+        for large in (True, False):
+            # the same rewired edge (v, m) is emitted by MANY node runs;
+            # global dedup (one sort) keeps the next expansion lean and
+            # makes the convergence hash a set hash, not a multiset one.
+            # _pin_blocks (NOT bare materialize): loop state must cut
+            # its logical plan or per-round planning compounds ×4
+            edges = _pin_blocks(
+                _distinct_native(
+                    _window_by_key_arrow(
+                        edges.map_batches(expand, batch_format="pyarrow"),
+                        ["node"], ["node", "nbr"], star_round(large),
+                    ),
+                    ["u", "v"],
+                )
+            )
+        cur = edge_hash(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    def labels_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("node", pa.int64()), ("label", pa.int64())]
+            ).empty_table()
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        nbr = t.column("nbr").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        m = np.minimum(nbr[starts], node[starts])
+        return pa.Table.from_arrays(
+            [pa.array(node[starts], pa.int64()), pa.array(m, pa.int64())],
+            names=["node", "label"],
+        )
+
+    return _window_by_key_arrow(
+        edges.map_batches(expand, batch_format="pyarrow"),
+        ["node"], ["node", "nbr"], labels_fn,
+    )
 
 
 def ngram_dedup_clusters(
