@@ -36,6 +36,16 @@ from .query_utils import (_cents, _preagg_native, _read,  # noqa: F401
                           _read_coalesced, _small_pdf,
                           read_parquet_clean)
 
+# family modules (split r5): star-import re-exposes every public q_* /
+# SQL_* name so the registries below and external imports
+# (`from .queries import q_...`) keep working unchanged
+from .queries_events import *  # noqa: F401,F403
+from .queries_docs import *  # noqa: F401,F403
+from .queries_embeddings import *  # noqa: F401,F403
+from .queries_extract import *  # noqa: F401,F403
+from .queries_graph import *  # noqa: F401,F403
+from .queries_docs import _sql_langid_case, _sql_langid_scores  # noqa: F401
+
 # ---------------------------------------------------------------------------
 # helpers
 
@@ -242,728 +252,6 @@ FROM lineitem GROUP BY l_suppkey
 """
 
 
-def q_events_type_stats(sf_dir: str):
-    """Grouped sums/min/max plus exact distinct users per type. The
-    distinct side stays NARROW end-to-end and never converges on one
-    task: per-batch (event_type, user_id) dedup → native
-    groupby([event_type, user_id]).count() (the vectorized exchange —
-    global distinct pairs) → per-block partial counts per type → tiny
-    bounded-cardinality merge. No ID lists ride inside aggregate rows
-    and no single task ever holds all distinct pairs."""
-    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
-
-    from ray.data.aggregate import Max, Min, Sum
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "event_type": df["event_type"],
-                "cents": _cents(df["value"]),
-                "vmin": df["value"],
-                "vmax": df["value"],
-                "n": 1,
-            }
-        )
-        return out.groupby("event_type", as_index=False).agg(
-            cents=("cents", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"), n=("n", "sum")
-        )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": df["event_type"],
-                "n_events": df["sum(n)"].astype("int64"),
-                "sum_value": df["sum(cents)"] / 100.0,
-                "min_value": df["min(vmin)"].astype("float64"),
-                "max_value": df["max(vmax)"].astype("float64"),
-            }
-        )
-
-    stats = _preagg_native(
-        ds, ["event_type"], partial,
-        [Sum("cents"), Min("vmin"), Max("vmax"), Sum("n")], finalize,
-    ).to_pandas()
-
-    from .query_utils import _distinct_native
-
-    pairs = _distinct_native(ds, ["event_type", "user_id"])
-
-    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("event_type", as_index=False).agg(n_users=("user_id", "count"))
-
-    def merge_count(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("event_type", as_index=False).agg(n_users=("n_users", "sum"))
-
-    users = (
-        pairs.map_batches(partial_count, batch_format="pandas")
-        .repartition(1)
-        .map_batches(merge_count, batch_format="pandas", batch_size=None)
-        .to_pandas()
-    )
-    out = stats.merge(users, on="event_type", how="left")
-    out["n_users"] = out["n_users"].fillna(0).astype("int64")
-    return ray.data.from_pandas(out)
-
-
-SQL_EVENTS_TYPE_STATS = """
-SELECT event_type, count(*) AS n_events,
-       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value,
-       min(value) AS min_value, max(value) AS max_value,
-       count(DISTINCT user_id) AS n_users
-FROM events GROUP BY event_type
-"""
-
-
-def q_events_hourly_rollup(sf_dir: str):
-    """Tumbling window as a grouped aggregate on the truncated timestamp
-    (streaming-shaped workload per the Ray guide: windows = groupby)."""
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "hour": df["ts"].dt.floor("h"),
-                "event_type": df["event_type"],
-                "cents": _cents(df["value"]),
-                "n": 1,
-            }
-        )
-        return out.groupby(["hour", "event_type"], as_index=False).sum()
-
-    from ray.data.aggregate import Sum
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "hour": df["hour"],
-                "event_type": df["event_type"],
-                "n_events": df["sum(n)"].astype("int64"),
-                "sum_value": df["sum(cents)"] / 100.0,
-            }
-        )
-
-    from .query_utils import _meta_rows
-
-    return _preagg_native(
-        ds, ["hour", "event_type"], partial, [Sum("cents"), Sum("n")], finalize,
-        input_rows=_meta_rows(sf_dir, "events"),
-    )
-
-
-SQL_EVENTS_HOURLY = """
-SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
-       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
-FROM events GROUP BY date_trunc('hour', ts), event_type
-"""
-
-
-def q_events_hopping_rollup(sf_dir: str):
-    """Hopping window aggregate (1h window, 30min hop — each event
-    lands in exactly 2 overlapping windows): the window-start explode
-    is a vectorized per-batch flat map (no per-row Python), then the
-    standard two-level aggregation. Completes the window family
-    (tumbling=hourly, session, rolling RANGE, hopping)."""
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        epoch = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
-        base = (epoch // 1800) * 1800
-        starts = np.concatenate([base, base - 1800])
-        out = pd.DataFrame(
-            {
-                "window_start": pd.to_datetime(
-                    np.tile(starts, 1), unit="s"
-                ).astype("datetime64[us]"),
-                "event_type": np.tile(df["event_type"].to_numpy(), 2),
-                "cents": np.tile(_cents(df["value"]), 2),
-                "n": 1,
-            }
-        )
-        return out.groupby(["window_start", "event_type"], as_index=False).sum()
-
-    from ray.data.aggregate import Sum
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "window_start": df["window_start"],
-                "event_type": df["event_type"],
-                "n_events": df["sum(n)"].astype("int64"),
-                "sum_value": df["sum(cents)"] / 100.0,
-            }
-        )
-
-    from .query_utils import _meta_rows
-
-    return _preagg_native(
-        ds, ["window_start", "event_type"], partial, [Sum("cents"), Sum("n")], finalize,
-        input_rows=_meta_rows(sf_dir, "events"),
-    )
-
-
-SQL_EVENTS_HOPPING = """
-SELECT to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800)::TIMESTAMP AS window_start,
-       event_type, count(*) AS n_events,
-       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
-FROM events, (SELECT unnest(generate_series(0, 1)) AS k) k
-GROUP BY 1, 2
-"""
-
-
-def q_events_sessionize(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user — the engine's
-    session-window operator (new vs reference; SURVEY.md §2.9).
-    Executed as ONE sort by (user_id, ts, event_id) + run-boundary
-    numpy aggregation vectorized ACROSS users (``_window_by_key_arrow``
-    — zero-copy Arrow blocks, no per-user Python dispatch), so user
-    cardinality scaling is free."""
-    from .query_utils import _window_by_key_arrow
-
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
-
-    def sessions(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64())] * 3,
-                names=["user_id", "n_sessions", "n_events"],
-            )
-        u = t.column("user_id").to_numpy()
-        ts = (
-            t.column("ts").to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]").astype(np.int64)
-        )
-        new_user = np.r_[True, u[1:] != u[:-1]]
-        gap_us = np.r_[np.int64(0), ts[1:] - ts[:-1]]
-        new_session = new_user | (gap_us > 1800 * 1_000_000)
-        starts = np.flatnonzero(new_user)
-        ends = np.r_[starts[1:], len(u)]
-        return pa.Table.from_arrays(
-            [
-                pa.array(u[starts].astype(np.int64)),
-                pa.array(np.add.reduceat(new_session.astype(np.int64), starts)),
-                pa.array((ends - starts).astype(np.int64)),
-            ],
-            names=["user_id", "n_sessions", "n_events"],
-        )
-
-    return _window_by_key_arrow(ds, ["user_id"], ["user_id", "ts", "event_id"], sessions)
-
-
-SQL_EVENTS_SESSIONIZE = """
-WITH o AS (
-  SELECT user_id, ts,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events
-), f AS (
-  SELECT user_id,
-         CASE WHEN prev IS NULL OR epoch(ts - prev) > 1800 THEN 1 ELSE 0 END AS new_s
-  FROM o
-)
-SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
-FROM f GROUP BY user_id
-"""
-
-
-def q_events_value_percentiles(sf_dir: str):
-    """Median / p90 per event type (A5 benchmark-statistics analog).
-    Exact percentiles need the full value set per group co-located, so
-    this is a real ``groupby.map_groups`` (few groups, each bounded);
-    at extreme group sizes swap in a t-digest sketch."""
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    def pct(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["value"].to_numpy().astype(np.float64))
-        return pd.DataFrame(
-            [
-                {
-                    "event_type": g["event_type"].iloc[0],
-                    "median_value": float(np.quantile(v, 0.5)),
-                    "p90_value": float(np.quantile(v, 0.9)),
-                }
-            ]
-        )
-
-    return ds.groupby("event_type").map_groups(pct, batch_format="pandas")
-
-
-SQL_EVENTS_VALUE_PERCENTILES = """
-SELECT event_type,
-       quantile_cont(value, 0.5) AS median_value,
-       quantile_cont(value, 0.9) AS p90_value
-FROM events GROUP BY event_type
-"""
-
-
-def q_events_approx_users(sf_dir: str):
-    """HyperLogLog approximate distinct users, SELF-VERIFYING so the
-    driver can oracle-check it: emits the exact distinct count (native
-    two-level distinct path — no per-group Python) plus a flag that the
-    HLL estimate landed within its 3-sigma theoretical error bound
-    (sigma = 1.04/√(2^p), Flajolet et al. 2007). The DuckDB oracle
-    returns the exact count and TRUE, so the value-hash matches iff the
-    exact side agrees AND the sketch is in-bound. The raw estimate is
-    available via stages.sketches.approx_distinct (pytest-bounded)."""
-    from .query_utils import _distinct_native
-    from .stages.sketches import approx_distinct
-
-    ds = _read(sf_dir, "events", ["user_id"])
-    est = int(approx_distinct(ds, "user_id", p=12)["n_distinct_approx"].iloc[0])
-    exact = int(_distinct_native(ds, ["user_id"]).count())
-    sigma = 1.04 / (1 << 12) ** 0.5
-    ok = abs(est - exact) <= 3 * sigma * max(exact, 1)
-    return ray.data.from_pandas(
-        pd.DataFrame([{"n_users": exact, "within_bound": bool(ok)}])
-    )
-
-
-SQL_EVENTS_APPROX_USERS = """
-SELECT count(DISTINCT user_id) AS n_users, TRUE AS within_bound FROM events
-"""
-
-
-def q_events_users_by_type_approx(sf_dir: str):
-    """Per-group HyperLogLog distinct (one mergeable 2^p-byte sketch
-    per event type), SELF-VERIFYING under the HLL doctrine
-    (events_approx_users): emits the exact per-type distinct user
-    count (native two-level distinct + run-scan count) plus a flag
-    that every group's HLL estimate landed within its 3-sigma bound.
-    The oracle states the exact counts and TRUE."""
-    from .query_utils import _distinct_native, _window_by_key_arrow
-    from .stages.sketches import approx_distinct_by
-
-    ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    est = approx_distinct_by(ds, "event_type", "user_id", p=12)
-    est_of = dict(zip(est["event_type"], est["n_distinct_approx"]))
-
-    dv = _distinct_native(ds, ["event_type", "user_id"])
-
-    def count_runs(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.schema(
-                [("event_type", pa.string()), ("n_users", pa.int64())]
-            ).empty_table()
-        from .query_utils import _run_starts_mask_arrow
-
-        mask = _run_starts_mask_arrow(t, ["event_type"])
-        starts = np.flatnonzero(mask)
-        lens = np.diff(np.append(starts, t.num_rows))
-        return pa.Table.from_arrays(
-            [
-                t.column("event_type").take(pa.array(starts)),
-                pa.array(lens.astype(np.int64), pa.int64()),
-            ],
-            names=["event_type", "n_users"],
-        )
-
-    exact = (
-        _window_by_key_arrow(dv, ["event_type"], ["event_type", "user_id"], count_runs)
-        .to_pandas()
-        .sort_values("event_type")
-        .reset_index(drop=True)
-    )
-    sigma = 1.04 / (1 << 12) ** 0.5
-    ok = all(
-        abs(est_of[t] - n) <= 3 * sigma * max(n, 1)
-        for t, n in zip(exact["event_type"], exact["n_users"])
-    )
-    exact["within_bound"] = bool(ok)
-    return exact
-
-
-SQL_EVENTS_USERS_BY_TYPE_APPROX = """
-SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS within_bound
-FROM events GROUP BY event_type ORDER BY event_type
-"""
-
-
-def q_events_late_arrivals(sf_dir: str):
-    """Streaming-ingest late-data audit via a distributed prefix scan
-    (stages/scan.py, the two-phase Blelloch shape): watermark_i =
-    running max event-time over everything that ARRIVED before row i;
-    a row is LATE when it lands more than 1 hour behind the watermark
-    — the event-time skew check that decides whether a streaming
-    window's results can be trusted. The synthetic events table is
-    already time-ordered (zero skew — the audit would be degenerate),
-    so arrival order is a deterministic shuffle: arr = (event_id ·
-    2654435761) mod 2^32, an odd-multiplier bijection both engines
-    compute exactly. All integer arithmetic (epoch microseconds), so
-    the DuckDB window-function twin matches bit-for-bit."""
-    from .stages.scan import prefix_scan
-
-    ds = _read(sf_dir, "events", ["event_id", "ts"])
-
-    def to_us(t: pa.Table) -> pa.Table:
-        ids = t.column("event_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        arr = (ids * 2654435761) % 4294967296
-        return pa.Table.from_arrays(
-            [
-                pa.array(arr, pa.int64()),
-                pa.array(ids, pa.int64()),
-                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
-            ],
-            names=["arr", "event_id", "ts_us"],
-        )
-
-    scanned = prefix_scan(
-        ds.map_batches(to_us, batch_format="pyarrow"),
-        ["arr"],
-        "ts_us",
-        op="max",
-        out_col="wm_us",
-    )
-    lateness_us = 3_600_000_000  # 1 hour
-
-    def classify(t: pa.Table) -> pa.Table:
-        wm = t.column("wm_us").to_numpy(zero_copy_only=False)
-        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
-        # the scan identity (int64 min) marks the global first row;
-        # guard it BEFORE subtracting (int64 min - ts would wrap)
-        first = wm == np.iinfo(np.int64).min
-        lag = np.maximum(np.where(first, ts, wm) - ts, 0)
-        return pa.Table.from_arrays(
-            [
-                t.column("event_id"),
-                pa.array(lag, pa.int64()),
-                pa.array(lag > lateness_us),
-            ],
-            names=["event_id", "lag_us", "is_late"],
-        )
-
-    return scanned.map_batches(classify, batch_format="pyarrow").sort("event_id")
-
-
-SQL_EVENTS_LATE_ARRIVALS = """
-WITH arrival AS (
-  SELECT event_id, ts, (event_id * 2654435761) % 4294967296 AS arr
-  FROM events
-)
-SELECT event_id,
-       GREATEST(COALESCE(
-         epoch_us(max(ts) OVER (ORDER BY arr
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-         - epoch_us(ts), 0), 0) AS lag_us,
-       GREATEST(COALESCE(
-         epoch_us(max(ts) OVER (ORDER BY arr
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-         - epoch_us(ts), 0), 0) > 3600000000 AS is_late
-FROM arrival
-ORDER BY event_id
-"""
-
-
-def q_docs_length_deciles(sf_dir: str):
-    """Global decile assignment (ntile) over an unbounded total order —
-    the second consumer of the distributed prefix scan (stages/scan.py):
-    global row number = exclusive running COUNT over the (n_chars,
-    doc_id) order, computed with one sort + two streaming passes and a
-    blocks-bounded driver fold — no driver-side rank collection, no
-    single task holding the corpus. The curriculum / length-bucketing
-    primitive (short-to-long ordering, per-decile mixing) a training
-    pipeline runs before packing. Exact ntile semantics (first N mod k
-    buckets take one extra row), integer arithmetic end to end."""
-    from .stages.scan import prefix_scan
-
-    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-
-    def key(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        nc = t.column("n_chars").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        # unique total-order key: (n_chars, doc_id) packed (doc_id < 2^33)
-        return pa.Table.from_arrays(
-            [
-                pa.array(nc * (1 << 33) + ids, pa.int64()),
-                pa.array(ids, pa.int64()),
-                pa.array(nc, pa.int64()),
-                pa.array(np.ones(len(ids), dtype=np.int64)),
-            ],
-            names=["ord_key", "doc_id", "n_chars", "one"],
-        )
-
-    scanned = prefix_scan(
-        ds.map_batches(key, batch_format="pyarrow"),
-        ["ord_key"],
-        "one",
-        op="sum",
-        out_col="rn0",
-    )
-    n_total = _meta_rows_documents(sf_dir)
-    k = 10
-    q, r = divmod(n_total, k)
-
-    def tile(t: pa.Table) -> pa.Table:
-        rn = t.column("rn0").to_numpy(zero_copy_only=False) + 1  # 1-based
-        # ntile: first r buckets hold q+1 rows, the rest hold q
-        big = (q + 1) * r
-        dec = np.where(
-            rn <= big,
-            (rn - 1) // (q + 1) + 1,
-            r + (rn - big - 1) // max(q, 1) + 1,
-        )
-        return pa.Table.from_arrays(
-            [
-                t.column("doc_id"),
-                t.column("n_chars"),
-                pa.array(dec.astype(np.int64), pa.int64()),
-            ],
-            names=["doc_id", "n_chars", "decile"],
-        )
-
-    return scanned.map_batches(tile, batch_format="pyarrow").sort("doc_id")
-
-
-def _meta_rows_documents(sf_dir: str) -> int:
-    import pyarrow.parquet as pq
-
-    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-
-
-SQL_DOCS_LENGTH_DECILES = """
-SELECT doc_id, n_chars,
-       CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
-FROM documents
-ORDER BY doc_id
-"""
-
-
-def q_events_burst_suppress(sf_dir: str):
-    """Telemetry burst suppression — the throttling dedup a streaming
-    ingest runs before counting: an event is KEPT only when the
-    previous event of the same (user, type) is at least the cooldown
-    (1 day) older; duplicates inside the window are suppressed (35% of
-    rows at sf0.01). One sort co-partitions each (user, type) stream
-    (`_window_by_key_arrow`), then a vectorized shifted-diff per run —
-    the per-key `lag()` without per-key dispatch. Integer epoch-µs
-    arithmetic, so the window-function oracle matches exactly."""
-    cooldown_us = 86_400_000_000  # 1 day
-
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
-
-    def to_us(t: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [
-                t.column("event_id").cast(pa.int64()),
-                t.column("user_id").cast(pa.int64()),
-                t.column("event_type"),
-                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
-            ],
-            names=["event_id", "user_id", "event_type", "ts_us"],
-        )
-
-    out_schema = pa.schema([("event_id", pa.int64()), ("kept", pa.bool_())])
-
-    def suppress(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return out_schema.empty_table()
-        from .query_utils import _run_starts_mask_arrow
-
-        starts = _run_starts_mask_arrow(t, ["user_id", "event_type"])
-        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
-        gap = np.empty(len(ts), dtype=np.int64)
-        gap[0] = cooldown_us
-        gap[1:] = ts[1:] - ts[:-1]
-        kept = starts | (gap >= cooldown_us)
-        return pa.Table.from_arrays(
-            [t.column("event_id"), pa.array(kept)],
-            names=["event_id", "kept"],
-        )
-
-    from .query_utils import _window_by_key_arrow
-
-    return _window_by_key_arrow(
-        ds.map_batches(to_us, batch_format="pyarrow"),
-        ["user_id", "event_type"],
-        ["user_id", "event_type", "ts_us", "event_id"],
-        suppress,
-    ).sort("event_id")
-
-
-SQL_EVENTS_BURST_SUPPRESS = """
-SELECT event_id,
-       COALESCE(epoch_us(ts) - epoch_us(lag(ts) OVER (
-           PARTITION BY user_id, event_type ORDER BY ts, event_id))
-         >= 86400000000, TRUE) AS kept
-FROM events
-ORDER BY event_id
-"""
-
-
-def q_events_value_zscore(sf_dir: str):
-    """Per-group z-score outlier flagging — grouped mean/stddev as
-    EXACT integer moments (n, Σcents, Σcents², one bounded partial row
-    per batch per type), broadcast, then a row-local flag pass:
-    |v − mean| > 1.5·σ (sample stddev). The float path (one division,
-    one multiply chain, one sqrt — all IEEE-exact ops) mirrors the SQL
-    twin expression-for-expression, so the oracle matches bit-for-bit
-    without trusting DuckDB's own stddev implementation. Σcents² in
-    int64 holds to ~10^9 rows per group; past that the partial fold
-    would move to Python ints / two-level split."""
-    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
-
-    def moments(df: pd.DataFrame) -> pd.DataFrame:
-        vc = _cents(df["value"]).astype("int64")
-        out = pd.DataFrame(
-            {"event_type": df["event_type"], "n": 1, "s": vc, "ss": vc * vc}
-        )
-        return out.groupby("event_type", as_index=False).sum()
-
-    parts = ds.map_batches(
-        moments, batch_format="pandas", batch_size=65536
-    ).take_all()  # bounded: one row per (block, type)
-    agg: dict[str, list[int]] = {}
-    for r in parts:
-        a = agg.setdefault(r["event_type"], [0, 0, 0])
-        a[0] += int(r["n"]); a[1] += int(r["s"]); a[2] += int(r["ss"])
-    stats = {
-        t: (
-            s / n,  # mean (cents, double)
-            1.5
-            * np.sqrt((float(ss) - float(s) * float(s) / n) / (n - 1)),
-        )
-        for t, (n, s, ss) in agg.items()
-    }
-    ref = ray.put(stats)
-
-    def flag(t: pa.Table) -> pa.Table:
-        st = ray.get(ref)
-        vc = np.round(
-            t.column("value").to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
-        types = t.column("event_type").to_pylist()
-        mean = np.array([st[x][0] for x in types])
-        thr = np.array([st[x][1] for x in types])
-        out = np.abs(vc.astype(np.float64) - mean) > thr
-        return pa.Table.from_arrays(
-            [t.column("event_id").cast(pa.int64()), pa.array(out)],
-            names=["event_id", "is_outlier"],
-        )
-
-    return ds.map_batches(flag, batch_format="pyarrow").sort("event_id")
-
-
-SQL_EVENTS_VALUE_ZSCORE = """
-WITH c AS (
-  SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS vc
-  FROM events
-),
-st AS (
-  SELECT event_type, count(*) AS n,
-         sum(vc) AS s, sum(vc*vc) AS ss
-  FROM c GROUP BY event_type
-)
-SELECT c.event_id,
-       abs(CAST(c.vc AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
-         > 1.5 * sqrt((CAST(st.ss AS DOUBLE)
-                       - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n)
-                      / (st.n - 1)) AS is_outlier
-FROM c JOIN st USING (event_type)
-ORDER BY c.event_id
-"""
-
-
-def q_events_table_profile(sf_dir: str):
-    """Table profiler — the schema-audit pass a pipeline runs before
-    trusting a new data drop: per column, null count, EXACT distinct
-    count, numeric min/max (timestamps as epoch-µs; the string column
-    reports NULL bounds), plus a per-column flag that the mergeable
-    HLL sketch (the 10^12-scale path, where the exact pass would be
-    one sort per column) landed inside its 3σ bound. Nulls/min/max
-    fold into one partial row per batch (bounded driver merge);
-    distinct counts run the native two-level distinct per column.
-    Numeric bounds ≤ 2^53 stay exact as doubles, so the UNION-ALL
-    DuckDB oracle matches bit-for-bit."""
-    from .query_utils import _distinct_native
-    from .stages.sketches import approx_distinct
-
-    cols = ["event_id", "user_id", "event_type", "value", "ts"]
-    ds = _read(sf_dir, "events", cols)
-
-    def to_num(t: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [
-                t.column("event_id").cast(pa.int64()).cast(pa.float64()),
-                t.column("user_id").cast(pa.int64()).cast(pa.float64()),
-                t.column("event_type"),
-                t.column("value").cast(pa.float64()),
-                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).cast(pa.float64()),
-            ],
-            names=cols,
-        )
-
-    nds = ds.map_batches(to_num, batch_format="pyarrow").materialize()
-
-    def partial(t: pa.Table) -> pa.Table:
-        arrs, names = [], []
-        for c in cols:
-            col = t.column(c)
-            nn = col.null_count
-            if c == "event_type":
-                mn = mx = None
-            else:
-                mn = pc.min(col).as_py()
-                mx = pc.max(col).as_py()
-            arrs += [
-                pa.array([nn], pa.int64()),
-                pa.array([mn], pa.float64()),
-                pa.array([mx], pa.float64()),
-            ]
-            names += [f"nn_{c}", f"mn_{c}", f"mx_{c}"]
-        return pa.Table.from_arrays(arrs, names=names)
-
-    parts = nds.map_batches(
-        partial, batch_format="pyarrow", batch_size=None
-    ).take_all()  # bounded: one tiny row per block
-    sigma3 = 3 * 1.04 / (1 << 12) ** 0.5
-
-    rows = []
-    for c in cols:
-        nn = sum(r[f"nn_{c}"] for r in parts)
-        mns = [r[f"mn_{c}"] for r in parts if r[f"mn_{c}"] is not None]
-        mxs = [r[f"mx_{c}"] for r in parts if r[f"mx_{c}"] is not None]
-        exact = int(_distinct_native(nds.select_columns([c]), [c]).count())
-        est = int(
-            approx_distinct(nds.select_columns([c]), c, p=12)[
-                "n_distinct_approx"
-            ].iloc[0]
-        )
-        rows.append(
-            {
-                "column": c,
-                "n_nulls": nn,
-                "n_distinct": exact,
-                "min_num": min(mns) if mns else None,
-                "max_num": max(mxs) if mxs else None,
-                "hll_ok": abs(est - exact) <= sigma3 * max(exact, 1),
-            }
-        )
-    return pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
-
-
-SQL_EVENTS_TABLE_PROFILE = """
-WITH n AS (
-  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts
-  FROM events
-)
-SELECT * FROM (
-  SELECT 'event_id' AS "column", count(*) - count(event_id) AS n_nulls,
-         count(DISTINCT event_id) AS n_distinct,
-         CAST(min(event_id) AS DOUBLE) AS min_num,
-         CAST(max(event_id) AS DOUBLE) AS max_num, TRUE AS hll_ok FROM n
-  UNION ALL
-  SELECT 'user_id', count(*) - count(user_id), count(DISTINCT user_id),
-         CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE), TRUE FROM n
-  UNION ALL
-  SELECT 'event_type', count(*) - count(event_type), count(DISTINCT event_type),
-         NULL, NULL, TRUE FROM n
-  UNION ALL
-  SELECT 'value', count(*) - count(value), count(DISTINCT value),
-         min(value), max(value), TRUE FROM n
-  UNION ALL
-  SELECT 'ts', count(*) - count(ts), count(DISTINCT ts),
-         CAST(min(ts) AS DOUBLE), CAST(max(ts) AS DOUBLE), TRUE FROM n
-) ORDER BY "column"
-"""
-
-
 def q_part_fuzzy_match(sf_dir: str):
     """Blocked fuzzy record linkage over part names (the entity-merge
     primitive of catalog / crawl dedup; reference analog: the tag and
@@ -1000,1222 +288,6 @@ WHERE a.name < b.name
   AND 100 * (greatest(len(a.name), len(b.name))
              - levenshtein(a.name, b.name))
       >= 60 * greatest(len(a.name), len(b.name))
-"""
-
-
-def q_events_skyline(sf_dir: str):
-    """2-D Pareto skyline of events over (value, ts) minimization —
-    the earliest-and-cheapest non-dominated frontier (multi-criteria
-    pruning before an expensive downstream stage). Skyline is an
-    idempotent associative reduction, so it runs as a combiner
-    aggregate: per-batch vectorized frontier (lexsort + run-min +
-    prefix-min) kills ~everything at the read, a cascade re-reduce,
-    one in-process merge of the O(log n)-sized candidate set — no
-    shuffle (stages/skyline.py). Oracle: the NOT EXISTS dominance
-    definition verbatim."""
-    from .stages.skyline import skyline
-
-    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
-
-    def prep(t: pa.Table) -> pa.Table:
-        tu = pc.cast(t.column("ts"), pa.timestamp("us")).cast(pa.int64())
-        out = pa.Table.from_arrays(
-            [t.column("event_id"), t.column("value"), tu],
-            names=["event_id", "value", "tu"],
-        )
-        mask = pc.and_(
-            pc.is_valid(out.column("value")), pc.is_valid(out.column("tu"))
-        )
-        return out.filter(mask)
-
-    return skyline(
-        ds.map_batches(prep, batch_format="pyarrow"), "value", "tu"
-    ).sort("event_id")
-
-
-def q_events_markov(sf_dir: str):
-    """Per-user event-sequence transition counts (the first-order
-    Markov matrix over event types — the sequence-mining / next-event-
-    model primitive). ONE sort co-partitions each user's stream in
-    time order (ties broken by event_id: a total order, so the window
-    engine's unstable boundary re-sort is safe); transitions are the
-    shifted-slice pairs within user runs — no per-user dispatch, no
-    lag() machinery. Counts fold per block (|types|² bounded key
-    space) and merge in-process, the `_preagg_native` argument."""
-    from .query_utils import _run_starts_mask_arrow, _window_by_key_arrow
-
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
-
-    def prep(t: pa.Table) -> pa.Table:
-        tu = pc.cast(t.column("ts"), pa.timestamp("us")).cast(pa.int64())
-        return pa.Table.from_arrays(
-            [t.column("user_id"), tu, t.column("event_id"),
-             t.column("event_type")],
-            names=["user_id", "tu", "event_id", "event_type"],
-        )
-
-    def _counts(pt: pa.Table) -> pa.Table:
-        g = pt.group_by(["from_type", "to_type"]).aggregate([("n", "sum")])
-        return g.rename_columns(["from_type", "to_type", "n"])
-
-    def transitions(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "from_type": pa.array([], pa.string()),
-                "to_type": pa.array([], pa.string()),
-                "n": pa.array([], pa.int64()),
-            }
-        )
-        if t.num_rows < 2:
-            return empty
-        starts = _run_starts_mask_arrow(t, ["user_id"])
-        et = t.column("event_type").combine_chunks()
-        pt = pa.Table.from_arrays(
-            [
-                et.slice(0, t.num_rows - 1),
-                et.slice(1),
-                pa.array(np.ones(t.num_rows - 1, dtype=np.int64)),
-            ],
-            names=["from_type", "to_type", "n"],
-        ).filter(pa.array(~starts[1:]))
-        return _counts(pt)
-
-    part = _window_by_key_arrow(
-        ds.map_batches(prep, batch_format="pyarrow"),
-        ["user_id"],
-        ["user_id", "tu", "event_id"],
-        transitions,
-    ).map_batches(_counts, batch_format="pyarrow", batch_size=65536)
-    merged = _counts(pa.concat_tables(ray.get(part.to_arrow_refs())))
-    return ray.data.from_arrow(merged).sort(["from_type", "to_type"])
-
-
-def q_events_rolling_active_users(sf_dir: str):
-    """Trailing-24h distinct active users per hour bucket (the rolling
-    DAU/WAU engagement metric). Sliding-window DISTINCT without any
-    window machinery: (hour, user) exact dedup (`_distinct_native` —
-    per-batch Arrow dedup, one sort, run-scan) collapses the corpus to
-    presence pairs; each pair then FANS OUT to the <=24 window buckets
-    it can serve (bounded explode, filtered to observed buckets — the
-    observed-hour set is calendar-bounded, merged in-process and
-    captured by the filter closure, i.e. broadcast once); a second
-    dedup over (bucket, user) kills multi-hour repeats; bounded-key
-    counts fold per block and merge in-process. Corpus-sized data
-    crosses the exchange exactly twice (the two dedup sorts) — no
-    per-window state, no per-user dispatch."""
-    from .query_utils import _distinct_native
-
-    ds = _read(sf_dir, "events", ["user_id", "ts"])
-    hour_us = 3_600_000_000
-
-    def prep(t: pa.Table) -> pa.Table:
-        tu = pc.cast(t.column("ts"), pa.timestamp("us")).cast(pa.int64())
-        h = pc.divide(tu, hour_us)
-        return pa.Table.from_arrays(
-            [h, t.column("user_id")], names=["h", "user_id"]
-        )
-
-    # Two consumers (observed-hour scan + fan-out) read the presence
-    # table, so it's pinned once; it is the COMPRESSED (hour, user)
-    # distinct — far smaller than the event stream — and the object
-    # store spills if needed. At 10^12 events the same plan would
-    # checkpoint it to parquet and read twice (the compare.py shape).
-    pres = _distinct_native(
-        ds.map_batches(prep, batch_format="pyarrow"), ["h", "user_id"]
-    ).materialize()
-
-    def hours_only(t: pa.Table) -> pa.Table:
-        return t.select(["h"]).group_by(["h"]).aggregate([])
-
-    observed = pa.concat_tables(
-        ray.get(pres.map_batches(hours_only, batch_format="pyarrow").to_arrow_refs())
-    )
-    hour_set = np.unique(observed.column("h").to_numpy(zero_copy_only=False))
-
-    def fan_out(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"hour": pa.array([], pa.int64()),
-                 "user_id": pa.array([], pa.int64())}
-            )
-        h = t.column("h").to_numpy(zero_copy_only=False)
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        w = np.repeat(h, 24) + np.tile(np.arange(24, dtype=np.int64), len(h))
-        uu = np.repeat(u, 24)
-        keep = np.isin(w, hour_set)
-        return pa.table(
-            {"hour": pa.array(w[keep], pa.int64()),
-             "user_id": pa.array(uu[keep], pa.int64())}
-        )
-
-    served = _distinct_native(
-        pres.map_batches(fan_out, batch_format="pyarrow"),
-        ["hour", "user_id"],
-    )
-
-    def counts(t: pa.Table) -> pa.Table:
-        g = t.group_by(["hour"]).aggregate([("user_id", "count")])
-        return g.rename_columns(["hour", "users_24h"])
-
-    def recount(t: pa.Table) -> pa.Table:
-        g = t.group_by(["hour"]).aggregate([("users_24h", "sum")])
-        return g.rename_columns(["hour", "users_24h"])
-
-    part = served.map_batches(
-        counts, batch_format="pyarrow", batch_size=65536
-    ).map_batches(recount, batch_format="pyarrow", batch_size=65536)
-    merged = recount(pa.concat_tables(ray.get(part.to_arrow_refs())))
-    return ray.data.from_arrow(merged).sort("hour")
-
-
-def q_events_hourly_regression(sf_dir: str):
-    """Grouped OLS fit + Pearson correlation of event value against
-    hour-of-day — the distributed statistical-model-fit primitive
-    (drift detection, seasonality screening). The entire corpus folds
-    to SIX moments per group inside map_batches (n, Σx, Σy, Σxy, Σx²,
-    Σy²) — sums re-reduce losslessly, so the plan is combiner →
-    cascade → one in-process closed-form solve; nothing shuffles, no
-    second pass. x = hour-of-day (bounded magnitude, so the moment
-    formulas are numerically benign vs the oracle's streaming
-    kernels)."""
-    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
-
-    def fold(t: pa.Table) -> pa.Table:
-        tu = pc.cast(t.column("ts"), pa.timestamp("us")).cast(pa.int64())
-        ok = pc.and_(pc.is_valid(tu), pc.is_valid(t.column("value")))
-        hod = (
-            tu.to_numpy(zero_copy_only=False) // 3_600_000_000
-        ) % 24  # no pc.mod kernel in this pyarrow
-        t = pa.Table.from_arrays(
-            [t.column("event_type"),
-             pa.array(hod.astype(np.float64), pa.float64()),
-             t.column("value")],
-            names=["event_type", "x", "y"],
-        ).filter(ok)
-        x = t.column("x")
-        y = t.column("y")
-        m = pa.Table.from_arrays(
-            [t.column("event_type"), x, y,
-             pc.multiply(x, y), pc.multiply(x, x), pc.multiply(y, y)],
-            names=["event_type", "sx", "sy", "sxy", "sxx", "syy"],
-        )
-        g = m.group_by(["event_type"]).aggregate(
-            [("sx", "count"), ("sx", "sum"), ("sy", "sum"),
-             ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")]
-        )
-        return g.rename_columns(
-            ["event_type", "n", "sx", "sy", "sxy", "sxx", "syy"]
-        )
-
-    def refold(t: pa.Table) -> pa.Table:
-        g = t.group_by(["event_type"]).aggregate(
-            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
-             ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")]
-        )
-        return g.rename_columns(
-            ["event_type", "n", "sx", "sy", "sxy", "sxx", "syy"]
-        )
-
-    part = ds.map_batches(
-        fold, batch_format="pyarrow", batch_size=65536
-    ).map_batches(refold, batch_format="pyarrow", batch_size=65536)
-    m = refold(pa.concat_tables(ray.get(part.to_arrow_refs()))).to_pandas()
-    n = m["n"].astype(float)
-    cov = n * m["sxy"] - m["sx"] * m["sy"]
-    varx = n * m["sxx"] - m["sx"] ** 2
-    vary = n * m["syy"] - m["sy"] ** 2
-    slope = cov / varx
-    out = pd.DataFrame(
-        {
-            "event_type": m["event_type"],
-            "n": m["n"].astype(np.int64),
-            "slope": slope,
-            "intercept": (m["sy"] - slope * m["sx"]) / n,
-            "r": cov / np.sqrt(varx * vary),
-        }
-    ).sort_values("event_type").reset_index(drop=True)
-    return ray.data.from_pandas(out)
-
-
-def q_events_user_entropy(sf_dir: str):
-    """Per-user Shannon entropy of the event-type mix (behavioral-
-    diversity scoring — the bot/spam screening analog of the docs
-    quality family, and a per-entity DISTRIBUTION aggregate rather
-    than a scalar one). ONE sort by (user, type) yields complete user
-    groups; per-(user,type) counts AND per-user entropy both fall out
-    of the same run-boundary masks via np.bincount/reduceat — no
-    joins, no second pass, no per-user dispatch. User cardinality
-    scales with the corpus, so the group engine is the windowed
-    sort + side-channel path, never a driver fold."""
-    from .query_utils import _run_starts_mask_arrow, _window_by_key_arrow
-
-    ds = _read(sf_dir, "events", ["user_id", "event_type"])
-
-    def ent(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "user_id": pa.array([], pa.int64()),
-                "n_events": pa.array([], pa.int64()),
-                "entropy": pa.array([], pa.float64()),
-            }
-        )
-        if t.num_rows == 0:
-            return empty
-        ut_starts = np.flatnonzero(
-            _run_starts_mask_arrow(t, ["user_id", "event_type"])
-        )
-        u_starts = np.flatnonzero(_run_starts_mask_arrow(t, ["user_id"]))
-        counts = np.diff(np.append(ut_starts, t.num_rows)).astype(np.float64)
-        urid = np.searchsorted(u_starts, ut_starts, side="right") - 1
-        tot = np.bincount(urid, weights=counts)
-        p = counts / tot[urid]
-        entropy = np.bincount(urid, weights=-p * np.log(p))
-        uids = t.column("user_id").take(pa.array(u_starts))
-        return pa.table(
-            {
-                "user_id": uids,
-                "n_events": pa.array(tot.astype(np.int64), pa.int64()),
-                "entropy": pa.array(entropy, pa.float64()),
-            }
-        )
-
-    return _window_by_key_arrow(
-        ds, ["user_id"], ["user_id", "event_type"], ent
-    ).sort("user_id")
-
-
-def q_embeddings_gram(sf_dir: str):
-    """Distributed Gram matrix XᵀX over the embedding column — the
-    covariance / PCA / whitening precursor every embedding-quality
-    pipeline runs. The d×d result (64² here) is tiny while the input
-    is corpus-sized, so the whole computation is ONE streaming fold:
-    per batch a zero-copy reshape of the Arrow list values into
-    (n, d) and a single BLAS matmul accumulates the partial Gram; the
-    bounded d(d+1)/2 upper-triangle cells cascade-sum and merge
-    in-process. No shuffle, no second pass, compute is entirely
-    vectorized BLAS. Oracle: the unnest self-join statement of the
-    same sum (per-element float32→double cast matches numpy exactly;
-    only summation order differs — ~1e-13, inside the 1e-9 gate)."""
-    ds = _read(sf_dir, "embeddings", ["embedding"])
-
-    def fold(t: pa.Table) -> pa.Table:
-        col = t.column("embedding")
-        arr = (
-            col.combine_chunks()
-            if isinstance(col, pa.ChunkedArray)
-            else col
-        )
-        if arr.null_count > 0:
-            arr = arr.filter(arr.is_valid())
-        n = len(arr)
-        empty = pa.table(
-            {"i": pa.array([], pa.int64()), "j": pa.array([], pa.int64()),
-             "g": pa.array([], pa.float64())}
-        )
-        if n == 0:
-            return empty
-        vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
-        if len(vals) % n:  # ragged embedding lengths would reshape wrong
-            raise ValueError("embeddings_gram requires fixed-dim vectors")
-        d = len(vals) // n
-        G = vals.reshape(n, d).T @ vals.reshape(n, d)
-        iu, ju = np.triu_indices(d)
-        return pa.table(
-            {
-                "i": pa.array((iu + 1).astype(np.int64), pa.int64()),
-                "j": pa.array((ju + 1).astype(np.int64), pa.int64()),
-                "g": pa.array(G[iu, ju], pa.float64()),
-            }
-        )
-
-    def refold(t: pa.Table) -> pa.Table:
-        g = t.group_by(["i", "j"]).aggregate([("g", "sum")])
-        return g.rename_columns(["i", "j", "g"])
-
-    part = ds.map_batches(
-        fold, batch_format="pyarrow", batch_size=65536
-    ).map_batches(refold, batch_format="pyarrow", batch_size=65536)
-    merged = refold(pa.concat_tables(ray.get(part.to_arrow_refs())))
-    return ray.data.from_arrow(merged).sort(["i", "j"])
-
-
-def q_events_chi2_independence(sf_dir: str):
-    """Chi-square independence screen over the (isodow × event_type)
-    contingency table — the feature-relevance / drift hypothesis test
-    a monitoring pipeline runs per dimension pair. The corpus folds to
-    bounded-cardinality cell counts inside map_batches (the combiner);
-    marginals, expected counts and per-cell χ² contributions are
-    closed-form on the merged 35-cell table in-process. One scan, no
-    shuffle. Emits per-cell rows (observed, expected, chi2_term) so
-    the oracle hash pins every contribution, not just the statistic."""
-    ds = _read(sf_dir, "events", ["ts", "event_type"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "dow": df["ts"].dt.isocalendar().day.astype("int64"),
-                "event_type": df["event_type"],
-                "n": 1,
-            }
-        )
-        return out.groupby(["dow", "event_type"], as_index=False).sum()
-
-    part = ds.map_batches(
-        partial, batch_format="pandas", batch_size=65536
-    ).map_batches(partial_merge := (
-        lambda df: df.groupby(["dow", "event_type"], as_index=False).sum()
-    ), batch_format="pandas", batch_size=65536)
-    fine = partial_merge(part.to_pandas())
-    nn = float(fine["n"].sum())
-    rn = fine.groupby("event_type")["n"].transform("sum").astype(float)
-    cn = fine.groupby("dow")["n"].transform("sum").astype(float)
-    exp = rn * cn / nn
-    out = pd.DataFrame(
-        {
-            "event_type": fine["event_type"],
-            "dow": fine["dow"].astype(np.int64),
-            "n": fine["n"].astype(np.int64),
-            "expected": exp,
-            "chi2_term": (fine["n"] - exp) ** 2 / exp,
-        }
-    ).sort_values(["event_type", "dow"]).reset_index(drop=True)
-    return ray.data.from_pandas(out)
-
-
-SQL_EVENTS_CHI2_INDEPENDENCE = """
-WITH c AS (
-  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, count(*) AS n
-  FROM events GROUP BY 1, 2
-),
-tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM c),
-rt AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS rn FROM c GROUP BY 1),
-ct AS (SELECT dow, CAST(sum(n) AS DOUBLE) AS cn FROM c GROUP BY 1)
-SELECT c.event_type, c.dow, c.n,
-       rn * cn / nn AS expected,
-       (c.n - rn * cn / nn) * (c.n - rn * cn / nn) / (rn * cn / nn)
-         AS chi2_term
-FROM c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot
-ORDER BY event_type, dow
-"""
-
-
-SQL_EMBEDDINGS_GRAM = """
-WITH x AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings
-)
-SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
-       sum(a.v * b.v) AS g
-FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
-GROUP BY a.i, b.i
-ORDER BY i, j
-"""
-
-
-SQL_EVENTS_USER_ENTROPY = """
-WITH c AS (
-  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
-),
-u AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
-SELECT c.user_id, CAST(u.tot AS BIGINT) AS n_events,
-       -sum((n / tot) * ln(n / tot)) AS entropy
-FROM c JOIN u USING (user_id)
-GROUP BY c.user_id, u.tot
-ORDER BY user_id
-"""
-
-
-SQL_EVENTS_HOURLY_REGRESSION = """
-WITH t AS (
-  SELECT event_type,
-         CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE) AS x,
-         value AS y
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
-)
-SELECT event_type, COUNT(*) AS n, regr_slope(y, x) AS slope,
-       regr_intercept(y, x) AS intercept, corr(y, x) AS r
-FROM t GROUP BY event_type ORDER BY event_type
-"""
-
-
-SQL_EVENTS_ROLLING_ACTIVE_USERS = """
-WITH du AS (
-  SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, user_id
-  FROM events
-),
-hrs AS (SELECT DISTINCT h FROM du)
-SELECT hrs.h AS hour, COUNT(DISTINCT du.user_id) AS users_24h
-FROM hrs JOIN du ON du.h BETWEEN hrs.h - 23 AND hrs.h
-GROUP BY hrs.h
-ORDER BY hour
-"""
-
-
-SQL_EVENTS_MARKOV = """
-WITH s AS (
-  SELECT user_id, event_type,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev
-  FROM events
-)
-SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
-FROM s WHERE prev IS NOT NULL
-GROUP BY prev, event_type
-ORDER BY from_type, to_type
-"""
-
-
-SQL_EVENTS_SKYLINE = """
-WITH t AS (
-  SELECT event_id, value, epoch_us(ts) AS tu
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
-)
-SELECT a.event_id, a.value, a.tu
-FROM t a
-WHERE NOT EXISTS (
-  SELECT 1 FROM t b
-  WHERE b.value <= a.value AND b.tu <= a.tu
-    AND (b.value < a.value OR b.tu < a.tu)
-)
-ORDER BY event_id
-"""
-
-
-def q_events_value_percentiles_approx(sf_dir: str):
-    """Histogram-sketch approximate percentiles per event type,
-    SELF-VERIFYING so the driver can oracle-check it (same pattern as
-    events_approx_users/HLL): emits the exact per-group quantiles plus
-    a flag that each sketch estimate landed within its deterministic
-    error bound (2 bin widths = 2·(max−min)/4096 — the interpolated
-    estimate mixes two order statistics, each inside its true bin).
-    The DuckDB oracle returns the exact quantiles and TRUE, so the
-    value-hash matches iff the exact side agrees AND the sketch is
-    in-bound. The scale path for events_value_percentiles — per-batch
-    histograms merge by sum, nothing sorts."""
-    from .stages.sketches import approx_quantiles
-
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-    approx = approx_quantiles(ds, "value", by="event_type", qs=(0.5, 0.9))
-    exact = q_events_value_percentiles(sf_dir).to_pandas()
-    m = exact.merge(approx, on="event_type")
-    ok = (
-        ((m["q50"] - m["median_value"]).abs() <= 2 * m["bin_width"] + 1e-9)
-        & ((m["q90"] - m["p90_value"]).abs() <= 2 * m["bin_width"] + 1e-9)
-    )
-    out = pd.DataFrame(
-        {
-            "event_type": m["event_type"],
-            "median_value": m["median_value"],
-            "p90_value": m["p90_value"],
-            "approx_within_bound": ok.astype(bool),
-        }
-    )
-    return ray.data.from_pandas(out)
-
-
-SQL_EVENTS_VALUE_PERCENTILES_APPROX = """
-SELECT event_type,
-       quantile_cont(value, 0.5) AS median_value,
-       quantile_cont(value, 0.9) AS p90_value,
-       TRUE AS approx_within_bound
-FROM events GROUP BY event_type
-"""
-
-
-def q_events_clicks_before_purchase(sf_dir: str):
-    """Interval/range join (self): for every purchase, the number of
-    clicks by the same user in the preceding 10 minutes. One sort
-    co-partitions both sides by (user_id, ts); inside each user run
-    the range lookup is two vectorized searchsorted calls — the
-    engine's range-join shape (no per-user dispatch, no quadratic
-    pair explosion)."""
-    from .query_utils import _window_by_key_arrow
-
-    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
-    ds = ds.filter(expr="event_type == 'click' or event_type == 'purchase'")
-
-    def range_count(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64())] * 2,
-                names=["event_id", "n_clicks_10m"],
-            )
-        import pyarrow.compute as pc
-
-        u = t.column("user_id").to_numpy()
-        ts = (
-            t.column("ts").to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]").astype(np.int64)
-        )
-        eid = t.column("event_id").to_numpy()
-        is_click = pc.equal(t.column("event_type"), "click").to_numpy(
-            zero_copy_only=False
-        ).astype(bool)
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        ends = np.r_[starts[1:], len(u)]
-        out_id: list = []
-        out_n: list = []
-        win = 10 * 60 * 1_000_000
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            cm = is_click[s:e]
-            if not (~cm).any():
-                continue
-            ct = ts[s:e][cm]
-            pt = ts[s:e][~cm]
-            lo = np.searchsorted(ct, pt - win, side="left")
-            hi = np.searchsorted(ct, pt, side="left")  # strictly before
-            out_id.extend(eid[s:e][~cm])
-            out_n.extend(hi - lo)
-        return pa.Table.from_arrays(
-            [
-                pa.array(np.asarray(out_id, dtype=np.int64)),
-                pa.array(np.asarray(out_n, dtype=np.int64)),
-            ],
-            names=["event_id", "n_clicks_10m"],
-        )
-
-    return _window_by_key_arrow(ds, ["user_id"], ["user_id", "ts", "event_id"], range_count)
-
-
-SQL_EVENTS_CLICKS_BEFORE_PURCHASE = """
-SELECT p.event_id,
-       CAST(count(c.event_id) AS BIGINT) AS n_clicks_10m
-FROM events p
-LEFT JOIN events c
-  ON c.user_id = p.user_id AND c.event_type = 'click'
- AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
-WHERE p.event_type = 'purchase'
-GROUP BY p.event_id
-"""
-
-
-def q_events_dow_type_cube(sf_dir: str):
-    """CUBE / GROUPING SETS: counts + value sums at every grouping
-    level of (isodow, event_type) — (both), (dow), (type), (grand
-    total) — derived from ONE set of fine-level partials; the three
-    coarser levels are re-aggregations of the merged fine level, so
-    the input is scanned exactly once. Subsumes the retired
-    events_dow_rollup (= the fine level) and events_rollup_total
-    (= the type margin + grand total)."""
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "dow": df["ts"].dt.isocalendar().day.astype("int64").astype(str),
-                "event_type": df["event_type"],
-                "cents": _cents(df["value"]),
-                "n": 1,
-            }
-        )
-        return out.groupby(["dow", "event_type"], as_index=False).sum()
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        agg = {"n": ("n", "sum"), "cents": ("cents", "sum")}
-        fine = df.groupby(["dow", "event_type"], as_index=False).agg(**agg)
-        by_dow = fine.groupby("dow", as_index=False).agg(**agg)
-        by_dow["event_type"] = "ALL"
-        by_type = fine.groupby("event_type", as_index=False).agg(**agg)
-        by_type["dow"] = "ALL"
-        total = pd.DataFrame(
-            [{"dow": "ALL", "event_type": "ALL", "n": int(fine["n"].sum()),
-              "cents": int(fine["cents"].sum())}]
-        )
-        out = pd.concat([fine, by_dow, by_type, total], ignore_index=True)
-        return pd.DataFrame(
-            {
-                "dow": out["dow"],
-                "event_type": out["event_type"],
-                "n_events": out["n"].astype("int64"),
-                "sum_value": out["cents"] / 100.0,
-            }
-        )
-
-    part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    return part.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
-
-
-SQL_EVENTS_DOW_TYPE_CUBE = """
-SELECT coalesce(CAST(isodow(ts) AS VARCHAR), 'ALL') AS dow,
-       coalesce(event_type, 'ALL') AS event_type,
-       count(*) AS n_events,
-       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
-FROM events GROUP BY CUBE (isodow(ts), event_type)
-"""
-
-
-def q_events_props_extract(sf_dir: str):
-    """Per-row JSON extraction (dot-path getter, M15 analog)."""
-    from .functions.paths import get_path
-
-    ds = _read(sf_dir, "events", ["event_id", "props"])
-
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        ks = [get_path(_json.loads(p), "k") if p else None for p in df["props"]]
-        return pd.DataFrame({"event_id": df["event_id"], "k_value": pd.array(ks, dtype="int64")})
-
-    return ds.map_batches(fn, batch_format="pandas")
-
-
-SQL_EVENTS_PROPS = """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
-FROM events
-"""
-
-
-# ---------------------------------------------------------------------------
-# documents: text analysis, dedup family, signature scan
-
-
-def q_docs_token_stats(sf_dir: str):
-    """Token counting (text-analysis primitive)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "n_tokens": df["text"].str.count(r"[A-Za-z0-9]+").astype(np.int64),
-                "n_chars_actual": df["text"].str.len().astype(np.int64),
-            }
-        )
-
-    return ds.map_batches(fn, batch_format="pandas")
-
-
-SQL_DOCS_TOKEN_STATS = """
-SELECT doc_id,
-       CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
-       CAST(length(text) AS BIGINT) AS n_chars_actual
-FROM documents
-"""
-
-
-def q_docs_quality_classifier(sf_dir: str):
-    """fastText-style hashed linear quality classifier (the learned
-    gate of the CCNet / GPT-3 / LLaMA data recipes): seeded weight
-    vector, md5-bucketed tokens, mean-pooled score, keep at score ≥ 0.
-    Task-mode stage (seed-derived model + token→bucket memo cached per
-    worker process; Arrow-C++ tokenization, md5 only per batch-distinct
-    token); the oracle embeds the SAME seeded weights as SQL literals
-    (LSH-hyperplane pattern) and replays the bucketing with DuckDB
-    md5."""
-    from .stages.classifier import classify_quality
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return classify_quality(ds)
-
-
-def _build_sql_docs_quality_classifier() -> str:
-    from .stages.classifier import DEFAULT_DIM, SCORE_DECIMALS, model_weights
-
-    lit = "[" + ",".join(repr(float(v)) for v in model_weights()) + "]"
-    return f"""
-WITH w AS (
-  SELECT unnest(range(0, {DEFAULT_DIM})) AS bucket, unnest({lit}) AS wt
-),
-tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
-  FROM documents
-),
-feat AS (
-  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::UBIGINT % {DEFAULT_DIM} AS bucket
-  FROM tok
-),
-s AS (
-  SELECT f.doc_id, avg(w.wt) AS m
-  FROM feat f JOIN w ON w.bucket = f.bucket GROUP BY f.doc_id
-)
-SELECT d.doc_id,
-       round(coalesce(s.m, 0.0), {SCORE_DECIMALS}) AS score,
-       round(coalesce(s.m, 0.0), {SCORE_DECIMALS}) >= 0 AS keep
-FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
-"""
-
-
-SQL_DOCS_QUALITY_CLASSIFIER = _build_sql_docs_quality_classifier()
-
-
-def q_docs_quality(sf_dir: str):
-    """Quality scoring: unrounded ratios are identical doubles on both
-    engines (same int numerator / denominator)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        n = df["text"].str.len().to_numpy().astype(np.float64)
-        alpha = df["text"].str.count(r"[A-Za-z]").to_numpy().astype(np.float64)
-        digit = df["text"].str.count(r"[0-9]").to_numpy().astype(np.float64)
-        ws = df["text"].str.count(r" ").to_numpy().astype(np.float64)
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "alpha_ratio": alpha / n,
-                "digit_ratio": digit / n,
-                "space_ratio": ws / n,
-            }
-        )
-
-    return ds.map_batches(fn, batch_format="pandas")
-
-
-SQL_DOCS_QUALITY = """
-SELECT doc_id,
-       CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) AS alpha_ratio,
-       CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
-       CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS space_ratio
-FROM documents
-"""
-
-
-def q_docs_main_content(sf_dir: str):
-    """Main-content extraction (HTML boilerplate strip, the north
-    rule's first stage): each document is rendered into a deterministic
-    HTML page (header/nav, sponsored aside, link-farm div, footer, main
-    text in 10-token <p> blocks) and the readability-style extractor
-    (stages/maincontent.py: container context + link density) must
-    recover EXACTLY the original text — a golden-output oracle in the
-    reference's known-answer test style: the DuckDB side states the
-    ground truth (whitespace-normalized text, ceil(tokens/10) blocks)
-    without parsing HTML, so any heuristic regression hash-fails."""
-    from .stages.maincontent import main_content_from_docs
-
-    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
-    return main_content_from_docs(ds)
-
-
-SQL_DOCS_MAIN_CONTENT = r"""
-SELECT doc_id,
-       trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text,
-       CAST(ceil(length(regexp_extract_all(text, '\S+')) / 10.0) AS BIGINT) AS n_blocks
-FROM documents
-"""
-
-
-def q_graph_pagerank(sf_dir: str):
-    """Distributed PageRank (graph centrality) over the customer↔
-    supplier trade graph: orders ⋈ lineitem gives DISTINCT (custkey,
-    suppkey) edges (suppliers offset by 1_000_000 into the shared node
-    id space), expanded undirected so no node dangles; 3 quantized
-    iterations (stages/graph.py — rank vector flows as a dataset, one
-    hash join + one sum-by-key per iteration, never a driver adjacency
-    structure). The edge build auto-switches on the orders row count
-    (parquet footer, free): below the broadcast bound the orderkey→
-    custkey map rides the object store once (sorted arrays +
-    searchsorted, the J2 pattern) and lineitem streams map-side; above
-    it, a hash-partitioned Dataset.join. The DuckDB oracle replays the
-    SAME quantized updates as unrolled CTEs."""
-    from .query_utils import _distinct_native, _meta_rows
-    from .stages.graph import pagerank
-
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    # ~16 bytes/row broadcast: 5M orders ≈ 80 MB, comfortably object-store
-    if _meta_rows(sf_dir, "orders") <= 5_000_000:
-        o = _small_pdf(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-        okey = o["o_orderkey"].to_numpy()
-        order = np.argsort(okey)
-        ref = ray.put((okey[order], o["o_custkey"].to_numpy()[order]))
-
-        def to_edge(t: pa.Table) -> pa.Table:
-            keys, custs = ray.get(ref)
-            lkey = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-            supp = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-            cust = custs[np.searchsorted(keys, lkey)]
-            return pa.Table.from_arrays(
-                [pa.array(cust.astype(np.int64)),
-                 pa.array((supp + 1_000_000).astype(np.int64))],
-                names=["c", "s"],
-            )
-
-        pairs = li.map_batches(to_edge, batch_format="pyarrow")
-    else:
-        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-        joined = orders.join(
-            li, join_type="inner", num_partitions=16,
-            on=("o_orderkey",), right_on=("l_orderkey",),
-        )
-
-        def to_edge_joined(t: pa.Table) -> pa.Table:
-            supp = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-            return pa.Table.from_arrays(
-                [t.column("o_custkey"),
-                 pa.array((supp + 1_000_000).astype(np.int64))],
-                names=["c", "s"],
-            )
-
-        pairs = joined.map_batches(to_edge_joined, batch_format="pyarrow")
-
-    base = _distinct_native(pairs, ["c", "s"])
-    # node space = customers + suppliers, bounded and KNOWN from footer
-    # metadata — below the broadcast bound, iterate the UNDIRECTED
-    # pairs directly (each pass reads half the rows; no expanded edge
-    # list is ever materialized; bit-equality with the expanded
-    # broadcast path is pytest-pinned)
-    n_nodes_max = _meta_rows(sf_dir, "customer") + _meta_rows(sf_dir, "supplier")
-    if n_nodes_max <= 500_000:
-        from .stages.graph import pagerank_undirected_pairs
-
-        return pagerank_undirected_pairs(
-            base, damping=0.85, iters=3, cols=("c", "s")
-        )
-
-    def expand(t: pa.Table) -> pa.Table:
-        c, s = t.column("c"), t.column("s")
-        return pa.Table.from_arrays(
-            [
-                pa.chunked_array([c, s]).combine_chunks(),
-                pa.chunked_array([s, c]).combine_chunks(),
-            ],
-            names=["src", "dst"],
-        )
-
-    edges = base.map_batches(expand, batch_format="pyarrow")
-    return pagerank(edges, damping=0.85, iters=3, mode="auto")
-
-
-def _build_sql_graph_pagerank(damping: float = 0.85, iters: int = 3) -> str:
-    """Unrolled-iteration PageRank oracle; quantization contract shared
-    with stages/graph.py (round 8 after init and every update)."""
-    parts = [f"""WITH e0 AS (
-  SELECT DISTINCT o.o_custkey AS c, 1000000 + l.l_suppkey AS s
-  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-),
-edges AS (
-  SELECT c AS src, s AS dst FROM e0
-  UNION ALL SELECT s AS src, c AS dst FROM e0
-),
-deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-nn AS (SELECT count(*) AS n FROM deg),
-r0 AS (SELECT src AS v, round(1.0 / (SELECT n FROM nn), 8) AS r FROM deg)"""]
-    for i in range(1, iters + 1):
-        parts.append(f"""r{i} AS (
-  SELECT v, round((SELECT (1 - {damping}) / n FROM nn)
-                  + {damping} * contrib, 8) AS r
-  FROM (
-    SELECT e.dst AS v, sum(p.r / d.d) AS contrib
-    FROM edges e
-    JOIN r{i - 1} p ON p.v = e.src
-    JOIN deg d ON d.src = e.src
-    GROUP BY e.dst
-  )
-)""")
-    return ",\n".join(parts) + f"\nSELECT v, r AS pagerank FROM r{iters}\n"
-
-
-SQL_GRAPH_PAGERANK = _build_sql_graph_pagerank()
-
-
-def q_docs_pii_scrub(sf_dir: str):
-    """PII scrubbing (CCNet/Dolma-style curation pass): deterministic
-    injection harness (email after token 2, phone appended — pure
-    functions of doc_id) through the generic regex scrubber
-    (stages/pii.py). Golden-output oracle: the SQL states the known
-    masked text and counts without running any regex over PII."""
-    from .stages.pii import pii_scrub_from_docs
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return pii_scrub_from_docs(ds)
-
-
-SQL_DOCS_PII_SCRUB = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents
-)
-SELECT doc_id,
-       CASE WHEN len(tk) >= 4 THEN
-         array_to_string(tk[1:2], ' ') || ' [EMAIL] '
-         || array_to_string(tk[3:len(tk)], ' ') || ' [PHONE]'
-       ELSE array_to_string(tk, ' ') END AS clean_text,
-       CAST(CASE WHEN len(tk) >= 4 THEN 1 ELSE 0 END AS BIGINT) AS n_emails,
-       CAST(CASE WHEN len(tk) >= 4 THEN 1 ELSE 0 END AS BIGINT) AS n_phones,
-       CAST(0 AS BIGINT) AS n_ips
-FROM toks
-"""
-
-
-def q_docs_layout_parse(sf_dir: str):
-    """PDF-style layout parse (the north rule's second extraction
-    clause): each document is rendered into a deterministic two-column
-    paged box stream with running headers/footers and SHUFFLED box
-    order (stages/layout.py wrap), and the generic parser — multi-page
-    furniture detection, absolute-gap column clustering, reading-order
-    sort — must recover exactly the original text. Golden-output
-    oracle: the SQL states the known answer without touching boxes."""
-    from .stages.layout import layout_from_docs
-
-    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
-    return layout_from_docs(ds)
-
-
-# n_lines = ceil(tokens/6); n_pages = max(2, ceil(n_lines/8));
-# n_dropped = header+footer per page (stages/layout.py constants)
-SQL_DOCS_LAYOUT_PARSE = r"""
-WITH base AS (
-  SELECT doc_id,
-         trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text,
-         greatest(2, CAST(ceil(ceil(length(regexp_extract_all(text, '\S+')) / 6.0) / 8.0) AS BIGINT)) AS n_pages
-  FROM documents
-)
-SELECT doc_id, main_text, n_pages, 2 * n_pages AS n_dropped FROM base
-"""
-
-
-def q_docs_length_by_lang(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"lang": df["lang"], "chars": df["n_chars"], "n": 1})
-        return out.groupby("lang", as_index=False).agg(
-            chars=("chars", "sum"), mx=("chars", "max"), n=("n", "sum")
-        )
-
-    from ray.data.aggregate import Max, Sum
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "lang": df["lang"],
-                "n_docs": df["sum(n)"].astype("int64"),
-                "avg_chars": df["sum(chars)"].astype(float) / df["sum(n)"],
-                "max_chars": df["max(mx)"].astype("int64"),
-            }
-        )
-
-    return _preagg_native(
-        ds, ["lang"], partial, [Sum("chars"), Max("mx"), Sum("n")], finalize
-    )
-
-
-SQL_DOCS_LENGTH_BY_LANG = """
-SELECT lang, count(*) AS n_docs,
-       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
-       CAST(max(n_chars) AS BIGINT) AS max_chars
-FROM documents GROUP BY lang
-"""
-
-
-def q_docs_top_terms_per_lang(sf_dir: str):
-    """Grouped top-k: the 3 most frequent terms per language —
-    per-(lang, term) counts through the auto-switched two-level
-    aggregation, then rank-per-group via the descending-sort
-    run-boundary window (no per-group dispatch at any language or term
-    cardinality)."""
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "documents", ["lang", "text"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        counts: dict[tuple, int] = {}
-        for lang, text in zip(df["lang"], df["text"]):
-            for tok in text.lower().split():
-                t = "".join(c for c in tok if c.isalnum())
-                if len(t) > 2:
-                    counts[(lang, t)] = counts.get((lang, t), 0) + 1
-        if not counts:
-            return pd.DataFrame({"lang": [], "term": [], "n": []})
-        ks = list(counts)
-        return pd.DataFrame(
-            {
-                "lang": [k[0] for k in ks],
-                "term": [k[1] for k in ks],
-                "n": list(counts.values()),
-            }
-        )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "lang": df["lang"],
-                "term": df["term"],
-                "n_occurrences": df["sum(n)"].astype("int64"),
-            }
-        )
-
-    from .query_utils import _meta_rows
-
-    counts = _preagg_native(ds, ["lang", "term"], partial, [Sum("n")], finalize,
-                            input_rows=_meta_rows(sf_dir, "documents"))
-
-    from .query_utils import _run_starts_mask_arrow, _window_by_key_arrow
-
-    def rank_fn(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.string()), pa.array([], pa.string()),
-                 pa.array([], pa.int64()), pa.array([], pa.int64())],
-                names=["lang", "term", "n_occurrences", "term_rank"],
-            )
-        new = _run_starts_mask_arrow(t, ["lang"])  # string key stays Arrow
-        starts = np.flatnonzero(new)
-        run_of = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, t.num_rows]))
-        rank = np.arange(t.num_rows) - starts[run_of] + 1
-        out = t.append_column("term_rank", pa.array(rank.astype(np.int64)))
-        return out.filter(pa.array(rank <= 3))
-
-    return _window_by_key_arrow(
-        counts, ["lang"], ["lang", "n_occurrences", "term"], rank_fn,
-        descending=[False, True, False],
-    )
-
-
-SQL_DOCS_TOP_TERMS_PER_LANG = """
-WITH tok AS (
-  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-  FROM documents
-),
-cnt AS (
-  SELECT lang, term, count(*) AS n_occurrences
-  FROM tok WHERE length(term) > 2 GROUP BY lang, term
-)
-SELECT lang, term, n_occurrences, term_rank FROM (
-  SELECT lang, term, n_occurrences,
-         row_number() OVER (PARTITION BY lang ORDER BY n_occurrences DESC, term) AS term_rank
-  FROM cnt
-) WHERE term_rank <= 3
-"""
-
-
-def q_docs_exact_dedup(sf_dir: str):
-    """Exact dedup clusters over document text (D1/rdfind analog):
-    md5 content hash → groupby(hash) → (canonical id, size)."""
-    import hashlib
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "content_hash": [
-                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]
-                ],
-                "doc_id": df["doc_id"],
-            }
-        )
-
-    from ray.data.aggregate import Min, Sum
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = add_hash(df)
-        return out.groupby("content_hash", as_index=False).agg(
-            doc_min=("doc_id", "min"), n=("doc_id", "count")
-        )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "content_hash": df["content_hash"],
-                "canonical_doc_id": df["min(doc_min)"].astype("int64"),
-                "cluster_size": df["sum(n)"].astype("int64"),
-            }
-        )
-
-    from .query_utils import _meta_rows
-
-    return _preagg_native(ds, ["content_hash"], partial, [Min("doc_min"), Sum("n")],
-                          finalize, input_rows=_meta_rows(sf_dir, "documents"))
-
-
-SQL_DOCS_EXACT_DEDUP = """
-SELECT md5(text) AS content_hash,
-       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
-       count(*) AS cluster_size
-FROM documents GROUP BY md5(text)
-"""
-
-
-def q_docs_fingerprint(sf_dir: str):
-    """Document fingerprinting: md5 over the whitespace-normalized,
-    lowercased text (explicit [\\t\\n\\f\\r ] class = RE2 \\s, so both
-    engines normalize identically)."""
-    import hashlib
-    import re
-
-    ws = re.compile(r"[\t\n\f\r ]+")
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        fps = [
-            hashlib.md5(ws.sub(" ", t).strip().lower().encode("utf-8")).hexdigest()
-            for t in df["text"]
-        ]
-        return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": fps})
-
-    return ds.map_batches(fn, batch_format="pandas")
-
-
-SQL_DOCS_FINGERPRINT = """
-SELECT doc_id, md5(lower(trim(regexp_replace(text, '[\t\n\f\r ]+', ' ', 'g')))) AS fingerprint
-FROM documents
-"""
-
-
-def q_docs_signature_scan(sf_dir: str):
-    """Multi-pattern signature scan over real table text (T7/T8
-    ripgrep/ClamAV analog, SQL-checkable): per-doc hit counts for a
-    fixed pattern set via one compiled automaton per actor."""
-    patterns = ["data", "join", "merge", "window"]
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    class Scanner:
-        def __init__(self):
-            import re
-
-            self.rx = [re.compile(p) for p in patterns]
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = {"doc_id": df["doc_id"]}
-            total = np.zeros(len(df), dtype=np.int64)
-            for p, rx in zip(patterns, self.rx):
-                c = df["text"].str.count(rx).astype(np.int64)
-                out[f"n_{p}"] = c
-                total += c.to_numpy()
-            out["n_total"] = total
-            return pd.DataFrame(out)
-
-    return ds.map_batches(Scanner, batch_format="pandas", concurrency=2)
-
-
-SQL_DOCS_SIGNATURE_SCAN = """
-SELECT doc_id,
-       CAST(length(regexp_extract_all(text, 'data')) AS BIGINT) AS n_data,
-       CAST(length(regexp_extract_all(text, 'join')) AS BIGINT) AS n_join,
-       CAST(length(regexp_extract_all(text, 'merge')) AS BIGINT) AS n_merge,
-       CAST(length(regexp_extract_all(text, 'window')) AS BIGINT) AS n_window,
-       CAST(length(regexp_extract_all(text, 'data')) + length(regexp_extract_all(text, 'join'))
-          + length(regexp_extract_all(text, 'merge')) + length(regexp_extract_all(text, 'window')) AS BIGINT) AS n_total
-FROM documents
-"""
-
-
-def q_docs_bpe_tokens(sf_dir: str):
-    """BPE-ish token counting (GPT-2-style pre-tokenizer regex,
-    functions/text.BPE_RE) — the subword-budget estimator a training
-    pipeline sizes batches with; oracle recomputes the identical RE2
-    pattern in DuckDB."""
-    from .functions.text import bpe_token_count
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "n_bpe_tokens": np.fromiter(
-                    (bpe_token_count(t) for t in df["text"]),
-                    dtype=np.int64, count=len(df),
-                ),
-            }
-        )
-
-    return ds.map_batches(fn, batch_format="pandas")
-
-
-SQL_DOCS_BPE_TOKENS = r"""
-SELECT doc_id,
-  len(list_filter(
-    regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'),
-    x -> NOT regexp_matches(x, '^\s+$'))) AS n_bpe_tokens
-FROM documents
 """
 
 
@@ -2362,1300 +434,7 @@ SELECT e.doc_id, e.text, e.lang_pred, e.fingerprint,
 FROM exact e
 WHERE e.doc_id NOT IN (SELECT doc_id FROM dropb)
 """
-
-
-# (assigned below q_docs_langid — the shared langid SQL fragments are
-# defined there)
-
-
-def q_docs_langid(sf_dir: str):
-    """Language ID heuristic, oracle-checked: the DuckDB oracle
-    recomputes the stopword-profile scores exactly (same tokenizer
-    regex, integer-hit / token-count division is IEEE-identical, same
-    alphabetical tie-break and >0.02 threshold), so the value-hash pins
-    the full decision rule, not just determinism."""
-    from .functions.text import detect_language
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "lang_actual": df["lang"],
-                "lang_pred": [detect_language(t) for t in df["text"]],
-            }
-        )
-
-    return ds.map_batches(fn, batch_format="pandas")
-
-
-def _sql_langid_scores(text_expr: str = "text") -> str:
-    """Stopword-profile score columns (s_de..s_it) + token count n,
-    recomputing functions.text.detect_language in SQL: tokens =
-    lowered [A-Za-z0-9]+ runs, score = profile-hit fraction."""
-    from .functions.text import LANG_PROFILES
-
-    cols = [
-        "list_transform(regexp_extract_all("
-        + text_expr
-        + ", '[A-Za-z0-9]+'), t -> lower(t)) AS _tk"
-    ]
-    score_cols = []
-    for lang in sorted(LANG_PROFILES):
-        words = ",".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
-        score_cols.append(
-            f"CASE WHEN len(_tk)=0 THEN 0.0 ELSE "
-            f"CAST(len(list_filter(_tk, x -> x IN ({words}))) AS DOUBLE)"
-            f"/len(_tk) END AS s_{lang}"
-        )
-    return ",\n    ".join(cols), ",\n    ".join(score_cols)
-
-
-def _sql_langid_case() -> str:
-    """CASE expression choosing the language exactly as the Python
-    loop does: alphabetically-first among the maxima, 'und' below the
-    0.02 score threshold or on empty token lists."""
-    from .functions.text import LANG_PROFILES
-
-    langs = sorted(LANG_PROFILES)
-    g = "greatest(" + ",".join(f"s_{l}" for l in langs) + ")"
-    case = [f"CASE WHEN len(_tk) = 0 THEN 'und'", f"WHEN {g} <= 0.02 THEN 'und'"]
-    for l in langs[:-1]:
-        case.append(f"WHEN s_{l} = {g} THEN '{l}'")
-    case.append(f"ELSE '{langs[-1]}' END")
-    return "\n       ".join(case)
-
-
-def _build_sql_docs_langid() -> str:
-    tk, scores = _sql_langid_scores("text")
-    return f"""
-WITH tk AS (
-  SELECT doc_id, lang AS lang_actual, {tk}
-  FROM documents
-),
-sc AS (
-  SELECT doc_id, lang_actual, _tk,
-    {scores}
-  FROM tk
-)
-SELECT doc_id, lang_actual,
-       {_sql_langid_case()} AS lang_pred
-FROM sc
-"""
-
-
-SQL_DOCS_LANGID = _build_sql_docs_langid()
 SQL_TRAINING_PREP = _build_sql_training_prep()
-
-
-# Shared CTE prefix: per-doc SimHash recomputed in pure SQL — token
-# hash = first 8 bytes of sha256('simhash:'+tok) little-endian (the
-# stable_u64 contract), bit b of the fingerprint = sign of the ±1 sum
-# over token occurrences of bit b.
-_SQL_SIMHASH_CTE = """
-WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-  FROM documents
-),
-th AS (
-  SELECT doc_id, CAST(('0x' ||
-      substr(sha256('simhash:' || tok), 15, 2) || substr(sha256('simhash:' || tok), 13, 2) ||
-      substr(sha256('simhash:' || tok), 11, 2) || substr(sha256('simhash:' || tok), 9, 2) ||
-      substr(sha256('simhash:' || tok), 7, 2) || substr(sha256('simhash:' || tok), 5, 2) ||
-      substr(sha256('simhash:' || tok), 3, 2) || substr(sha256('simhash:' || tok), 1, 2)
-    ) AS UBIGINT) AS h
-  FROM toks
-),
-bitsum AS (
-  SELECT doc_id, b.b AS bit,
-         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
-  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) b
-  GROUP BY doc_id, b.b
-),
-sh AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << bit)
-                       ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS h
-  FROM bitsum GROUP BY doc_id
-)
-"""
-
-SQL_DOCS_SIMHASH_NEAR_DUP = _SQL_SIMHASH_CTE + """
-SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.h, b.h)) <= 3
-"""
-
-# Exact-Jaccard brute force over distinct char-5-shingle lists — the
-# oracle for the MinHash+LSH path (planted near-dup pairs sit at
-# J ≥ 0.92, >10σ above both the banding and estimate-prefilter
-# thresholds, so LSH recall is exactly 1 on this corpus family).
-SQL_DOCS_MINHASH_NEAR_DUP = """
-WITH norm AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '[\t\n\f\r ]+', ' ', 'g'))) AS s
-  FROM documents
-),
-shl AS (
-  SELECT doc_id, list(DISTINCT substr(s, i, 5)) AS shingles
-  FROM norm, lateral (SELECT unnest(generate_series(1, greatest(length(s) - 4, 1))) AS i)
-  GROUP BY doc_id
-),
-pairs AS (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         len(list_intersect(a.shingles, b.shingles)) AS i,
-         len(a.shingles) AS na, len(b.shingles) AS nb
-  FROM shl a JOIN shl b ON a.doc_id < b.doc_id
-)
-SELECT doc_id_a, doc_id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
-FROM pairs WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8
-"""
-
-
-def _read_docs_coalesced(sf_dir: str):
-    """documents is a small dimension-sized table at every sf tier;
-    Ray's default split would shred it into 64 sub-100-row blocks and
-    the LSH band sort would pay per-block overhead 64x. Blocks sized
-    ~1k rows; at real corpus scale the default splitting applies."""
-    return read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-        override_num_blocks=8,
-    )
-
-
-def q_docs_minhash_near_dup(sf_dir: str):
-    """MinHash+LSH near-dup candidate pairs with verified Jaccard
-    (rows-only): shingle → signature (per batch, vectorized) → band
-    explode → groupby(band) candidates → exact-Jaccard verify."""
-    from .query_utils import _meta_rows
-    from .stages.text_dedup import minhash_near_dup_pairs
-
-    return minhash_near_dup_pairs(
-        _read_docs_coalesced(sf_dir), threshold=0.8,
-        input_rows=_meta_rows(sf_dir, "documents"),
-    )
-
-
-def q_docs_ngram_dedup(sf_dir: str):
-    """Word-3-gram Jaccard dedup clusters, oracle-checked: the DuckDB
-    oracle recomputes exact-Jaccard pairs over distinct 3-gram lists
-    and assembles components with a recursive transitive-closure CTE.
-    The query projects (canonical_doc_id, cluster_size) — the member
-    list stays available from the stage and is equality-tested between
-    both assembly paths in tests/test_ml_ops.py."""
-    from .stages.text_dedup import ngram_dedup_clusters
-
-    clusters = ngram_dedup_clusters(_read_docs_coalesced(sf_dir), threshold=0.8)
-    return clusters.select_columns(["canonical_doc_id", "cluster_size"])
-
-
-SQL_DOCS_NGRAM_DEDUP = """
-WITH RECURSIVE toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
-),
-grams AS (
-  SELECT doc_id, list(DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs
-  FROM toks, lateral (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i)
-  GROUP BY doc_id
-),
-pairs AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-        / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8
-),
-edges AS (
-  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
-),
-reach(a, b) AS (
-  SELECT u, v FROM edges
-  UNION
-  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE r.a != e.v
-),
-labels AS (
-  SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a
-)
-SELECT label AS canonical_doc_id, count(*) AS cluster_size
-FROM labels GROUP BY label
-"""
-
-
-# ---------------------------------------------------------------------------
-# embeddings: similarity search
-
-
-def q_embeddings_knn(sf_dir: str):
-    """Brute-force cosine top-k against a broadcast query vector:
-    pushdown point-read for the query (row-group pruning, no full
-    table on the driver), numpy matmul + partial top-k per batch,
-    ONE small merge task instead of an all-to-all sort."""
-    import pyarrow.dataset as pds
-
-    k = 10
-    qrow = pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-        columns=["embedding"], filter=pc.field("vec_id") == 0
-    )
-    qvec = np.array(qrow["embedding"][0].as_py(), dtype=np.float64)
-    qref = ray.put(qvec / np.linalg.norm(qvec))
-    ds = _read_coalesced(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def fn(t: pa.Table) -> pa.Table:
-        # zero-copy matrix: the list<float> column's flat value buffer
-        # reshaped (n, d) — no pandas object array of per-row ndarrays.
-        q = ray.get(qref)
-        col = t.column("embedding").combine_chunks()
-        ids = t.column("vec_id").to_numpy()
-        n = len(col)
-        # list_flatten (not .values): respects the array's slice offset
-        vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
-        mat = vals.reshape(n, len(vals) // n).astype(np.float64)
-        sims = np.round((mat @ q) / np.linalg.norm(mat, axis=1), 4)
-        keep = ids != 0
-        ids, sims = ids[keep], sims[keep]
-        # partial top-k, same (sim DESC, vec_id ASC) order as the merge
-        order = np.lexsort((ids, -sims))[:k]
-        return pa.Table.from_arrays(
-            [pa.array(ids[order]), pa.array(sims[order])],
-            names=["vec_id", "cosine_sim"],
-        )
-
-    def merge_topk(t: pa.Table) -> pa.Table:
-        ids = t.column("vec_id").to_numpy()
-        sims = t.column("cosine_sim").to_numpy()
-        order = np.lexsort((ids, -sims))[:k]
-        return pa.Table.from_arrays(
-            [pa.array(ids[order]), pa.array(sims[order])],
-            names=["vec_id", "cosine_sim"],
-        )
-
-    scored = ds.map_batches(fn, batch_format="pyarrow")
-    return scored.repartition(1).map_batches(
-        merge_topk, batch_format="pyarrow", batch_size=None
-    )
-
-
-SQL_EMBEDDINGS_KNN = """
-WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id,
-       round(list_dot_product(e.embedding, (SELECT qe FROM q))
-             / sqrt(list_dot_product(e.embedding, e.embedding))
-             / sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q))), 4) AS cosine_sim
-FROM embeddings e WHERE e.vec_id != 0
-ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
-"""
-
-
-def q_embeddings_label_stats(sf_dir: str):
-    ds = _read_coalesced(sf_dir, "embeddings", ["label", "embedding"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        out = pd.DataFrame({"label": df["label"], "norm_sum": norms, "n": 1})
-        return out.groupby("label", as_index=False).sum()
-
-    from ray.data.aggregate import Sum
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "label": df["label"].astype("int64"),
-                "n_vectors": df["sum(n)"].astype("int64"),
-                "avg_norm": np.round(df["sum(norm_sum)"] / df["sum(n)"], 4),
-            }
-        )
-
-    return _preagg_native(ds, ["label"], partial, [Sum("norm_sum"), Sum("n")], finalize)
-
-
-SQL_EMBEDDINGS_LABEL_STATS = """
-SELECT CAST(label AS INTEGER) AS label, count(*) AS n_vectors,
-       round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm
-FROM embeddings GROUP BY label
-"""
-
-
-def q_embeddings_cosine_near_dup(sf_dir: str):
-    """Embedding-cosine near-dup pairs, exact baseline (broadcast
-    normalized matrix, per-batch matmul; SQL-checkable). The compared
-    output is the PAIR SET only: the similarity value differs between
-    engines at the last ulp (summation order), which flips a 4-decimal
-    rounding for ~0.2% of pairs — similarity magnitudes are
-    tolerance-checked in pytest instead (tests/test_ml_ops.py)."""
-    from .stages.ann import cosine_near_dup_pairs
-
-    ds = cosine_near_dup_pairs(sf_dir, threshold=0.35)
-
-    def project(t: pa.Table) -> pa.Table:
-        return t.select(["vec_id_a", "vec_id_b"])
-
-    return ds.map_batches(project, batch_format="pyarrow")
-
-
-SQL_EMBEDDINGS_COSINE_NEAR_DUP = """
-SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.embedding, b.embedding)
-            / sqrt(list_dot_product(a.embedding, a.embedding))
-            / sqrt(list_dot_product(b.embedding, b.embedding)), 4) >= 0.35
-"""
-
-
-def q_embeddings_lsh_near_dup(sf_dir: str):
-    """Random-hyperplane LSH near-dup (scale path), oracle-checked:
-    the DuckDB oracle replays the EXACT sign-hash banding — the seeded
-    hyperplanes are embedded as literals in the generated SQL (sign of
-    dot(v, plane) is normalization-invariant), candidates self-join on
-    the band key, and the in-bucket cosine verify applies the same
-    rounded threshold. The sim column is projected away for the same
-    last-ulp reason as embeddings_cosine_near_dup."""
-    from .stages.ann import lsh_near_dup_pairs
-
-    ds = lsh_near_dup_pairs(sf_dir, threshold=0.35)
-
-    def project(t: pa.Table) -> pa.Table:
-        return t.select(["vec_id_a", "vec_id_b"])
-
-    return ds.map_batches(project, batch_format="pyarrow")
-
-
-def _build_sql_embeddings_lsh(
-    threshold: float = 0.35, n_tables: int = 8, n_bits: int = 6, dim: int = 64
-) -> str:
-    """Generate the LSH-banding oracle: the same seeded hyperplanes as
-    stages.ann.lsh_near_dup_pairs (default_rng(42)), embedded as SQL
-    list literals at full round-trip precision. dim=64 matches every
-    driver testdata tier; the stage itself reads dim from the data."""
-    import numpy as np
-
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((n_tables, n_bits, dim))
-    bands = []
-    for t in range(n_tables):
-        bits = " + ".join(
-            "(CASE WHEN list_dot_product(embedding, ["
-            + ",".join(repr(float(v)) for v in planes[t, j])
-            + f"]) > 0 THEN {1 << j} ELSE 0 END)"
-            for j in range(n_bits)
-        )
-        bands.append(f"({bits} + {t << 32})")
-    cos = (
-        "round(list_dot_product(x.embedding, y.embedding)"
-        " / sqrt(list_dot_product(x.embedding, x.embedding))"
-        " / sqrt(list_dot_product(y.embedding, y.embedding)), 4)"
-    )
-    return f"""
-WITH expl AS (
-  SELECT vec_id, unnest([{", ".join(bands)}]) AS band FROM embeddings
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-  FROM expl a JOIN expl b ON a.band = b.band AND a.vec_id < b.vec_id
-)
-SELECT cand.va AS vec_id_a, cand.vb AS vec_id_b
-FROM cand JOIN embeddings x ON x.vec_id = cand.va
-          JOIN embeddings y ON y.vec_id = cand.vb
-WHERE {cos} >= {threshold}
-"""
-
-
-SQL_EMBEDDINGS_LSH_NEAR_DUP = _build_sql_embeddings_lsh()
-
-
-def q_embeddings_semdedup(sf_dir: str):
-    """SemDeDup semantic dedup (Abbas et al. '23): distributed
-    deterministic k-means over unit embeddings (broadcast-reduce
-    training, quantized centroids), then in-cluster cosine first-wins
-    dedup via the sorted-run window engine. Full (vec_id, cluster,
-    kept) assignment is hash-verified — the DuckDB oracle replays the
-    SAME quantized Lloyd iterations as unrolled CTEs."""
-    from .query_utils import _meta_rows
-    from .stages.semdedup import semdedup
-
-    ds = _read_coalesced(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # input_rows from the parquet footer → mode chosen with no
-    # count-the-plan barrier (the exact_dedup_clusters pattern)
-    return semdedup(
-        ds, k=8, iters=2, eps=0.4, input_rows=_meta_rows(sf_dir, "embeddings")
-    )
-
-
-def _build_sql_embeddings_semdedup(
-    k: int = 8, iters: int = 2, eps: float = 0.4, dim: int = 64
-) -> str:
-    """Unrolled-Lloyd SemDeDup oracle. Determinism contract shared with
-    stages/semdedup.py: unit vectors in float64, centroids rounded to 6
-    decimals after init and every update, assignment distance =
-    round(sqrt(uu - 2uc + cc), 4) with ties broken toward the lowest
-    cluster id, in-cluster cosine rounded to 4 decimals. dim=64 matches
-    every driver testdata tier; the stage reads dim from the data."""
-
-    def assign(src_c: str, name: str) -> str:
-        return f"""{name} AS (
-  SELECT vec_id, u, cid FROM (
-    SELECT e.vec_id, e.u, c.cid,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round(sqrt(greatest(
-               list_dot_product(e.u, e.u)
-               - 2 * list_dot_product(e.u, c.c)
-               + list_dot_product(c.c, c.c), 0)), 4), c.cid) AS rn
-    FROM e CROSS JOIN {src_c} c
-  ) WHERE rn = 1
-)"""
-
-    def update(src_a: str, name: str) -> str:
-        return f"""{name} AS (
-  SELECT cid, list(CAST(m AS DOUBLE) ORDER BY i) AS c FROM (
-    SELECT cid, i, round(avg(u[i]), 6) AS m
-    FROM {src_a} CROSS JOIN range(1, {dim + 1}) r(i)
-    GROUP BY cid, i
-  ) GROUP BY cid
-)"""
-
-    parts = [f"""WITH en AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-e AS (
-  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
-  FROM en
-),
-c0 AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-         list_transform(u, x -> round(x, 6)) AS c
-  FROM (SELECT vec_id, u FROM e ORDER BY vec_id LIMIT {k})
-)"""]
-    for i in range(iters):
-        parts.append(assign(f"c{i}", f"a{i + 1}"))
-        parts.append(update(f"a{i + 1}", f"c{i + 1}"))
-    parts.append(assign(f"c{iters}", "fin"))
-    return ",\n".join(parts) + f""",
-dup AS (
-  SELECT DISTINCT a.vec_id
-  FROM fin a JOIN fin b ON a.cid = b.cid AND b.vec_id < a.vec_id
-  WHERE round(list_dot_product(a.u, b.u), 4) >= {eps}
-)
-SELECT f.vec_id, f.cid AS cluster, (d.vec_id IS NULL) AS kept
-FROM fin f LEFT JOIN dup d ON f.vec_id = d.vec_id
-"""
-
-
-SQL_EMBEDDINGS_SEMDEDUP = _build_sql_embeddings_semdedup()
-
-
-def q_docs_simhash_near_dup(sf_dir: str):
-    """SimHash hamming≤3 near-dup pairs via 4×16-bit pigeonhole
-    banding (rows-only; equality vs brute force pytest-verified)."""
-    from .stages.text_dedup import simhash_near_dup_pairs
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_near_dup_pairs(ds, max_hamming=3)
-
-
-def q_docs_decontaminate(sf_dir: str):
-    """Benchmark decontamination (GPT-3-style n-gram overlap rule):
-    docs with doc_id % 37 == 0 play the benchmark/probe set; every
-    OTHER doc is flagged with the count of its DISTINCT word 3-grams
-    that appear anywhere in the probe set. Probe grams are built on
-    the driver and broadcast once via ray.put (the 100 TB shape —
-    benchmarks are MBs, the corpus is TBs); the distributed join path
-    for huge probe sets is equality-tested in pytest
-    (stages/decontaminate.py)."""
-    from .stages.decontaminate import decontaminate, probe_gram_set
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def split(t: pa.Table, probe: bool) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        m = ids % 37 == 0
-        return t.filter(pa.array(m if probe else ~m))
-
-    probe_texts = (
-        ds.map_batches(lambda t: split(t, True), batch_format="pyarrow")
-        .to_pandas()["text"]
-        .tolist()
-    )
-    corpus = ds.map_batches(lambda t: split(t, False), batch_format="pyarrow")
-    return decontaminate(corpus, probe_gram_set(probe_texts, n=3), n=3)
-
-
-SQL_DOCS_DECONTAMINATE = """
-WITH toks AS (
-  SELECT doc_id,
-         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
-                        t -> lower(t)) AS tk
-  FROM documents
-),
-idx AS (
-  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks
-),
-grams AS (
-  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g FROM idx
-),
-probe AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
-matched AS (
-  SELECT c.doc_id, count(*) AS n_matched
-  FROM grams c JOIN probe USING (g)
-  WHERE c.doc_id % 37 <> 0
-  GROUP BY c.doc_id
-)
-SELECT t.doc_id,
-       coalesce(m.n_matched, 0) AS n_matched,
-       coalesce(m.n_matched, 0) > 0 AS contaminated
-FROM toks t LEFT JOIN matched m USING (doc_id)
-WHERE t.doc_id % 37 <> 0
-"""
-
-
-def q_docs_perplexity(sf_dir: str):
-    """Perplexity-based quality filtering (CCNet-style, stages/lm.py):
-    an add-one bigram LM is trained on the deterministic
-    ``doc_id % 11 == 0`` reference slice (ONE bounded-key streaming
-    pass — the model is broadcast-sized by construction), broadcast
-    once via ray.put, and every doc is scored with vectorized
-    ``-log2 P(w_i|w_{i-1})`` means; docs above the ppl threshold are
-    flagged dropped. The DuckDB oracle recomputes the identical model
-    and formula (same tokenizer regex, same add-one smoothing, same
-    round-to-4 contract), so the value hash pins training AND scoring."""
-    from .stages.lm import bigram_lm, perplexity_score
-
-    ds = _read_docs_coalesced(sf_dir)
-    lm = bigram_lm(ds, sample_mod=11)
-    return perplexity_score(ds, lm, ppl_threshold=36.0)
-
-
-SQL_DOCS_PERPLEXITY = """
-WITH toks AS (
-  SELECT doc_id,
-         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
-                        t -> lower(t)) AS tk
-  FROM documents
-),
-idx AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
-big AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM idx),
-ref_big AS (SELECT w1, w2, count(*) AS c12 FROM big
-            WHERE doc_id % 11 = 0 GROUP BY w1, w2),
-ref_ctx AS (SELECT w1, sum(c12) AS c1 FROM ref_big GROUP BY w1),
-refv AS (SELECT greatest(count(DISTINCT u.t), 1) AS v
-         FROM (SELECT unnest(tk) AS t FROM toks WHERE doc_id % 11 = 0) u),
-nll AS (
-  SELECT b.doc_id, count(*) AS n_big,
-         sum(-log2((coalesce(rb.c12, 0) + 1.0)
-                   / (coalesce(rc.c1, 0) + (SELECT v FROM refv)))) AS s
-  FROM big b
-  LEFT JOIN ref_big rb USING (w1, w2)
-  LEFT JOIN ref_ctx rc USING (w1)
-  GROUP BY b.doc_id
-)
-SELECT t.doc_id,
-       coalesce(n.n_big, 0) AS n_bigrams,
-       CASE WHEN n.n_big IS NULL THEN NULL
-            ELSE round(pow(2, n.s / n.n_big), 4) END AS ppl,
-       CASE WHEN n.n_big IS NULL THEN TRUE
-            ELSE round(pow(2, n.s / n.n_big), 4) <= 36.0 END AS kept
-FROM toks t LEFT JOIN nll n USING (doc_id)
-"""
-
-
-def q_docs_dup_spans(sf_dir: str):
-    """Duplicated n-gram span masking (Lee et al. 2022 substring-level
-    dedup analog, stages/dupspans.py): every word 5-gram occurring in
-    ≥ 2 distinct docs marks its occurrences; per doc, the count of
-    duplicated gram occurrences and the union size of their
-    ``[i, i+5)`` masking windows. Dup grams come from ONE sort +
-    run-scan over per-doc-distinct gram hashes; scoring broadcasts the
-    dup set (auto-switches to the sort-based semi-join path above the
-    broadcast bound — the two paths are equality-tested in pytest).
-    All-integer output, so the oracle hash is exact by construction."""
-    from .stages.dupspans import dup_span_mask
-
-    return dup_span_mask(_read_docs_coalesced(sf_dir), n=5, min_docs=2)
-
-
-SQL_DOCS_DUP_SPANS = """
-WITH toks AS (
-  SELECT doc_id,
-         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
-                        t -> lower(t)) AS tk
-  FROM documents
-),
-pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM toks),
-grams AS (SELECT doc_id, i, array_to_string(tk[i:i+4], ' ') AS g FROM pos),
-dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
-hits AS (SELECT gr.doc_id, gr.i FROM grams gr JOIN dup USING (g)),
-cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 5)) AS p FROM hits),
-agg AS (SELECT doc_id, count(*) AS n_masked FROM cov GROUP BY doc_id),
-nd AS (SELECT doc_id, count(*) AS n_dup_grams FROM hits GROUP BY doc_id)
-SELECT t.doc_id, len(t.tk) AS n_tokens,
-       coalesce(nd.n_dup_grams, 0) AS n_dup_grams,
-       coalesce(agg.n_masked, 0) AS n_masked
-FROM toks t LEFT JOIN nd USING (doc_id) LEFT JOIN agg USING (doc_id)
-"""
-
-
-def q_docs_source_overlap(sf_dir: str):
-    """Cross-source contamination audit: distinct word-3-gram overlap
-    counts per source pair (stages/overlap.py — one sort, per-block
-    bitmask incidence, bounded-key merge). Gram identity is the
-    splitmix window fold engine-side; the oracle counts gram STRINGS,
-    so the hash match also pins collision-freedom on this corpus."""
-    from .stages.overlap import source_overlap
-
-    ds = _read(sf_dir, "documents", ["source", "text"])
-    return source_overlap(ds, n=3)
-
-
-SQL_DOCS_SOURCE_OVERLAP = """
-WITH toks AS (
-  SELECT source,
-         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
-                        t -> lower(t)) AS tk
-  FROM documents
-),
-pos AS (SELECT source, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks),
-grams AS (SELECT DISTINCT source, array_to_string(tk[i:i+2], ' ') AS g FROM pos)
-SELECT a.source AS source_a, b.source AS source_b,
-       count(*) AS n_shared
-FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
-GROUP BY 1, 2
-"""
-
-
-def q_docs_incremental_dedup(sf_dir: str):
-    """Incremental dedup against a persisted fingerprint index
-    (stages/incremental.py): docs with doc_id % 3 != 0 play the
-    already-ingested corpus whose fingerprints are written ONCE as a
-    hash-bucketed parquet index under /tmp (cache tag covers the input
-    CONTENT via input_file_fingerprint — same doctrine as
-    bucketed_customer_revenue); the doc_id % 7 == 0 docs play an
-    incoming RE-CRAWL shard — overlapping the corpus, as real re-crawls
-    do — probed against ONLY the index cells their fingerprints hash
-    to. Probe I/O is proportional to the shard, never the corpus — the
-    delta-processing shape 100 TB re-crawls need. Emits (doc_id,
-    fingerprint, in_corpus) per shard doc: already-ingested pages flag
-    True, genuinely new ones False."""
-    import hashlib
-    import os
-
-    from .stages.incremental import probe_index, write_dedup_index
-    from .state.shards import input_file_fingerprint
-
-    ds = _read_docs_coalesced(sf_dir)
-
-    def split(t: pa.Table, corpus: bool) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        m = (ids % 3 != 0) if corpus else (ids % 7 == 0)
-        return t.filter(pa.array(m))
-
-    fp = "|".join(
-        [sf_dir, input_file_fingerprint(f"{sf_dir}/documents.parquet")]
-    )
-    tag = hashlib.md5(fp.encode()).hexdigest()[:8]
-    index_dir = f"/tmp/fa_dedup_index_{tag}"
-    nb = 16
-    if not os.path.isdir(index_dir):
-        # write-to-tmp + atomic rename: a crash mid-write can never
-        # leave a partial layout that a later run would trust
-        import shutil
-
-        tmp = index_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        write_dedup_index(
-            ds.map_batches(lambda t: split(t, True), batch_format="pyarrow"),
-            tmp, num_buckets=nb,
-        )
-        os.rename(tmp, index_dir)
-    shard = ds.map_batches(lambda t: split(t, False), batch_format="pyarrow")
-    return probe_index(shard, index_dir, num_buckets=nb)
-
-
-SQL_DOCS_INCREMENTAL_DEDUP = r"""
-WITH fp AS (
-  SELECT doc_id,
-         md5(lower(trim(regexp_replace(text, '[\t\n\f\r ]+', ' ', 'g')))) AS fingerprint
-  FROM documents
-)
-SELECT s.doc_id, s.fingerprint,
-       EXISTS (SELECT 1 FROM fp c
-               WHERE c.doc_id % 3 <> 0
-                 AND c.fingerprint = s.fingerprint) AS in_corpus
-FROM fp s
-WHERE s.doc_id % 7 = 0
-"""
-
-
-def q_media_features(sf_dir: str):
-    """Multimodal chain, ALL THREE modalities in one union result
-    (image decode/resize dims, per-frame video sampling, audio
-    waveform descriptors), through the FUSED one-pass plan: explode
-    media spans ONCE → one actor pool computing all three projections
-    per payload. GOLDEN-ORACLE HARNESS (r3 verdict #4): the input is
-    the deterministic self-describing media wrap (stages/harness.py —
-    dims header + square-wave PCM, every planted parameter a closed
-    form of doc_id), so the DuckDB oracle STATES the expected decode
-    dims, sampled-frame counts and audio sample counts without
-    decoding anything. The two FFT-derived audio descriptors are
-    covered by the self-verifying ``audio_ok`` flag (the HLL doctrine:
-    the engine emits |dominant_bin − n_samples/period| ≤ 2, the oracle
-    states TRUE). The corpus-scale variant (same stages, hash-seeded
-    payloads) remains the bench/pytest path
-    (:func:`q_media_features_corpus`)."""
-    from .stages.harness import wrap_documents_media
-    from .stages.multimodal import fused_media_features
-
-    docs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        wrap_documents_media, batch_format="pyarrow"
-    )
-    fused = fused_media_features(docs, concurrency=(1, 4))
-
-    def proj(t: pa.Table) -> pa.Table:
-        d = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
-        idx = t.column("idx").to_numpy(zero_copy_only=False).astype(np.int64)
-        d1 = t.column("d1").to_numpy(zero_copy_only=False).astype(np.int64)
-        is_audio = pc.equal(t.column("modality"), "audio").to_numpy(
-            zero_copy_only=False
-        )
-        period = 8 + 2 * (d % 5)
-        audio_ok = np.where(
-            is_audio, np.abs(idx - d1 / period) <= 2.0, True
-        )
-        return pa.Table.from_arrays(
-            [
-                t.column("doc_id"),
-                t.column("media_ref"),
-                t.column("modality"),
-                pa.array(np.where(is_audio, 0, idx)),
-                t.column("d1"),
-                t.column("d2"),
-                t.column("n_units"),
-                t.column("status"),
-                pa.array(audio_ok),
-            ],
-            names=["doc_id", "media_ref", "modality", "idx", "d1", "d2",
-                   "n_units", "status", "audio_ok"],
-        )
-
-    return fused.map_batches(proj, batch_format="pyarrow")
-
-
-SQL_MEDIA_FEATURES = """
-WITH b2 AS (
-  SELECT doc_id AS d, 1 + doc_id % 19 AS k,
-         32 + doc_id % 61 AS h, 32 + (doc_id * 3) % 97 AS w,
-         LEAST((10 + 4096 * (1 + doc_id % 19)) // 2, 32768) AS nsamp
-  FROM documents
-)
-SELECT CAST(d AS VARCHAR) AS doc_id, 'm/' || d || '/0' AS media_ref,
-       'image' AS modality, 0 AS idx, h AS d1, w AS d2,
-       (k + 4) // 4 AS n_units, 'success' AS status, TRUE AS audio_ok
-FROM b2
-UNION ALL
-SELECT CAST(d AS VARCHAR), 'm/' || d || '/0', 'frame', f.fi, 0, 0, 18,
-       'ok', TRUE
-FROM b2, LATERAL (SELECT unnest(range((k + 4) // 4)) AS fi) f
-UNION ALL
-SELECT CAST(d AS VARCHAR), 'm/' || d || '/0', 'audio', 0, nsamp, 0, 0,
-       'success', TRUE
-FROM b2
-"""
-
-
-def q_media_features_corpus(sf_dir: str):
-    """Corpus-scale multimodal chain (hash-seeded payloads — the bench
-    input; kept as the scale demonstration alongside the driver-green
-    harness entry above; equality of the fused vs three-pool plans is
-    pytest-verified)."""
-    from .pipelines.extract import corpus_path
-    from .stages.multimodal import fused_media_features
-
-    src = corpus_path(_extract_docs_count(sf_dir))
-    docs = read_parquet_clean(src, file_extensions=["parquet"])
-    return fused_media_features(docs)
-
-
-def q_embeddings_knn_ivf(sf_dir: str):
-    """IVF-bucketed approximate k-NN, SELF-VERIFYING (r3 verdict #5,
-    the HLL doctrine): the emitted rows are the EXACT brute-force
-    top-k (independently stated by the oracle, the embeddings_knn
-    shape) plus two engine-asserted columns the oracle states as
-    constants — ``ivf_n`` (the IVF probe returned exactly k rows) and
-    ``recall_ok`` (IVF recall@k vs the exact top-k ≥ 0.5 at
-    n_probe=4/8 cells — the synthetic embedding table is near-uniform
-    in cosine space, so 2 probes structurally can't cover the top-k;
-    4/8 holds 0.6–0.9 across every sf tier, measured). A recall
-    regression or a broken probe flips
-    the flag and fails the driver hash. The IVF result itself is a
-    bounded k-row take (never a corpus materialization)."""
-    from .stages.ann import knn_ivf
-
-    k = 10
-    ivf_rows = knn_ivf(sf_dir, k=k, n_centroids=8, n_probe=4).take_all()
-    ivf_ids = {int(r["vec_id"]) for r in ivf_rows}
-    ivf_n = len(ivf_rows)
-    exact = q_embeddings_knn(sf_dir)
-
-    def flag(t: pa.Table) -> pa.Table:
-        ids = set(t.column("vec_id").to_pylist())
-        recall = len(ids & ivf_ids) / max(1, len(ids))
-        n = t.num_rows
-        return (
-            t.append_column("ivf_n", pa.array([ivf_n] * n, pa.int64()))
-            .append_column("recall_ok", pa.array([recall >= 0.5] * n))
-        )
-
-    # the exact result is one k-row block (repartition(1) merge), so the
-    # recall flag sees the complete top-k in a single batch
-    return exact.map_batches(flag, batch_format="pyarrow", batch_size=None)
-
-
-SQL_EMBEDDINGS_KNN_IVF = """
-WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id,
-       round(list_dot_product(e.embedding, (SELECT qe FROM q))
-             / sqrt(list_dot_product(e.embedding, e.embedding))
-             / sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q))), 4) AS cosine_sim,
-       CAST(10 AS BIGINT) AS ivf_n, TRUE AS recall_ok
-FROM embeddings e WHERE e.vec_id != 0
-ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
-"""
-
-
-def q_embeddings_knn_pq(sf_dir: str):
-    """Product-quantization ANN (stages/ann.py write_pq_layout /
-    knn_pq: M-byte codes, 32x smaller scan than raw float32, per-query
-    ADC lookup tables, bounded exact rerank), SELF-VERIFYING via the
-    knn_ivf doctrine: rows are the exact brute-force top-k plus
-    engine-asserted ``pq_n`` / ``recall_ok`` columns the oracle states
-    as constants. The PQ layout is built once per (sf, process) under
-    /tmp and reused — the write-once scan-many codec shape."""
-    import os
-    import tempfile
-
-    from .stages.ann import knn_pq, write_pq_layout
-
-    k = 10
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    lay = os.path.join(tempfile.gettempdir(), f"fa_ray_pq_{tag}")
-    if not os.path.isdir(lay) or not os.listdir(lay):
-        os.makedirs(lay, exist_ok=True)
-        write_pq_layout(sf_dir, lay)
-    pq_rows = knn_pq(sf_dir, lay, k=k, rerank=4).take_all()
-    pq_ids = {int(r["vec_id"]) for r in pq_rows}
-    pq_n = len(pq_rows)
-    exact = q_embeddings_knn(sf_dir)
-
-    def flag(t: pa.Table) -> pa.Table:
-        ids = set(t.column("vec_id").to_pylist())
-        recall = len(ids & pq_ids) / max(1, len(ids))
-        n = t.num_rows
-        return (
-            t.append_column("pq_n", pa.array([pq_n] * n, pa.int64()))
-            .append_column("recall_ok", pa.array([recall >= 0.5] * n))
-        )
-
-    return exact.map_batches(flag, batch_format="pyarrow", batch_size=None)
-
-
-SQL_EMBEDDINGS_KNN_PQ = """
-WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id,
-       round(list_dot_product(e.embedding, (SELECT qe FROM q))
-             / sqrt(list_dot_product(e.embedding, e.embedding))
-             / sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q))), 4) AS cosine_sim,
-       CAST(10 AS BIGINT) AS pq_n, TRUE AS recall_ok
-FROM embeddings e WHERE e.vec_id != 0
-ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
-"""
-
-
-# ---------------------------------------------------------------------------
-# flagship extraction surface — driver entries run the REAL stages over
-# the closed-form harness wrap (stages/harness.py) so the span-sequence
-# invariant gets a hash-green DuckDB oracle (r3 verdict #1/#2); the
-# corpus-scale variants (hash-seeded input, same stages) remain the
-# bench/pytest path below.
-
-
-def _extract_docs_count(sf_dir: str) -> int:
-    # deterministic corpus size proportional to the sf tier (lineitem is
-    # the table that scales linearly: 6k/60k/600k → 1k/10k/20k docs)
-    import pyarrow.parquet as pq
-
-    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
-    return max(1000, min(n_li // 6, 20000))
-
-
-def _explode_out_spans(t: pa.Table) -> pa.Table:
-    """Extracted (doc_id, spans, n_spans, status) → one row per output
-    span: the driver-comparable flat form of the north rule's
-    span-sequence invariant (``ord`` is the engine's own per-doc output
-    position)."""
-    spans = t.column("spans")
-    if isinstance(spans, pa.ChunkedArray):
-        spans = spans.combine_chunks()
-    counts = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
-    parent = pa.array(np.repeat(np.arange(t.num_rows), counts))
-    flat = pc.list_flatten(spans)
-    return pa.Table.from_arrays(
-        [
-            pc.take(t.column("doc_id"), parent),
-            flat.field("offset").cast(pa.int64()),
-            flat.field("kind"),
-            flat.field("text"),
-            flat.field("media_ref"),
-            pc.take(t.column("n_spans").cast(pa.int64()), parent),
-            pc.take(t.column("status"), parent),
-        ],
-        names=["doc_id", "ord", "kind", "text", "media_ref", "n_spans", "status"],
-    )
-
-
-def q_extract_spans(sf_dir: str):
-    """THE flagship invariant, driver-green (r3 verdict #1): the full
-    fused ExtractStage (normalize → sniff → EXIF meta → OCR → pattern
-    match → embedded magics, reference src/core/analyzer.py:66-124)
-    over the closed-form harness wrap, exploded to one row per output
-    span. The DuckDB oracle states the complete expected span sequence
-    — kinds, texts, media_refs, per-doc order — from doc_id arithmetic
-    alone (golden-output doctrine, the docs_layout_parse pattern)."""
-    from .pipelines.extract import extract_pipeline
-    from .stages.harness import wrap_documents_docs
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        wrap_documents_docs, batch_format="pyarrow"
-    )
-    ext = extract_pipeline(ds, score=False, concurrency=4, batch_size=128)
-    return ext.map_batches(_explode_out_spans, batch_format="pyarrow")
-
-
-def q_extract_spans_corpus(sf_dir: str):
-    """Corpus-scale flagship run (hash-seeded input — the bench path;
-    span semantics pinned against the serial oracle by pytest)."""
-    from .pipelines.extract import corpus_path, extract_pipeline
-
-    src = corpus_path(_extract_docs_count(sf_dir))
-    ds = extract_pipeline(src, score=True)
-
-    def project(t: pa.Table) -> pa.Table:
-        return t.select(
-            ["doc_id", "content_hash", "n_spans", "status", "mode", "model_status",
-             "recommended_filename"]
-        )
-
-    return ds.map_batches(project, batch_format="pyarrow")
-
-
-def q_extract_dedup_clusters(sf_dir: str):
-    """Exact-dup clustering THROUGH the real extraction: the clone wrap
-    plants byte-identical content pairs at doc_id arithmetic
-    (d % 20 == 7 clones d−4), the fused ExtractStage computes content
-    hashes, exact_dedup_clusters groups them — and the oracle states
-    every cluster (canonical, size, zero-padded member list) without
-    hashing anything (r3 verdict #2: the docs_exact_dedup SQL shape)."""
-    from .pipelines.extract import extract_pipeline
-    from .query_utils import _meta_rows
-    from .stages.dedup import exact_dedup_clusters
-    from .stages.harness import wrap_documents_clone_docs
-
-    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        wrap_documents_clone_docs, batch_format="pyarrow"
-    )
-    ext = extract_pipeline(ds, score=False, concurrency=4, batch_size=128)
-    clusters = exact_dedup_clusters(
-        ext, input_rows=_meta_rows(sf_dir, "documents")
-    )
-
-    def proj(t: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [
-                t.column("canonical_doc_id"),
-                t.column("cluster_size"),
-                pc.binary_join(t.column("member_ids"), ","),
-            ],
-            names=["canonical_doc_id", "cluster_size", "members"],
-        )
-
-    return clusters.map_batches(proj, batch_format="pyarrow")
-
-
-SQL_EXTRACT_DEDUP_CLUSTERS = """
-WITH keyed AS (
-  SELECT doc_id AS d,
-         CASE WHEN doc_id % 20 = 7 THEN doc_id - 4 ELSE doc_id END AS c
-  FROM documents
-)
-SELECT lpad(CAST(min(d) AS VARCHAR), 8, '0') AS canonical_doc_id,
-       count(*) AS cluster_size,
-       string_agg(lpad(CAST(d AS VARCHAR), 8, '0'), ','
-                  ORDER BY lpad(CAST(d AS VARCHAR), 8, '0')) AS members
-FROM keyed GROUP BY c
-"""
-
-
-def q_extract_dedup_clusters_corpus(sf_dir: str):
-    """Corpus-scale exact-dup clustering (the planted ~10% clone rate;
-    bench path, serial-oracle pytest)."""
-    from .pipelines.extract import corpus_path, extract_pipeline
-    from .stages.dedup import exact_dedup_clusters
-
-    n_docs = _extract_docs_count(sf_dir)
-    src = corpus_path(n_docs)
-    # input_rows known statically → merge path chosen without a
-    # materialize-and-count barrier; the plan streams end to end.
-    return exact_dedup_clusters(extract_pipeline(src, score=False), input_rows=n_docs)
-
-
-def q_extract_carve(sf_dir: str):
-    """Binary carving (binwalk analog) through the explode→scan→
-    reassemble skew path, exploded to one row per hit: the harness
-    plants container magics at closed-form byte offsets, so the oracle
-    states every (payload_idx, offset, signature name) hit (r3 verdict
-    #2)."""
-    from .stages.harness import wrap_documents_docs
-    from .stages.skew import carve_exploded
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        wrap_documents_docs, batch_format="pyarrow"
-    )
-
-    def explode_hits(t: pa.Table) -> pa.Table:
-        hits = t.column("hits")
-        if isinstance(hits, pa.ChunkedArray):
-            hits = hits.combine_chunks()
-        counts = pc.list_value_length(hits).to_numpy(zero_copy_only=False)
-        parent = pa.array(np.repeat(np.arange(t.num_rows), counts))
-        flat = pc.list_flatten(hits)
-        return pa.Table.from_arrays(
-            [
-                pc.take(t.column("doc_id"), parent),
-                flat.field("payload_idx").cast(pa.int64()),
-                flat.field("offset"),
-                flat.field("name"),
-            ],
-            names=["doc_id", "payload_idx", "offset", "name"],
-        )
-
-    return carve_exploded(ds).map_batches(explode_hits, batch_format="pyarrow")
-
-
-def q_extract_carve_corpus(sf_dir: str):
-    """Corpus-scale carve (pathological ×100 payloads exercise the
-    bounded-chunk explode; bench path, serial-oracle pytest)."""
-    from .pipelines.extract import corpus_path
-    from .stages.skew import carve_exploded
-
-    src = corpus_path(_extract_docs_count(sf_dir))
-    ds = read_parquet_clean(src, file_extensions=["parquet"])
-
-    def summarize(t: pa.Table) -> pa.Table:
-        n = pc.list_value_length(t["hits"])
-        return pa.Table.from_arrays([t["doc_id"], n.cast(pa.int64())], names=["doc_id", "n_hits"])
-
-    return carve_exploded(ds).map_batches(summarize, batch_format="pyarrow")
-
-
-def _build_sql_extract_spans() -> str:
-    """Golden-output statement of the full expected span sequence for
-    the harness wrap (stages/harness.py docstring spells the plant
-    rules): per-doc struct lists for the text / media / binary
-    segments, concatenated in the offset-sort order, zip-unnested with
-    their per-doc output position."""
-    from .functions.signatures import MAGIC_SIGNATURES, PATTERN_SIGNATURES
-    from .stages.harness import HARNESS_MAKES
-
-    pats = "[" + ", ".join(f"'{p}'" for p in PATTERN_SIGNATURES) + "]"
-    makes = "[" + ", ".join(f"'{m}'" for m in HARNESS_MAKES) + "]"
-    mnames = "[" + ", ".join(f"'{n}'" for n, _ in MAGIC_SIGNATURES) + "]"
-    mlens = "[" + ", ".join(str(len(m)) for _, m in MAGIC_SIGNATURES) + "]"
-    return rf"""
-WITH base AS (
-  SELECT doc_id AS d, regexp_extract_all(text, '\S+') AS tk FROM documents
-), b2 AS (
-  SELECT d, tk,
-    CASE WHEN d % 4 = 0 AND len(tk) >= 3
-      THEN array_to_string(tk[1:2], ' ') || ' ' || {pats}[d % 5 + 1]
-           || ' ' || array_to_string(tk[3:len(tk)], ' ')
-      ELSE array_to_string(tk, ' ') END AS wtext,
-    CASE WHEN d % 6 = 0 THEN {pats}[(d // 6) % 5 + 1] || ' ' ELSE '' END
-      || 'ocr scan page ' || (d % 7) || ' of ' || (d % 3) AS ocr,
-    'm/' || d || '/1' AS ref1, 'm/' || d || '/2' AS ref2
-  FROM base
-), segs AS (
-  SELECT d,
-    CASE WHEN length(wtext) > 0 THEN
-      list_concat(
-        [{{'kind': 'text', 'text': wtext, 'ref': ''}}],
-        CASE WHEN d % 4 = 0 AND len(tk) >= 3
-          THEN [{{'kind': 'match', 'text': {pats}[d % 5 + 1], 'ref': ''}}]
-          ELSE [] END)
-      ELSE [] END AS seg_text,
-    CASE WHEN d % 3 != 2 THEN
-      list_concat([
-        {{'kind': 'meta', 'text': 'SniffedType: data', 'ref': ref1}},
-        {{'kind': 'meta', 'text': 'Make: ' || {makes}[d % 5 + 1], 'ref': ref1}},
-        {{'kind': 'meta', 'text': 'Model: X' || (d % 97), 'ref': ref1}},
-        {{'kind': 'meta', 'text': printf('DateTime: 2024:%02d:%02d %02d:%02d:%02d',
-             1 + d % 12, 1 + d % 28, d % 24, d % 60, (d * 7) % 60), 'ref': ref1}},
-        {{'kind': 'meta', 'text': 'ImageWidth: ' || (640 + (d % 16) * 64), 'ref': ref1}},
-        {{'kind': 'meta', 'text': 'ImageHeight: ' || (480 + (d % 9) * 32), 'ref': ref1}},
-        {{'kind': 'ocr', 'text': ocr, 'ref': ref1}}],
-        CASE WHEN d % 6 = 0
-          THEN [{{'kind': 'match', 'text': {pats}[(d // 6) % 5 + 1], 'ref': ref1}}]
-          ELSE [] END)
-      ELSE [] END AS seg_media,
-    CASE WHEN d % 2 = 0 THEN
-      list_concat([
-        {{'kind': 'meta', 'text': 'SniffedType: data', 'ref': ref2}},
-        {{'kind': 'embedded', 'text': {mnames}[d % 4 + 1] || '@' || (1 + d % 37), 'ref': ref2}}],
-        CASE WHEN d % 5 = 0
-          THEN [{{'kind': 'embedded', 'text': {mnames}[(d + 1) % 4 + 1] || '@'
-                 || (1 + d % 37 + {mlens}[d % 4 + 1] + 1 + d % 23), 'ref': ref2}}]
-          ELSE [] END)
-      ELSE [] END AS seg_binary
-  FROM b2
-), seq AS (
-  SELECT d, CASE WHEN d % 5 = 0 THEN seg_media || seg_binary || seg_text
-                 ELSE seg_text || seg_media || seg_binary END AS sp
-  FROM segs
-), ex AS (
-  SELECT d, len(sp) AS n_spans, unnest(sp) AS s,
-         unnest(range(len(sp))) AS ord
-  FROM seq
-)
-SELECT CAST(d AS VARCHAR) AS doc_id, ord, s.kind AS kind, s.text AS text,
-       s.ref AS media_ref, n_spans, 'success' AS status
-FROM ex
-"""
-
-
-SQL_EXTRACT_SPANS = _build_sql_extract_spans()
-
-
-def _build_sql_extract_carve() -> str:
-    from .functions.signatures import MAGIC_SIGNATURES
-
-    mnames = "[" + ", ".join(f"'{n}'" for n, _ in MAGIC_SIGNATURES) + "]"
-    mlens = "[" + ", ".join(str(len(m)) for _, m in MAGIC_SIGNATURES) + "]"
-    return f"""
-WITH b2 AS (
-  SELECT doc_id AS d,
-         CAST(CASE WHEN doc_id % 3 != 2 THEN 1 ELSE 0 END AS BIGINT) AS pidx,
-         1 + doc_id % 37 AS p1,
-         {mnames}[doc_id % 4 + 1] AS n1,
-         {mlens}[doc_id % 4 + 1] AS l1,
-         {mnames}[(doc_id + 1) % 4 + 1] AS n2
-  FROM documents WHERE doc_id % 2 = 0
-)
-SELECT CAST(d AS VARCHAR) AS doc_id, pidx AS payload_idx, p1 AS "offset",
-       n1 AS name
-FROM b2
-UNION ALL
-SELECT CAST(d AS VARCHAR), pidx, p1 + l1 + 1 + d % 23, n2
-FROM b2 WHERE d % 5 = 0
-"""
-
-
-SQL_EXTRACT_CARVE = _build_sql_extract_carve()
-
-
-def q_extract_pairwise_compare(sf_dir: str):
-    """SSIM + pixel-diff pairwise comparison (reference ``fa validate
-    images``, src/cli/validate/main.py:275-418), driver-green via the
-    constant-color harness codec: a constant square survives the
-    letterbox exactly, so SSIM collapses to its zero-variance closed
-    form ((2·ga·gb+c1)/(ga²+gb²+c1) of the two planted grays) and the
-    pixelmatch YIQ test to one per-pair threshold comparison — both
-    STATED by the DuckDB oracle from doc_id arithmetic. Pairs are
-    (2k, 2k+1); the planted color rules exercise identical,
-    below-threshold-different and mismatching pairs. The full
-    production path runs — explode→decode pool→parquet checkpoint→
-    double hash join→metric kernel, Bloom pushdown included. The phash
-    candidate-pair variant stays as the bench/pytest path
-    (:func:`q_extract_pairwise_compare_corpus`). ``ssim`` is re-rounded
-    to 4 decimals for the cross-engine hash (the kernel's 6-decimal
-    value sits on summed-area-table float error ~1e-10)."""
-    from .stages.compare import pairwise_image_compare
-    from .stages.harness import wrap_documents_const_images
-
-    docs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        wrap_documents_const_images, batch_format="pyarrow"
-    )
-
-    def mk_pairs(t: pa.Table) -> pa.Table:
-        d = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
-        a = d[d % 2 == 0]
-        # (d, d+1) for every even d; pairs whose b-side doc doesn't
-        # exist drop out of the inner image joins (the SQL join mirrors
-        # this exactly)
-        return pa.Table.from_arrays(
-            [
-                pa.array([str(x) for x in a], pa.string()),
-                pa.array([str(x + 1) for x in a], pa.string()),
-            ],
-            names=["doc_id_a", "doc_id_b"],
-        )
-
-    pairs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        mk_pairs, batch_format="pyarrow"
-    )
-    cmp_ds = pairwise_image_compare(docs, pairs, target=64)
-
-    def proj(t: pa.Table) -> pa.Table:
-        return t.set_column(
-            t.schema.get_field_index("ssim"),
-            "ssim",
-            pc.round(t.column("ssim"), ndigits=4),
-        )
-
-    return cmp_ds.map_batches(proj, batch_format="pyarrow")
-
-
-SQL_EXTRACT_PAIRWISE_COMPARE = """
-WITH col AS (
-  SELECT doc_id AS d,
-         CASE WHEN doc_id % 10 IN (1, 3) THEN doc_id - 1 ELSE doc_id END AS c,
-         CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END AS bump
-  FROM documents
-), rgb AS (
-  SELECT d, (c % 251) + bump AS r, ((3*c+7) % 251) + bump AS g,
-         ((7*c+13) % 251) + bump AS b
-  FROM col
-), gray AS (
-  SELECT d, r, g, b, 0.299*r + 0.587*g + 0.114*b AS ga FROM rgb
-), pairs AS (
-  SELECT a.d AS da, b.d AS db, a.ga AS ga, b.ga AS gb,
-         a.r - b.r AS dr, a.g - b.g AS dg, a.b - b.b AS dbl
-  FROM gray a JOIN gray b ON b.d = a.d + 1
-  WHERE a.d % 2 = 0
-), m AS (
-  SELECT da, db, ga, gb,
-    0.5053 * pow(dr*0.29889531 + dg*0.58662247 + dbl*0.11448223, 2)
-    + 0.299 * pow(dr*0.59597799 - dg*0.27417610 - dbl*0.32180189, 2)
-    + 0.1957 * pow(dr*0.21147017 - dg*0.52261711 + dbl*0.31114694, 2) AS delta
-  FROM pairs
-)
-SELECT CAST(da AS VARCHAR) AS doc_id_a, CAST(db AS VARCHAR) AS doc_id_b,
-       round(round((2*ga*gb + (0.01*255)*(0.01*255))
-             / (ga*ga + gb*gb + (0.01*255)*(0.01*255)), 6), 4) AS ssim,
-       CASE WHEN delta > 0.1*0.1*35215.0 THEN 100.0 ELSE 0.0 END AS mismatch_pct,
-       delta <= 0.1*0.1*35215.0 AS identical
-FROM m
-"""
-
-
-def q_extract_pairwise_compare_corpus(sf_dir: str):
-    """Corpus-scale pairwise compare over phash candidate pairs (the
-    bench path; metric kernels pytest-verified against a naive serial
-    implementation and the identical/perturbed invariants; also covers
-    the phash banding → hamming verify near-dup demonstration)."""
-    from .pipelines.extract import corpus_path
-    from .stages.compare import pairwise_image_compare
-    from .stages.dedup import phash_near_dup_pairs
-
-    src = corpus_path(_extract_docs_count(sf_dir))
-    docs = read_parquet_clean(src, file_extensions=["parquet"])
-    return pairwise_image_compare(docs, phash_near_dup_pairs(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -3755,1510 +534,6 @@ def _merge_registries() -> None:
     ORACLE_SQL.update(qj.JOIN_ORACLE_SQL)
 
 
-def q_docs_crawl_frontier(sf_dir: str):
-    """Crawl-frontier prep (the web pipeline's step zero): URL
-    canonicalization → first-wins URL dedup (one sort) → per-host
-    budget cap (k-per-group sample). Exercised through the
-    deterministic alias-injection harness (stages/urls.py
-    wrap_documents_urls — golden-output doctrine): the canonical URL
-    is a closed form of doc_id, so the oracle states it without
-    parsing anything."""
-    from .stages.urls import crawl_frontier_prep, wrap_documents_urls
-
-    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        wrap_documents_urls, batch_format="pyarrow"
-    )
-    return crawl_frontier_prep(ds, per_host_cap=5)
-
-
-def q_docs_inverted_index(sf_dir: str):
-    """Distributed inverted-index build (stages/inverted.py): per-term
-    df / total_tf / best-hit doc / bounded postings head from ONE
-    (term, doc_id) sort + run-scan merge. The search-engine inverse of
-    the reference's ripgrep-style forward scans
-    (src/core/analyzer.py:66-124)."""
-    from .stages.inverted import inverted_index
-
-    return inverted_index(_read(sf_dir, "documents", ["doc_id", "text"]))
-
-
-SQL_DOCS_INVERTED_INDEX = """
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-  FROM documents
-),
-per_doc AS (
-  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
-)
-SELECT term,
-       count(*) AS df,
-       CAST(sum(tf) AS BIGINT) AS total_tf,
-       (list(doc_id ORDER BY tf DESC, doc_id))[1] AS top_doc,
-       array_to_string((list(doc_id ORDER BY doc_id))[1:8], ',') AS postings_head
-FROM per_doc GROUP BY term
-"""
-
-
-def q_docs_bm25_search(sf_dir: str):
-    """BM25 ranked keyword retrieval (stages/bm25.py) for the fixed
-    3-term query ('scan', 'merge', 'window'): two row-local streaming
-    passes over a ~20-byte/doc projection, a blocks-bounded stats fold
-    (bytes ∝ query terms, never corpus), partial top-k + one merge —
-    zero corpus sorts, zero joins. The lexical leg of the RAG stack
-    beside the inverted index and the ANN family."""
-    from .stages.bm25 import bm25_search
-
-    return bm25_search(
-        _read(sf_dir, "documents", ["doc_id", "text"]),
-        ["scan", "merge", "window"],
-        topk=20,
-    )
-
-
-SQL_DOCS_BM25_SEARCH = """
-WITH tok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
-  FROM documents
-),
-feat AS (
-  SELECT doc_id,
-         len(ts) AS dl,
-         len(list_filter(ts, x -> x = 'scan'))   AS tf0,
-         len(list_filter(ts, x -> x = 'merge'))  AS tf1,
-         len(list_filter(ts, x -> x = 'window')) AS tf2
-  FROM tok
-),
-st AS (
-  SELECT count(*) AS n,
-         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
-         CAST(count(*) FILTER (tf0 > 0) AS DOUBLE) AS df0,
-         CAST(count(*) FILTER (tf1 > 0) AS DOUBLE) AS df1,
-         CAST(count(*) FILTER (tf2 > 0) AS DOUBLE) AS df2
-  FROM feat
-),
-sc AS (
-  SELECT f.doc_id,
-         round(
-             ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5))
-               * (f.tf0 * (1.2 + 1.0))
-               / (f.tf0 + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl / st.avgdl)))
-           + ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5))
-               * (f.tf1 * (1.2 + 1.0))
-               / (f.tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl / st.avgdl)))
-           + ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5))
-               * (f.tf2 * (1.2 + 1.0))
-               / (f.tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl / st.avgdl)))
-         , 4) AS bm25
-  FROM feat f, st
-)
-SELECT doc_id, bm25 FROM sc
-WHERE bm25 > 0
-ORDER BY bm25 DESC, doc_id
-LIMIT 20
-"""
-
-
-def q_docs_hybrid_search(sf_dir: str):
-    """Hybrid retrieval — reciprocal-rank fusion (RRF, Cormack '09;
-    the standard lexical+semantic fusion in RAG stacks) of the BM25
-    top-20 (stages/bm25.py, lexical leg) and the brute-force cosine
-    top-10 (embeddings leg, vec_id ≡ doc_id in the synthetic corpus):
-    rrf(d) = Σ_legs 1/(60 + rank_leg(d)). Both legs are the engine's
-    existing distributed operators; the fusion itself touches only the
-    two bounded top-k lists (≤30 rows by construction — the
-    knn-ivf-style bounded take, never a corpus materialization)."""
-    from .stages.bm25 import bm25_search
-
-    bm = bm25_search(
-        _read(sf_dir, "documents", ["doc_id", "text"]),
-        ["scan", "merge", "window"],
-        topk=20,
-    ).take_all()
-    ann = q_embeddings_knn(sf_dir).take_all()
-
-    contrib: dict[int, float] = {}
-    # fixed leg order (bm25 then ann) so float accumulation matches
-    # the SQL twin's COALESCE(bm,0) + COALESCE(ann,0)
-    bm_c = {int(r["doc_id"]): 1.0 / (60.0 + (i + 1)) for i, r in enumerate(bm)}
-    ann_c = {int(r["vec_id"]): 1.0 / (60.0 + (i + 1)) for i, r in enumerate(ann)}
-    for d in set(bm_c) | set(ann_c):
-        contrib[d] = bm_c.get(d, 0.0) + ann_c.get(d, 0.0)
-    out = pd.DataFrame(
-        {"doc_id": list(contrib), "rrf": [round(v, 6) for v in contrib.values()]}
-    ).sort_values(["rrf", "doc_id"], ascending=[False, True]).reset_index(drop=True)
-    return out
-
-
-SQL_DOCS_HYBRID_SEARCH = (
-    """
-WITH bm AS (
-  SELECT doc_id,
-         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
-  FROM ("""
-    + SQL_DOCS_BM25_SEARCH
-    + """) t
-),
-ann AS (
-  SELECT vec_id AS doc_id,
-         row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS r
-  FROM (
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id,
-           round(list_dot_product(e.embedding, (SELECT qe FROM q))
-                 / sqrt(list_dot_product(e.embedding, e.embedding))
-                 / sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q))), 4) AS cosine_sim
-    FROM embeddings e WHERE e.vec_id != 0
-    ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
-  ) t
-)
-SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
-       round(COALESCE(1.0 / (60.0 + bm.r), 0.0)
-             + COALESCE(1.0 / (60.0 + ann.r), 0.0), 6) AS rrf
-FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
-ORDER BY rrf DESC, doc_id
-"""
-)
-
-
-def q_docs_cms_top_terms(sf_dir: str):
-    """Count-min-sketch frequency estimation, SELF-VERIFYING under the
-    HLL doctrine (events_approx_users): the exact top-10 terms by total
-    occurrences come from the inverted-index run-scan (one sort); the
-    CMS (stages/sketches.countmin_sketch — sparse mergeable partials,
-    bounded slot space) answers point queries for those terms, and the
-    emitted flag asserts exact ≤ estimate ≤ exact + ⌈e/width·N⌉. The
-    oracle states the exact counts and TRUE, so the hash matches iff
-    the exact side agrees AND every estimate is in-bound."""
-    import math
-
-    from .stages.inverted import inverted_index
-    from .stages.sketches import countmin_query, countmin_sketch
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
-    width, depth = 2048, 4
-    sketch, n_total = countmin_sketch(docs, width=width, depth=depth)
-    idx = (
-        inverted_index(docs)
-        .select_columns(["term", "total_tf"])
-        .to_pandas()
-        .sort_values(["total_tf", "term"], ascending=[False, True])
-        .head(10)
-        .reset_index(drop=True)
-    )
-    est = countmin_query(sketch, idx["term"].tolist(), width, depth)
-    bound = math.ceil(math.e / width * n_total)
-    ok = (est >= idx["total_tf"].to_numpy()) & (
-        est <= idx["total_tf"].to_numpy() + bound
-    )
-    return ray.data.from_pandas(
-        pd.DataFrame(
-            {
-                "term": idx["term"],
-                "n_occurrences": idx["total_tf"].astype("int64"),
-                "cms_within_bound": ok.astype(bool),
-            }
-        )
-    )
-
-
-SQL_DOCS_CMS_TOP_TERMS = """
-WITH tok AS (
-  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-  FROM documents
-)
-SELECT term, count(*) AS n_occurrences, TRUE AS cms_within_bound
-FROM tok GROUP BY term
-ORDER BY n_occurrences DESC, term LIMIT 10
-"""
-
-
-def q_docs_gopher_rules(sf_dir: str):
-    """Gopher-style rule gate (Rae et al. '21): per-doc word count /
-    mean word length / distinct ratio / stop-word fraction + combined
-    keep verdict — entirely row-local (stages/gopher.py), the rule
-    filter a web pipeline runs before any model-based scoring."""
-    from .stages.gopher import gopher_rules
-
-    return gopher_rules(_read(sf_dir, "documents", ["doc_id", "text"]))
-
-
-SQL_DOCS_GOPHER_RULES = """
-WITH tok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
-), feat AS (
-  SELECT doc_id,
-         CAST(len(w) AS BIGINT) AS n_words,
-         CASE WHEN len(w)=0 THEN 0.0 ELSE
-           CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE)
-             / len(w) END AS mean_word_len,
-         CASE WHEN len(w)=0 THEN 0.0 ELSE
-           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS distinct_ratio,
-         CASE WHEN len(w)=0 THEN 0.0 ELSE
-           CAST(len(list_filter(w, x -> x IN
-             ('a','the','and','of','to','in','with','for'))) AS DOUBLE)
-             / len(w) END AS stop_frac
-  FROM tok
-)
-SELECT *,
-  (n_words >= 30 AND n_words <= 10000 AND mean_word_len >= 3.0
-   AND mean_word_len <= 5.0 AND distinct_ratio >= 0.3
-   AND stop_frac <= 0.10) AS keep
-FROM feat
-"""
-
-
-def q_docs_dsir(sf_dir: str):
-    """DSIR-style data selection (Xie et al. '23): per-doc importance
-    score = Σ log-ratio of target/raw hashed-bigram frequencies
-    (stages/dsir.py — dim-bounded broadcast-reduce estimation, one
-    gather + bincount fold per batch). The oracle recomputes the
-    bucketing (md5 mod dim), both slice distributions AND the scores
-    in SQL."""
-    from .stages.dsir import dsir_score, dsir_weights
-
-    # materialize ONCE: dsir_weights is a full driver-blocking pass and
-    # dsir_score re-reads the same rows — without the pin the parquet
-    # read + upstream plan execute twice (ADVICE r3; the pagerank
-    # edges.materialize() pattern)
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
-    return dsir_score(ds, dsir_weights(ds))
-
-
-SQL_DOCS_DSIR = """
-WITH tok AS (
-  SELECT doc_id,
-         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
-                        t -> lower(t)) AS tk
-  FROM documents
-),
-big AS (
-  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
-  FROM tok, lateral (SELECT unnest(range(1, len(tk))) AS i)
-),
-bb AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5(bg), 1, 8)) AS UBIGINT) % 4096 AS b
-  FROM big
-),
-tgt AS (SELECT b, count(*) AS c FROM bb WHERE doc_id % 7 = 0 GROUP BY b),
-raw AS (SELECT b, count(*) AS c FROM bb WHERE doc_id % 3 = 1 GROUP BY b),
-tot AS (
-  SELECT (SELECT coalesce(sum(c), 0) FROM tgt) AS t_total,
-         (SELECT coalesce(sum(c), 0) FROM raw) AS r_total
-),
-w AS (
-  SELECT d.b,
-         ln((coalesce(t.c, 0) + 1.0) / (tot.t_total + 4096))
-         - ln((coalesce(r.c, 0) + 1.0) / (tot.r_total + 4096)) AS wt
-  FROM (SELECT DISTINCT b FROM bb) d
-  LEFT JOIN tgt t USING (b) LEFT JOIN raw r USING (b), tot
-),
-scores AS (
-  SELECT bb.doc_id, count(*) AS n_bigrams, round(sum(w.wt), 6) AS score
-  FROM bb JOIN w USING (b) GROUP BY bb.doc_id
-)
-SELECT d.doc_id,
-       coalesce(s.n_bigrams, 0) AS n_bigrams,
-       coalesce(s.score, 0.0) AS score,
-       coalesce(s.score, 0.0) >= 0.0 AS kept
-FROM documents d LEFT JOIN scores s USING (doc_id)
-"""
-
-
-def q_docs_train_val_split(sf_dir: str):
-    """Leakage-free train/val split (stages/split.py): the split coin
-    is keyed on the CONTENT fingerprint, so exact duplicates never
-    straddle the split (the eval-leakage pitfall). Row-local, no
-    shuffle; the oracle recomputes fingerprint + coin in SQL."""
-    from .stages.split import leakage_free_split
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return leakage_free_split(ds, val_frac=0.2).select_columns(
-        ["doc_id", "fingerprint", "split"]
-    )
-
-
-SQL_DOCS_TRAIN_VAL_SPLIT = r"""
-WITH fp AS (
-  SELECT doc_id,
-         md5(lower(trim(regexp_replace(text, '[\t\n\f\r ]+', ' ', 'g')))) AS fingerprint
-  FROM documents
-)
-SELECT doc_id, fingerprint,
-       CASE WHEN CAST(('0x' || substr(md5(fingerprint), 1, 8)) AS UINT32)
-                 < 0.2 * 4294967296.0
-            THEN 'val' ELSE 'train' END AS split
-FROM fp
-"""
-
-
-def _build_sql_docs_crawl_frontier(cap: int = 5) -> str:
-    from .stages.urls import N_HOSTS, PAGES_PER_HOST
-
-    return f"""
-WITH base AS (
-  SELECT doc_id, doc_id % {N_HOSTS} AS h,
-         (doc_id // {N_HOSTS}) % {PAGES_PER_HOST} AS g
-  FROM documents
-), canon AS (
-  SELECT doc_id,
-         'http://site' || h || '.example.com/p/' || g ||
-         '?id=' || (g % 3) || '&v=2' AS canon_url,
-         'site' || h || '.example.com' AS host
-  FROM base
-), first_wins AS (
-  SELECT canon_url, host, min(doc_id) AS doc_id FROM canon GROUP BY 1, 2
-), ranked AS (
-  SELECT doc_id, canon_url, host,
-         row_number() OVER (
-           PARTITION BY host ORDER BY
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                  AS UBIGINT),
-             doc_id
-         ) AS rk
-  FROM first_wins
-)
-SELECT doc_id, canon_url, host FROM ranked WHERE rk <= {cap}
-"""
-
-
-SQL_DOCS_CRAWL_FRONTIER = _build_sql_docs_crawl_frontier()
-
-
-def q_docs_chunk_windows(sf_dir: str):
-    """RAG-style retrieval chunking (stages/packing.chunk_documents):
-    overlapping token windows (window=64, stride=48) per document —
-    a row-local flat explode, no shuffle, no state; the indexing-side
-    sibling of pack_sequences (that one concatenates docs for TRAINING,
-    this one slices them for RETRIEVAL). The oracle replays the window
-    walk with a strided generate_series over the same token array."""
-    from .stages.packing import chunk_documents
-
-    return chunk_documents(
-        _read(sf_dir, "documents", ["doc_id", "text"]), window=64, stride=48
-    )
-
-
-SQL_DOCS_CHUNK_WINDOWS = """
-WITH tok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
-  FROM documents
-), st AS (
-  SELECT doc_id, tk, len(tk) AS n,
-         unnest(generate_series(0, greatest(len(tk) - 1, 0), 48)) AS s
-  FROM tok
-)
-SELECT doc_id,
-       s // 48 AS chunk_id,
-       s AS start_tok,
-       CAST(greatest(least(64, n - s), 0) AS BIGINT) AS n_tok,
-       array_to_string(tk[s + 1 : least(s + 64, n)], ' ') AS chunk_text
-FROM st
-WHERE s = 0 OR s - 48 + 64 < n
-"""
-
-
-def q_events_range_pruned(sf_dir: str):
-    """Time-window analytics THROUGH the range-partitioned zone-map
-    layout (state/ranged.py): events written ONCE into day-width
-    ``r=<id>/`` partitions (idempotent /tmp cache keyed on the input
-    CONTENT fingerprint, atomic rename — the bucketed-layout
-    discipline), then the [2024-01-08, 2024-01-15) window opens ONLY
-    the 7 overlapping day partitions (directory-name zone map + exact
-    residual filter) and aggregates per event type. The oracle is a
-    plain WHERE-range over the full table, so the value hash pins
-    layout + pruning + residual-filter correctness end-to-end."""
-    import hashlib
-    import os
-
-    from ray.data.aggregate import Sum
-
-    from .state.ranged import DAY_US, read_range, write_range_partitioned
-    from .state.shards import input_file_fingerprint
-
-    fp = sf_dir + "|" + input_file_fingerprint(f"{sf_dir}/events.parquet")
-    dest = f"/tmp/fa_ranged_{hashlib.md5(fp.encode()).hexdigest()[:8]}/events"
-    if not os.path.isdir(dest):
-        import shutil
-
-        tmp = dest + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        write_range_partitioned(
-            _read(sf_dir, "events", ["ts", "event_type", "value"]),
-            tmp, "ts", DAY_US,
-        )
-        try:
-            os.rename(tmp, dest)
-        except OSError:
-            # a concurrent run won the rename race: its layout is
-            # content-identical (same fingerprint tag) — use it
-            if not os.path.isdir(dest):
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
-
-    lo = 1_704_672_000_000_000  # 2024-01-08T00:00:00 epoch-us
-    hi = 1_705_276_800_000_000  # 2024-01-15T00:00:00
-    ds = read_range(dest, "ts", lo, hi, DAY_US, columns=["ts", "event_type", "value"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {"event_type": df["event_type"], "cents": _cents(df["value"]), "n": 1}
-        )
-        return out.groupby("event_type", as_index=False).agg(
-            cents=("cents", "sum"), n=("n", "sum")
-        )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": df["event_type"],
-                "n_events": df["sum(n)"].astype("int64"),
-                "sum_value": df["sum(cents)"] / 100.0,
-            }
-        )
-
-    return _preagg_native(ds, ["event_type"], partial, [Sum("cents"), Sum("n")], finalize)
-
-
-SQL_EVENTS_RANGE_PRUNED = """
-SELECT event_type, count(*) AS n_events,
-       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
-FROM events
-WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
-GROUP BY event_type
-"""
-
-
-def q_events_zorder_pruned(sf_dir: str):
-    """2-D rectangle analytics THROUGH the Z-order (Morton) layout
-    (state/zorder.py, the Delta/Iceberg ZORDER BY shape): events
-    written ONCE into ``z=<morton>/`` cells interleaving quantized
-    (user_id, ts) bits, then the rectangle "first third of users ×
-    [2024-01-08, 2024-01-15)" opens ONLY its overlapping cells
-    (directory-name pruning + exact residual filter) and aggregates
-    per event type. The 1-D range layout (events_range_pruned) prunes
-    time but scans every user; Z-ordering makes the read proportional
-    to the rectangle's AREA. Oracle = the same predicate over the full
-    table, so the hash pins layout + cell enumeration + residual
-    filter end-to-end. Layout cache keyed on the input CONTENT
-    fingerprint (the bucketed-layout discipline)."""
-    import hashlib
-    import math
-    import os
-
-    from ray.data.aggregate import Sum
-
-    from .state.shards import input_file_fingerprint
-    from .state.zorder import _footer_min_max, read_rect, write_zorder
-
-    src = f"{sf_dir}/events.parquet"
-    u_lo, u_hi = _footer_min_max(src, "user_id")
-    # fixed covering range for the time axis (the corpus is Jan 2024 at
-    # every sf tier; out-of-range values would only clamp to edge cells)
-    T0 = 1_704_067_200_000_000  # 2024-01-01T00:00:00 epoch-us
-    T1 = 1_706_745_600_000_000  # 2024-02-01T00:00:00
-
-    fp = sf_dir + "|z|" + input_file_fingerprint(src)
-    dest = f"/tmp/fa_zorder_{hashlib.md5(fp.encode()).hexdigest()[:8]}/events"
-    if not os.path.isdir(dest):
-        import shutil
-
-        tmp = dest + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-
-        def to_us(t: pa.Table) -> pa.Table:
-            return pa.Table.from_arrays(
-                [
-                    t.column("user_id").cast(pa.int64()),
-                    t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
-                    t.column("event_type"),
-                    t.column("value"),
-                ],
-                names=["user_id", "ts_us", "event_type", "value"],
-            )
-
-        write_zorder(
-            _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
-            .map_batches(to_us, batch_format="pyarrow"),
-            tmp, "user_id", "ts_us",
-            x_range=(u_lo, u_hi), y_range=(T0, T1 - 1),
-        )
-        try:
-            os.rename(tmp, dest)
-        except OSError:
-            if not os.path.isdir(dest):
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
-
-    x_hi = math.ceil((u_hi + 1) / 3.0)  # first third of the user space
-    lo = 1_704_672_000_000_000  # 2024-01-08T00:00:00 epoch-us
-    hi = 1_705_276_800_000_000  # 2024-01-15T00:00:00
-    ds = read_rect(dest, 0, x_hi, lo, hi)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {"event_type": df["event_type"], "cents": _cents(df["value"]), "n": 1}
-        )
-        return out.groupby("event_type", as_index=False).agg(
-            cents=("cents", "sum"), n=("n", "sum")
-        )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": df["event_type"],
-                "n_events": df["sum(n)"].astype("int64"),
-                "sum_value": df["sum(cents)"] / 100.0,
-            }
-        )
-
-    return _preagg_native(ds, ["event_type"], partial, [Sum("cents"), Sum("n")], finalize)
-
-
-SQL_EVENTS_ZORDER_PRUNED = """
-SELECT event_type, count(*) AS n_events,
-       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
-FROM events
-WHERE user_id < CAST(ceil((SELECT max(user_id) + 1 FROM events) / 3.0) AS BIGINT)
-  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
-GROUP BY event_type
-"""
-
-
-def q_events_interval_join(sf_dir: str):
-    """Distributed interval (range) join (stages/interval.py): activity
-    attribution — for every purchase by a sampled user cohort
-    (user_id % 50 == 0), count ALL events inside the 2-hour window
-    starting at the purchase. No equality key exists; the operator
-    auto-selects broadcast-searchsorted (small window side, zero
-    shuffle — what this cohort triggers) vs the bin-overlap equi-join
-    (corpus-sized window side: 4-hour bins tag both sides, ONE hash
-    join on the bin id, exact range predicate as residual filter),
-    both ending in a sort+run-scan count with union-of-zeros
-    zero-fill. The oracle is a plain range-predicate LEFT JOIN
-    (DuckDB's IEJoin); the paths are equality-tested against each
-    other and brute force in tests/test_interval.py."""
-    from .stages.interval import interval_join_count
-
-    TWO_H = 7_200_000_000
-    FOUR_H = 14_400_000_000
-    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-
-    def windows(t: pa.Table) -> pa.Table:
-        uid = t.column("user_id").to_numpy(zero_copy_only=False)
-        et = t.column("event_type").to_numpy(zero_copy_only=False)
-        mask = (et == "purchase") & (uid % 50 == 0)
-        kept = t.filter(pa.array(mask))
-        ts = kept.column("ts").cast(pa.int64())
-        return pa.Table.from_arrays(
-            [kept.column("event_id").cast(pa.int64()), ts,
-             pc.add(ts, TWO_H)],
-            names=["window_id", "w_start", "w_end"],
-        )
-
-    w = ev.map_batches(windows, batch_format="pyarrow")
-    return interval_join_count(
-        ev.select_columns(["ts"]), w,
-        ts_col="ts", id_col="window_id",
-        start_col="w_start", end_col="w_end", width=FOUR_H,
-    )
-
-
-SQL_EVENTS_INTERVAL_JOIN = """
-WITH w AS (
-  SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
-  FROM events WHERE event_type = 'purchase' AND user_id % 50 = 0
-)
-SELECT w.window_id, count(e.event_id) AS n_points
-FROM w LEFT JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
-GROUP BY w.window_id
-"""
-
-
-def q_events_upsert_compact(sf_dir: str):
-    """Last-writer-wins compaction (stages/compaction.py): the
-    lakehouse MERGE kernel — one row per user, the newest event by
-    (ts, event_id). ONE sort + run-scan keep-last; the oracle is the
-    classic row_number()=1 window, so the hash pins key grouping,
-    order-tuple comparison and the tie-break end-to-end."""
-    from .stages.compaction import latest_per_key
-
-    ev = _read(
-        sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"]
-    )
-    return latest_per_key(ev, ["user_id"], ["ts", "event_id"])
-
-
-SQL_EVENTS_UPSERT_COMPACT = """
-SELECT event_id, ts, user_id, event_type, value
-FROM (
-  SELECT event_id, ts, user_id, event_type, value,
-         row_number() OVER (
-           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
-         ) AS rn
-  FROM events
-)
-WHERE rn = 1
-"""
-
-
-def q_docs_shuffle_export(sf_dir: str):
-    """Deterministic global-shuffle export layout
-    (stages/shuffle_layout.py): every doc's (shard, band, pos)
-    coordinates are a pure function of md5(doc_id) — the
-    cluster-size/resume-invariant replacement for random_shuffle() at
-    training-export time. The oracle recomputes the hash slice and the
-    per-(shard, band) dense rank with a row_number() window."""
-    from .stages.shuffle_layout import shuffle_export_layout
-
-    docs = _read(sf_dir, "documents", ["doc_id"])
-    return shuffle_export_layout(docs, "doc_id", n_shards=16, n_bands=16)
-
-
-SQL_DOCS_SHUFFLE_EXPORT = """
-WITH h AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS UBIGINT) AS hv
-  FROM documents
-)
-SELECT doc_id,
-       CAST(hv % 16 AS BIGINT) AS shard,
-       CAST(hv // 268435456 AS BIGINT) AS band,
-       CAST(row_number() OVER (
-              PARTITION BY hv % 16, hv // 268435456 ORDER BY hv, doc_id
-            ) - 1 AS BIGINT) AS pos
-FROM h
-"""
-
-
-def q_graph_components(sf_dir: str):
-    """Weakly connected components of the part co-occurrence graph
-    (same support-≥2 edge set as graph_triangles) — the graph family's
-    third member beside pagerank (influence) and triangles (cohesion):
-    components answer "which catalog regions are one connected market".
-    Ray shape: alternating large-star/small-star contraction
-    (stages/text_dedup.py cc_star_contraction, Kiveris et al. SoCC'14
-    — per round ONE adjacency sort + run-scan rewiring + a global edge
-    dedup, O(log) rounds; nothing corpus-sized ever lands on the
-    driver). The part co-occurrence giant component is sparse and
-    HIGH-DIAMETER (~50 at sf0.01), where min-label propagation pays
-    rounds ∝ diameter — measured 11 min vs tens of seconds for this
-    form (equality-pinned against cc_min_label_propagation AND driver
-    union-find in pytest). Output: one row per component (label = min
-    part id), size DESC. The DuckDB oracle runs min-label propagation
-    as a pruned recursive CTE (labels travel only while smaller than
-    the receiving node — node×labels-bounded, never full reach)."""
-    from .stages.text_dedup import cc_star_contraction
-    from .stages.triangles import cooccurrence_edges
-
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
-
-    def as_pairs(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["doc_id_a", "doc_id_b"])
-
-    labels = cc_star_contraction(
-        edges.select_columns(["u", "v"]).map_batches(
-            as_pairs, batch_format="pyarrow"
-        )
-    )
-
-    def partial_sizes(t: pa.Table) -> pa.Table:
-        g = t.group_by(["label"]).aggregate([([], "count_all")])
-        return g.rename_columns(["component", "n_nodes"])
-
-    sizes = (
-        labels.map_batches(partial_sizes, batch_format="pyarrow")
-        .groupby("component")
-        .aggregate(ray.data.aggregate.Sum("n_nodes", alias_name="n_nodes"))
-    )
-    return sizes.sort(["n_nodes", "component"], descending=[True, False])
-
-
-SQL_GRAPH_COMPONENTS = """
-WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e0 AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING count(*) >= 2
-),
-edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
--- min-label propagation, not transitive closure: a label travels to a
--- neighbor only while smaller than it (the component min m < every
--- other member, so m still reaches all of them), keeping the fixpoint
--- node x labels-bounded where full reach(a, b) is quadratic in
--- component size (the r4 artifact run ground >10 min on it at sf0.01;
--- this form: ~1.4 s)
-lp(node, label) AS (
-  SELECT u, u FROM edges
-  UNION
-  SELECT e.v, lp.label FROM lp JOIN edges e ON lp.node = e.u
-  WHERE lp.label < e.v
-),
-labels AS (SELECT node, min(label) AS label FROM lp GROUP BY node)
-SELECT label AS component, count(*) AS n_nodes
-FROM labels GROUP BY label
-ORDER BY n_nodes DESC, component
-"""
-
-
-def q_docs_naive_bayes(sf_dir: str):
-    """Multinomial Naive Bayes language classifier TRAINED on the
-    corpus (stages/nb.py) — the train-on-your-own-data loop beside the
-    fixed-weight classifier and stopword langid. Sufficient statistics
-    are one vocabulary-bounded count table (combiner aggregate, no
-    shuffle), the model broadcasts once, scoring is stateless tasks.
-    The oracle replays training AND scoring in SQL (same tokenizer,
-    same add-one smoothing, same round-4/alphabetical-first argmax
-    contract as docs_langid / docs_perplexity)."""
-    from .stages.nb import nb_predict, train_nb
-
-    def docs():
-        return read_parquet_clean(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "text", "lang"],
-            override_num_blocks=8,
-        )
-
-    model = train_nb(docs(), train_mod=3)
-    return nb_predict(docs(), model)
-
-
-def _build_sql_docs_naive_bayes(train_mod: int = 3) -> str:
-    from .stages.nb import LANGS
-
-    langs = list(LANGS)
-    vals = ", ".join(f"('{l}')" for l in langs)
-    pivot = ",\n         ".join(
-        f"max(CASE WHEN lang = '{l}' THEN s END) AS s_{l}" for l in langs
-    )
-    g = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
-    case = [f"CASE WHEN s_{langs[0]} = {g} THEN '{langs[0]}'"]
-    for l in langs[1:-1]:
-        case.append(f"WHEN s_{l} = {g} THEN '{l}'")
-    case.append(f"ELSE '{langs[-1]}' END")
-    case_sql = "\n       ".join(case)
-    return f"""
-WITH toks AS (
-  SELECT doc_id, lang,
-         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
-                        t -> lower(t)) AS tk
-  FROM documents
-),
-tok AS (SELECT doc_id, lang, unnest(tk) AS term FROM toks),
-train_ct AS (
-  SELECT lang, term, count(*) AS c
-  FROM tok WHERE doc_id % {train_mod} = 0 GROUP BY 1, 2
-),
-nl AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS n FROM train_ct GROUP BY 1),
-vv AS (SELECT CAST(greatest(count(DISTINCT term), 1) AS DOUBLE) AS v
-       FROM train_ct),
-prior AS (
-  SELECT lang, ln(CAST(count(*) AS DOUBLE)
-                  / (SELECT count(*) FROM toks
-                     WHERE doc_id % {train_mod} = 0)) AS lp
-  FROM toks WHERE doc_id % {train_mod} = 0 GROUP BY lang
-),
-contrib AS (
-  SELECT t.doc_id, l.lang,
-         sum(ln((coalesce(tc.c, 0) + 1.0) / (nl.n + vv.v))) AS s
-  FROM tok t
-  CROSS JOIN (VALUES {vals}) l(lang)
-  LEFT JOIN train_ct tc ON tc.lang = l.lang AND tc.term = t.term
-  JOIN nl ON nl.lang = l.lang
-  CROSS JOIN vv
-  GROUP BY 1, 2
-),
-scores AS (
-  SELECT d.doc_id, d.lang AS lang_actual, p.lang,
-         round(p.lp + coalesce(c.s, 0), 4) AS s
-  FROM documents d CROSS JOIN prior p
-  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.lang = p.lang
-),
-wide AS (
-  SELECT doc_id, lang_actual,
-         {pivot}
-  FROM scores GROUP BY 1, 2
-)
-SELECT doc_id, lang_actual,
-       {case_sql} AS lang_pred,
-       {", ".join(f"s_{l}" for l in langs)}
-FROM wide
-"""
-
-
-SQL_DOCS_NAIVE_BAYES = _build_sql_docs_naive_bayes()
-
-
-def q_docs_cdc_dedup(sf_dir: str):
-    """Content-defined-chunking dedup accounting (stages/cdc.py) —
-    block-level dedup of the document stream (the sub-file sibling of
-    exact whole-doc dedup; FastCDC/LBFS family). Gear boundaries come
-    from 64 shifted vector adds (the rolling hash's exact windowed
-    form), chunk identity is sha256, canonical owners are first-wins
-    under ONE sort + run-scan — two linear passes + one shuffle.
-    No SQL oracle (a rolling content hash isn't SQL-expressible);
-    tests/test_cdc.py pins boundaries, hashes, owners and per-doc
-    stats against the per-byte serial reference implementation."""
-    from .stages.cdc import cdc_dedup_stats
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return cdc_dedup_stats(ds).sort("doc_id")
-
-
-def q_docs_negative_sampling_table(sf_dir: str):
-    """word2vec-style negative-sampling table (Mikolov '13): vocabulary
-    weights ∝ count^0.75 with a running cumulative column, the binary-
-    searchable CDF a sampler draws negatives from. Counting reuses the
-    PMI stage's one-pass combiner + one-sort merge; the cumulative
-    column is the two-phase carry fold (per-block integer sums, driver
-    exclusive-scan over the #blocks-bounded summary, carry-addressed
-    second pass). Two determinism locks: count^0.75 is computed as
-    sqrt(n)·sqrt(√n) — each sqrt correctly rounded, so both engines
-    produce the identical double — and weights round to integer
-    MICRO-units before the cumsum, so the running sum is exact integer
-    arithmetic with no float-association drift at any scale."""
-    from .stages.pmi import corpus_counts
-
-    min_count = 5
-    counts = corpus_counts(_read(sf_dir, "documents", ["text"]))
-
-    def vocab(t: pa.Table) -> pa.Table:
-        t = t.filter(
-            pc.and_(
-                pc.equal(t.column("kind"), "u"),
-                pc.greater_equal(t.column("n"), min_count),
-            )
-        )
-        n = t.column("n").to_numpy().astype(np.float64)
-        w = np.round(np.sqrt(n) * np.sqrt(np.sqrt(n)) * 1e6).astype(np.int64)
-        return pa.table(
-            {
-                "term": t.column("w1"),
-                "n": t.column("n"),
-                "weight_micro": pa.array(w, pa.int64()),
-            }
-        )
-
-    s = (
-        counts.map_batches(vocab, batch_format="pyarrow")
-        .sort("term")
-        .materialize()
-    )
-
-    def summ(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "first_term": pa.array([], pa.string()),
-                    "total": pa.array([], pa.int64()),
-                }
-            )
-        return pa.table(
-            {
-                "first_term": pa.array(
-                    [str(t.column("term")[0].as_py())], pa.string()
-                ),
-                "total": pa.array(
-                    [int(t.column("weight_micro").to_numpy().sum())],
-                    pa.int64(),
-                ),
-            }
-        )
-
-    rows = s.map_batches(
-        summ, batch_format="pyarrow", batch_size=None
-    ).take_all()  # bounded: one row per block
-    rows.sort(key=lambda r: r["first_term"])
-    carries = {}
-    acc = 0
-    for r in rows:
-        carries[r["first_term"]] = acc
-        acc += r["total"]
-    cref = ray.put(carries)
-
-    def apply(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.append_column("cum_micro", pa.array([], pa.int64()))
-        carry = ray.get(cref)[str(t.column("term")[0].as_py())]
-        w = t.column("weight_micro").to_numpy()
-        return t.append_column(
-            "cum_micro", pa.array(np.cumsum(w) + carry, pa.int64())
-        )
-
-    return s.map_batches(apply, batch_format="pyarrow", batch_size=None)
-
-
-SQL_DOCS_NEGATIVE_SAMPLING_TABLE = """
-WITH tok AS (
-  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-  FROM documents
-),
-c AS (
-  SELECT w AS term, count(*) AS n FROM tok GROUP BY 1
-  HAVING count(*) >= 5
-),
-wt AS (
-  SELECT term, n,
-         CAST(round(sqrt(n) * sqrt(sqrt(n)) * 1000000) AS BIGINT)
-           AS weight_micro
-  FROM c
-)
-SELECT term, CAST(n AS BIGINT) AS n, weight_micro,
-       CAST(sum(weight_micro) OVER (ORDER BY term
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
-         AS cum_micro
-FROM wt ORDER BY term
-"""
-
-
-def q_events_welch_ttest(sf_dir: str):
-    """Welch two-sample t-test (unequal variances) between the 'click'
-    and 'purchase' value distributions — the continuous-outcome A/B
-    hypothesis test beside the categorical chi-square screen. The
-    corpus folds to SIX scalars (n, Σcents, Σcents² per group) inside
-    map_batches — cents are integers so both engines hold EXACT sums
-    (Σc² < 2⁵³ through ~10⁹ rows at these magnitudes; shard the fold
-    past that) — and the t statistic + Welch–Satterthwaite dof are
-    closed forms evaluated with the identical IEEE expression order as
-    the SQL twin. One streaming pass, no shuffle."""
-    a_type, b_type = "click", "purchase"
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    from ray.data.aggregate import Sum
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        sel = df[df["event_type"].isin([a_type, b_type]) & df["value"].notna()]
-        cents = _cents(sel["value"])
-        out = pd.DataFrame(
-            {
-                "event_type": sel["event_type"].to_numpy(),
-                "n": 1,
-                "s1": cents,
-                "s2": cents.astype(np.float64) ** 2,
-            }
-        )
-        return out.groupby("event_type", as_index=False).sum()
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        stats = {
-            et: (int(n), float(s1), float(s2))
-            for et, n, s1, s2 in zip(
-                df["event_type"], df["sum(n)"], df["sum(s1)"], df["sum(s2)"]
-            )
-        }
-        n1, a1, a2 = stats[a_type]
-        n2, b1, b2 = stats[b_type]
-        m1 = (a1 / 100.0) / n1
-        m2 = (b1 / 100.0) / n2
-        v1 = (a2 / 10000.0 - n1 * m1 * m1) / (n1 - 1)
-        v2 = (b2 / 10000.0 - n2 * m2 * m2) / (n2 - 1)
-        se2 = v1 / n1 + v2 / n2
-        t = (m1 - m2) / np.sqrt(se2)
-        # explicit x*x (not **2): guaranteed the same correctly-rounded
-        # square the SQL twin's (v/n)*(v/n) computes
-        dof = se2 * se2 / (
-            (v1 / n1) * (v1 / n1) / (n1 - 1)
-            + (v2 / n2) * (v2 / n2) / (n2 - 1)
-        )
-        return pd.DataFrame(
-            [
-                {
-                    "group_a": a_type,
-                    "group_b": b_type,
-                    "n_a": n1,
-                    "n_b": n2,
-                    "mean_a": m1,
-                    "mean_b": m2,
-                    "var_a": v1,
-                    "var_b": v2,
-                    "t_stat": float(t),
-                    "welch_dof": float(dof),
-                }
-            ]
-        )
-
-    return _preagg_native(
-        ds, ["event_type"], partial, [Sum("n"), Sum("s1"), Sum("s2")], finalize
-    )
-
-
-SQL_EVENTS_WELCH_TTEST = """
-WITH m AS (
-  SELECT event_type, count(*) AS n,
-         sum(CAST(round(value * 100) AS BIGINT)) AS s1,
-         sum(CAST(round(value * 100) AS BIGINT)
-             * CAST(round(value * 100) AS BIGINT)) AS s2
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-  GROUP BY 1
-),
-s AS (
-  SELECT event_type, n,
-         (s1 / 100.0) / n AS mean,
-         (s2 / 10000.0 - n * ((s1 / 100.0) / n) * ((s1 / 100.0) / n))
-           / (n - 1) AS var
-  FROM m
-),
-ab AS (
-  SELECT a.n AS n1, b.n AS n2, a.mean AS m1, b.mean AS m2,
-         a.var AS v1, b.var AS v2,
-         a.var / a.n + b.var / b.n AS se2
-  FROM (SELECT * FROM s WHERE event_type = 'click') a,
-       (SELECT * FROM s WHERE event_type = 'purchase') b
-)
-SELECT 'click' AS group_a, 'purchase' AS group_b,
-       CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
-       m1 AS mean_a, m2 AS mean_b, v1 AS var_a, v2 AS var_b,
-       (m1 - m2) / sqrt(se2) AS t_stat,
-       se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
-                    + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS welch_dof
-FROM ab
-"""
-
-
-def q_docs_langid_calibration(sf_dir: str):
-    """Model-calibration / reliability table for the langid classifier
-    (the model-MONITORING stage a production pipeline runs beside the
-    model itself): predictions bucket by confidence (best profile
-    score, 20 bins of 0.05) and each bin reports its empirical
-    accuracy against the labeled ``lang`` column — the reliability
-    diagram's data. Scoring is row-local; the rollup is the
-    bounded-cardinality (≤20 bins) combiner path, no shuffle. Both
-    engines compute the identical score doubles (the pinned
-    docs_langid equivalence), so bin assignment can never diverge."""
-    from .functions.text import LANG_PROFILES, tokenize
-
-    ds = _read(sf_dir, "documents", ["text", "lang"])
-    langs = sorted(LANG_PROFILES)
-
-    from ray.data.aggregate import Sum
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        bins, ns, cs = [], [], []
-        for t, actual in zip(df["text"], df["lang"]):
-            toks = [x.lower() for x in tokenize(t)]
-            best_lang, best = "und", 0.0
-            if toks:
-                for lang in langs:
-                    prof = LANG_PROFILES[lang]
-                    s = sum(1 for x in toks if x in prof) / len(toks)
-                    if s > best:
-                        best_lang, best = lang, s
-            pred = best_lang if best > 0.02 else "und"
-            bins.append(min(19, int(best * 20.0)))
-            ns.append(1)
-            cs.append(1 if pred == actual else 0)
-        out = pd.DataFrame({"bin": bins, "n": ns, "c": cs})
-        return out.groupby("bin", as_index=False).sum()
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        n = df["sum(n)"].astype("int64")
-        c = df["sum(c)"].astype("int64")
-        return pd.DataFrame(
-            {
-                "bin": df["bin"].astype("int64"),
-                "conf_lo": df["bin"].astype("int64") * 0.05,
-                "n_docs": n,
-                "n_correct": c,
-                "accuracy": c / n,
-            }
-        )
-
-    return _preagg_native(
-        ds, ["bin"], partial, [Sum("n"), Sum("c")], finalize
-    ).sort("bin")
-
-
-def _build_sql_langid_calibration() -> str:
-    from .functions.text import LANG_PROFILES
-
-    tk, scores = _sql_langid_scores("text")
-    g = "greatest(" + ",".join(f"s_{l}" for l in sorted(LANG_PROFILES)) + ")"
-    return f"""
-WITH tk AS (
-  SELECT lang AS lang_actual, {tk}
-  FROM documents
-),
-sc AS (
-  SELECT lang_actual, _tk,
-    {scores}
-  FROM tk
-),
-p AS (
-  SELECT lang_actual,
-         {_sql_langid_case()} AS lang_pred,
-         CASE WHEN len(_tk) = 0 THEN 0.0 ELSE {g} END AS conf
-  FROM sc
-)
-SELECT least(19, CAST(floor(conf * 20) AS BIGINT)) AS bin,
-       least(19, CAST(floor(conf * 20) AS BIGINT)) * 0.05 AS conf_lo,
-       count(*) AS n_docs,
-       CAST(sum(CASE WHEN lang_pred = lang_actual THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_correct,
-       CAST(sum(CASE WHEN lang_pred = lang_actual THEN 1 ELSE 0 END)
-            AS DOUBLE) / count(*) AS accuracy
-FROM p GROUP BY 1 ORDER BY 1
-"""
-
-
-SQL_DOCS_LANGID_CALIBRATION = _build_sql_langid_calibration()
-
-
-def q_embeddings_jl_project(sf_dir: str):
-    """Johnson–Lindenstrauss random projection 64 → 8 dims (Achlioptas
-    '01 ±1 variant) — the cheap dimensionality-reduction stage an
-    embedding pipeline runs before expensive pairwise work. The sign
-    matrix is HASH-DERIVED (parity of md5("jl-j-k")), so both engines
-    construct the identical matrix with no shipped state; the engine
-    builds it once on the driver (512 md5s), broadcasts via ``ray.put``
-    and projects each batch with one BLAS matmul over the zero-copy
-    reshaped Arrow list values — row-local, no shuffle. The oracle
-    regenerates the signs and the projection entirely in SQL
-    (unnest × generate_series join). y = Sx/√m; float32 inputs promote
-    exactly to double on both sides, only summation order differs."""
-    import hashlib
-
-    m, d = 8, 64
-    sgn = np.empty((m, d), np.float64)
-    for j in range(m):
-        for k in range(d):
-            h = int(hashlib.md5(f"jl-{j}-{k}".encode()).hexdigest()[:8], 16)
-            sgn[j, k] = 1.0 if h % 2 == 0 else -1.0
-    sref = ray.put(sgn / np.sqrt(float(m)))
-    ds = _read_coalesced(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def project(t: pa.Table) -> pa.Table:
-        s = ray.get(sref)
-        col = t.column("embedding").combine_chunks()
-        n = len(col)
-        vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
-        mat = vals.reshape(n, len(vals) // n).astype(np.float64)
-        y = mat @ s.T  # (n, m)
-        cols = {"vec_id": t.column("vec_id")}
-        for j in range(y.shape[1]):
-            cols[f"y{j}"] = pa.array(y[:, j], pa.float64())
-        return pa.table(cols)
-
-    return ds.map_batches(project, batch_format="pyarrow").sort("vec_id")
-
-
-def _build_sql_jl() -> str:
-    pivots = ",\n  ".join(
-        f"max(CASE WHEN j = {j} THEN y END) AS y{j}" for j in range(8)
-    )
-    return f"""
-WITH sgn AS (
-  SELECT j, k,
-         CASE WHEN CAST(('0x' || substr(md5('jl-' || j || '-' || k), 1, 8))
-                   AS UBIGINT) % 2 = 0
-              THEN 1.0 ELSE -1.0 END AS s
-  FROM (SELECT unnest(range(0, 8)) AS j),
-       (SELECT unnest(range(0, 64)) AS k)
-),
-x AS (
-  SELECT vec_id, k - 1 AS k, embedding[k] AS v
-  FROM embeddings,
-       lateral (SELECT unnest(range(1, len(embedding) + 1)) AS k)
-),
-p AS (
-  SELECT x.vec_id, sgn.j, sum(sgn.s * x.v) / sqrt(8.0) AS y
-  FROM x JOIN sgn ON sgn.k = x.k
-  GROUP BY 1, 2
-)
-SELECT vec_id,
-  {pivots}
-FROM p GROUP BY vec_id ORDER BY vec_id
-"""
-
-
-SQL_EMBEDDINGS_JL_PROJECT = _build_sql_jl()
-
-
-def q_events_user_gini(sf_dir: str):
-    """Gini coefficient of the per-user activity distribution — the
-    concentration / skew observability statistic (is the corpus 1%% of
-    users?) a pipeline checks before trusting per-user sampling. A
-    SECOND-ORDER aggregate: first per-user counts (corpus-scaled keys
-    → the windowed sort+run-scan merge), then a statistic over the
-    ORDERED count distribution, Σ i·xᵢ with global ascending ranks.
-    The rank-weighted sum needs no per-row rank materialization:
-    Σ(offset+j)·xⱼ = Σj·xⱼ + offset·Σxⱼ, so each sorted block emits
-    three scalars and the driver folds the #blocks-bounded summary in
-    order (the prefix-scan shape collapsed to one phase). Every sum is
-    integer-exact; the final expression is evaluated with the same
-    IEEE op order as the SQL twin."""
-    from .query_utils import _run_starts_mask_arrow, _window_by_key_arrow
-
-    ds = _read(sf_dir, "events", ["user_id"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["user_id"]).aggregate([([], "count_all")])
-        return g.rename_columns(["user_id", "n"])
-
-    def merge(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
-        starts = np.flatnonzero(_run_starts_mask_arrow(t, ["user_id"]))
-        sums = np.add.reduceat(t.column("n").to_numpy(), starts)
-        return pa.table(
-            {
-                "user_id": t.column("user_id").take(pa.array(starts)),
-                "n": pa.array(sums, pa.int64()),
-            }
-        )
-
-    counts = _window_by_key_arrow(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["user_id"],
-        ["user_id"],
-        merge,
-    )
-    s = counts.sort(["n", "user_id"]).materialize()
-
-    def block_summary(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "first_n": pa.array([], pa.int64()),
-                    "first_uid": pa.array([], pa.int64()),
-                    "cnt": pa.array([], pa.int64()),
-                    "sum_x": pa.array([], pa.int64()),
-                    "sum_jx": pa.array([], pa.int64()),
-                }
-            )
-        x = t.column("n").to_numpy()
-        j = np.arange(1, len(x) + 1, dtype=np.int64)
-        return pa.table(
-            {
-                "first_n": pa.array([int(x[0])], pa.int64()),
-                "first_uid": pa.array(
-                    [int(t.column("user_id")[0].as_py())], pa.int64()
-                ),
-                "cnt": pa.array([len(x)], pa.int64()),
-                "sum_x": pa.array([int(x.sum())], pa.int64()),
-                "sum_jx": pa.array([int((j * x).sum())], pa.int64()),
-            }
-        )
-
-    blocks = s.map_batches(
-        block_summary, batch_format="pyarrow", batch_size=None
-    ).take_all()  # bounded: one row per block
-    blocks.sort(key=lambda b: (b["first_n"], b["first_uid"]))
-    S = tot = cnt = 0
-    for b in blocks:
-        S += b["sum_jx"] + cnt * b["sum_x"]
-        cnt += b["cnt"]
-        tot += b["sum_x"]
-    gini = (2.0 * S) / (cnt * tot) - (cnt + 1.0) / cnt
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "n_users": pa.array([cnt], pa.int64()),
-                "n_events": pa.array([tot], pa.int64()),
-                "gini": pa.array([gini], pa.float64()),
-            }
-        )
-    )
-
-
-SQL_EVENTS_USER_GINI = """
-WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
-r AS (
-  SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM c
-)
-SELECT CAST(count(*) AS BIGINT) AS n_users,
-       CAST(sum(n) AS BIGINT) AS n_events,
-       (2.0 * sum(i * n)) / (count(*) * sum(n))
-         - (count(*) + 1.0) / count(*) AS gini
-FROM r
-"""
-
-
-def q_events_winsorize(sf_dir: str):
-    """Per-group winsorization (robust feature clipping at the exact
-    p05/p95 NEAREST-RANK order statistics) — the outlier-taming
-    transform run before a model sees heavy-tailed values. The exact
-    per-type thresholds come from a distributed rank SELECTION, not a
-    per-group materialization: ONE sort by (type, value, id)
-    materialized → per-block per-type count summary (#blocks×|types|
-    rows) → the driver folds block offsets and addresses each block's
-    carry-in by its first sort key → a second streaming pass over the
-    SAME blocks picks exactly the rows whose in-type global rank hits
-    ceil(q·n) (the prefix-scan two-phase shape, specialised to
-    selection). Thresholds (2×|types|) broadcast; the clip pass is
-    row-local Arrow min/max."""
-    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
-
-    def drop_null(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_valid(t.column("value")))
-
-    clean = ds.map_batches(drop_null, batch_format="pyarrow")
-    s = clean.sort(["event_type", "value", "event_id"]).materialize()
-
-    def block_summary(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "first_type": pa.array([], pa.string()),
-                "first_value": pa.array([], pa.float64()),
-                "first_id": pa.array([], pa.int64()),
-                "event_type": pa.array([], pa.string()),
-                "cnt": pa.array([], pa.int64()),
-            }
-        )
-        if t.num_rows == 0:
-            return empty
-        from .query_utils import _run_starts_mask_arrow
-
-        starts = np.flatnonzero(_run_starts_mask_arrow(t, ["event_type"]))
-        lens = np.diff(np.append(starts, t.num_rows))
-        k = len(starts)
-        return pa.table(
-            {
-                "first_type": pa.array(
-                    [str(t.column("event_type")[0].as_py())] * k, pa.string()
-                ),
-                "first_value": pa.array(
-                    np.full(k, float(t.column("value")[0].as_py())),
-                    pa.float64(),
-                ),
-                "first_id": pa.array(
-                    np.full(k, int(t.column("event_id")[0].as_py()), np.int64),
-                    pa.int64(),
-                ),
-                "event_type": t.column("event_type").take(pa.array(starts)),
-                "cnt": pa.array(lens, pa.int64()),
-            }
-        )
-
-    # blocks-bounded: (#blocks × |types|) rows; fold offsets in BLOCK
-    # order = the sort order of each block's FULL first sort key
-    # (event_type, value, event_id) — event_id alone does NOT order
-    # blocks, ids are uncorrelated with the (type, value) sort
-    summary = s.map_batches(
-        block_summary, batch_format="pyarrow", batch_size=None
-    ).take_all()
-    order = {}
-    for row in summary:
-        key = (row["first_type"], row["first_value"], row["first_id"])
-        order.setdefault(key, []).append(row)
-    n_per_type: dict = {}
-    carry_per_block: dict = {}
-    for key in sorted(order):
-        carry_per_block[key[2]] = dict(n_per_type)
-        for row in order[key]:
-            n_per_type[row["event_type"]] = (
-                n_per_type.get(row["event_type"], 0) + row["cnt"]
-            )
-    # exact integer ceil((q·n)): (q100·n + 99) // 100 — NOT float
-    # ceil(0.05*n), whose binary representation error flips the rank at
-    # n multiples of 20 (0.05*300 = 15.000000000000002 → ceil 16)
-    targets = {
-        et: (
-            max(1, (5 * n + 99) // 100),
-            max(1, (95 * n + 99) // 100),
-        )
-        for et, n in n_per_type.items()
-    }
-    cref = ray.put((carry_per_block, targets))
-
-    def pick(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "event_type": pa.array([], pa.string()),
-                "which": pa.array([], pa.string()),
-                "threshold": pa.array([], pa.float64()),
-            }
-        )
-        if t.num_rows == 0:
-            return empty
-        from .query_utils import _run_starts_mask_arrow
-
-        carry_all, tgt = ray.get(cref)
-        carry = carry_all[int(t.column("event_id")[0].as_py())]
-        starts = np.flatnonzero(_run_starts_mask_arrow(t, ["event_type"]))
-        run_of = (
-            np.searchsorted(starts, np.arange(t.num_rows), side="right") - 1
-        )
-        pos = np.arange(t.num_rows) - starts[run_of] + 1  # 1-based in block
-        types = t.column("event_type").to_numpy(zero_copy_only=False)
-        vals = t.column("value").to_numpy()
-        out_t, out_w, out_v = [], [], []
-        for ri, st in enumerate(starts):
-            et = types[st]
-            off = carry.get(et, 0)
-            lo_k, hi_k = tgt[et]
-            run = run_of == ri
-            grank = pos[run] + off
-            for which, k in (("lo", lo_k), ("hi", hi_k)):
-                hit = np.flatnonzero(grank == k)
-                if len(hit):
-                    out_t.append(et)
-                    out_w.append(which)
-                    out_v.append(float(vals[run][hit[0]]))
-        return pa.table(
-            {
-                "event_type": pa.array(out_t, pa.string()),
-                "which": pa.array(out_w, pa.string()),
-                "threshold": pa.array(out_v, pa.float64()),
-            }
-        )
-
-    th_rows = s.map_batches(
-        pick, batch_format="pyarrow", batch_size=None
-    ).take_all()  # bounded: 2 × |types|
-    lo = {r["event_type"]: r["threshold"] for r in th_rows if r["which"] == "lo"}
-    hi = {r["event_type"]: r["threshold"] for r in th_rows if r["which"] == "hi"}
-    tref = ray.put((lo, hi))
-
-    def clip(t: pa.Table) -> pa.Table:
-        lo_, hi_ = ray.get(tref)
-        types = t.column("event_type").to_numpy(zero_copy_only=False)
-        vals = t.column("value").to_numpy()
-        lo_arr = np.array([lo_[et] for et in types])
-        hi_arr = np.array([hi_[et] for et in types])
-        return t.append_column(
-            "value_winsor",
-            pa.array(np.minimum(np.maximum(vals, lo_arr), hi_arr)),
-        )
-
-    return clean.map_batches(clip, batch_format="pyarrow").sort("event_id")
-
-
-SQL_EVENTS_WINSORIZE = """
-WITH sel AS (
-  SELECT event_type, value,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY value, event_id) AS rn,
-         count(*) OVER (PARTITION BY event_type) AS n
-  FROM events WHERE value IS NOT NULL
-),
-th AS (
-  SELECT event_type,
-         max(CASE WHEN rn = greatest(1, (5 * n + 99) // 100)
-                  THEN value END) AS lo,
-         max(CASE WHEN rn = greatest(1, (95 * n + 99) // 100)
-                  THEN value END) AS hi
-  FROM sel GROUP BY 1
-)
-SELECT e.event_id, e.event_type, e.value,
-       least(greatest(e.value, t.lo), t.hi) AS value_winsor
-FROM events e JOIN th t USING (event_type)
-WHERE e.value IS NOT NULL
-ORDER BY e.event_id
-"""
-
-
 def q_lineitem_small_order_revenue(sf_dir: str):
     """TPC-H Q17 analog (correlated aggregate subquery, decorrelated):
     revenue from line items whose quantity is below HALF the average
@@ -5326,532 +601,6 @@ SELECT l.l_partkey, count(*) AS n_small,
 FROM lineitem l JOIN a USING (l_partkey)
 WHERE 2 * a.n * l.l_quantity < a.s
 GROUP BY 1 ORDER BY 1
-"""
-
-
-def q_graph_bfs_layers(sf_dir: str):
-    """Multi-source-free BFS: hop-distance layers (≤ 3 hops) from the
-    highest-degree hub of the part co-occurrence graph — the reachability
-    primitive beside pagerank (influence), triangles (cohesion) and
-    components (partition). Ray shape (stages/graph.py:bfs_layers): the
-    corpus-sized edge table is materialized ONCE and re-scanned per
-    round (pagerank's loop-invariant pin); source selection folds
-    degrees through the engine's sort-based ``_sum_by_key`` (a
-    distributed node-sized dataset — only the argmax row lands on the
-    driver); the iteration auto-switches at ``BROADCAST_NODES_MAX``
-    exactly like pagerank: node-bounded catalogs ride the object store
-    as sorted frontier arrays (one streaming edge pass per round),
-    corpus-scaled node spaces run hop-propagation on the
-    cc_min_label_propagation machinery (state and messages as datasets,
-    one co-locating sort + run-scan per round; equality-pinned against
-    the broadcast path in pytest). Rounds are fixed (3), not
-    data-driven. The DuckDB oracle walks the same graph with a
-    recursive CTE (dedup-union keeps it node×hop bounded)."""
-    from .stages.graph import bfs_layers
-    from .stages.triangles import cooccurrence_edges
-
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
-    return bfs_layers(edges, source=None, max_hops=3, mode="auto")
-
-
-SQL_GRAPH_BFS_LAYERS = """
-WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e0 AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING count(*) >= 2
-),
-edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-src AS (
-  SELECT u AS s FROM edges GROUP BY u
-  ORDER BY count(*) DESC, u LIMIT 1
-),
-walk(node, hop) AS (
-  SELECT s, 0 FROM src
-  UNION
-  SELECT e.v, w.hop + 1 FROM walk w JOIN edges e ON e.u = w.node
-  WHERE w.hop < 3
-)
-SELECT node, CAST(min(hop) AS BIGINT) AS hop
-FROM walk GROUP BY node ORDER BY hop, node
-"""
-
-
-def q_events_user_ewma(sf_dir: str):
-    """Per-user exponentially-decayed value sum (decay ½ per event,
-    latest weight 1) — the streaming feature-engineering aggregate
-    behind recency-weighted user scores (fraud / engagement models).
-    ONE sort by (user_id, ts, event_id) yields complete time-ordered
-    user runs; the decayed sum is a vectorized 2^-k weighting +
-    bincount fold per run — no per-user state, no second pass. Decay
-    ½ makes every weight an exact power of two, so both engines scale
-    each value EXACTLY and only the summation order differs (~1e-13,
-    inside the 1e-9 gate)."""
-    from .query_utils import _run_starts_mask_arrow, _window_by_key_arrow
-
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
-
-    def drop_nulls(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.and_(
-                pc.is_valid(t.column("value")), pc.is_valid(t.column("ts"))
-            )
-        )
-
-    def fold(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "user_id": pa.array([], pa.int64()),
-                "n_events": pa.array([], pa.int64()),
-                "decayed_sum": pa.array([], pa.float64()),
-            }
-        )
-        if t.num_rows == 0:
-            return empty
-        starts = np.flatnonzero(_run_starts_mask_arrow(t, ["user_id"]))
-        n = t.num_rows
-        lens = np.diff(np.append(starts, n))
-        run_of = np.searchsorted(starts, np.arange(n), side="right") - 1
-        pos = np.arange(n) - starts[run_of]  # 0-based rank in time order
-        expo = (lens[run_of] - 1 - pos).astype(np.float64)
-        vals = t.column("value").to_numpy()
-        decayed = np.bincount(
-            run_of, weights=vals * np.exp2(-expo), minlength=len(starts)
-        )
-        return pa.table(
-            {
-                "user_id": t.column("user_id").take(pa.array(starts)),
-                "n_events": pa.array(lens, pa.int64()),
-                "decayed_sum": pa.array(decayed, pa.float64()),
-            }
-        )
-
-    clean = ds.map_batches(drop_nulls, batch_format="pyarrow")
-    return _window_by_key_arrow(
-        clean, ["user_id"], ["user_id", "ts", "event_id"], fold
-    ).sort("user_id")
-
-
-SQL_EVENTS_USER_EWMA = """
-WITH t AS (
-  SELECT user_id, value,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id) AS rn,
-         count(*) OVER (PARTITION BY user_id) AS n
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
-)
-SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
-       sum(value * pow(0.5, n - rn)) AS decayed_sum
-FROM t GROUP BY user_id ORDER BY user_id
-"""
-
-
-def q_docs_winnow_fingerprints(sf_dir: str):
-    """Winnowing document fingerprints (Schleimer et al. '03 — the
-    MOSS plagiarism-detection sketch): hash every 8-char gram, slide a
-    4-gram window, keep each window's MINIMUM hash; the distinct kept
-    hashes are the document's fingerprint set, guaranteeing any shared
-    substring ≥ 11 chars shares a fingerprint. Row-local and fully
-    vectorized: grams via numpy byte-stride views, md5 only per
-    batch-DISTINCT gram (zipf amortization, the classifier/dsir memo
-    pattern), window minima via sliding_window_view — no shuffle at
-    all until the output. The oracle recomputes grams, hashes and
-    window minima with SQL window functions."""
-    import hashlib
-
-    K, W = 8, 4
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def winnow(t: pa.Table) -> pa.Table:
-        from numpy.lib.stride_tricks import sliding_window_view
-
-        out_doc, out_h = [], []
-        ids = t.column("doc_id").to_numpy()
-        texts = t.column("text").to_pylist()
-        # batch-distinct gram -> hash memo
-        memo: dict[bytes, int] = {}
-        for did, txt in zip(ids, texts):
-            b = (txt or "").encode("utf-8")
-            ng = len(b) - K + 1
-            if ng < W:
-                continue
-            view = sliding_window_view(
-                np.frombuffer(b, dtype=np.uint8), K
-            )
-            grams = view.tobytes()
-            h = np.empty(ng, dtype=np.uint64)
-            for i in range(ng):
-                g = grams[i * K : (i + 1) * K]
-                v = memo.get(g)
-                if v is None:
-                    v = int(hashlib.md5(g).hexdigest()[:8], 16)
-                    memo[g] = v
-                h[i] = v
-            wmin = sliding_window_view(h, W).min(axis=1)
-            sel = np.unique(wmin)
-            out_doc.append(np.full(len(sel), did, np.int64))
-            out_h.append(sel)
-        if not out_doc:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "fp": pa.array([], pa.uint64()),
-                }
-            )
-        return pa.table(
-            {
-                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
-                "fp": pa.array(np.concatenate(out_h), pa.uint64()),
-            }
-        )
-
-    return ds.map_batches(winnow, batch_format="pyarrow")
-
-
-SQL_DOCS_WINNOW_FINGERPRINTS = """
-WITH g AS (
-  SELECT doc_id, i AS pos,
-         CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 8)) AS UBIGINT)
-           AS h,
-         length(text) - 8 + 1 AS ng
-  FROM documents,
-       lateral (SELECT unnest(range(1, length(text) - 8 + 2)) AS i)
-  WHERE length(text) >= 11
-),
-w AS (
-  SELECT doc_id, pos, ng,
-         min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-  FROM g
-)
-SELECT DISTINCT doc_id, wmin AS fp
-FROM w WHERE pos <= ng - 3
-ORDER BY doc_id, fp
-"""
-
-
-def q_docs_pmi_collocations(sf_dir: str):
-    """Collocation / phrase mining via pointwise mutual information
-    (stages/pmi.py — Church & Hanks '90; the word2vec phrase-merge
-    signal): every adjacent token pair scored by
-    ln(p(ab) / (p(a)·p(b))) over corpus unigram/bigram counts. ONE
-    combiner pass (Arrow-C++ tokenize + per-batch group_by for
-    unigrams, bigrams and totals in a unified count table) + ONE
-    sort-by-key run-scan merge; candidate scoring broadcasts the
-    merged counts below a row cap, else a fully distributed
-    explode + second-sort attach (both paths equality-tested). The
-    oracle recomputes tokenization, both count levels AND the PMI
-    formula in SQL."""
-    from .stages.pmi import collocations
-
-    ds = _read(sf_dir, "documents", ["text"])
-    return collocations(ds, min_count=5)
-
-
-SQL_DOCS_PMI_COLLOCATIONS = """
-WITH tok AS (
-  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents
-),
-uni AS (SELECT unnest(tk) AS w FROM tok),
-ucnt AS (SELECT w, count(*) AS n FROM uni GROUP BY 1),
-utot AS (SELECT count(*) AS nu FROM uni),
-big AS (
-  SELECT tk[i] AS w1, tk[i+1] AS w2
-  FROM tok, lateral (SELECT unnest(range(1, len(tk))) AS i)
-),
-bcnt AS (SELECT w1, w2, count(*) AS n_ab FROM big GROUP BY 1, 2),
-btot AS (SELECT count(*) AS nb FROM big)
-SELECT b.w1, b.w2, b.n_ab, a.n AS n_a, c.n AS n_b,
-       ln(b.n_ab) + 2 * ln(utot.nu) - ln(btot.nb)
-         - ln(a.n) - ln(c.n) AS pmi
-FROM bcnt b
-JOIN ucnt a ON a.w = b.w1
-JOIN ucnt c ON c.w = b.w2
-CROSS JOIN utot CROSS JOIN btot
-WHERE b.n_ab >= 5
-ORDER BY b.w1, b.w2
-"""
-
-
-def q_events_dp_counts(sf_dir: str):
-    """ε-differentially-private event-type counts via the Laplace
-    mechanism (Dwork et al. '06) — the privacy-preserving release
-    family the engine lacked. The noise draw is HASH-SEEDED so the
-    release is reproducible AND the SQL twin recomputes the identical
-    value: u = (h + 0.5) / 2³², h = first 8 md5 hex digits of
-    seed‖event_type, noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) (inverse
-    Laplace CDF). Counting is the bounded-cardinality combiner path
-    (per-batch groupby partials, cascade merge — no shuffle); a real
-    deployment would drop ``n_true`` from the release, it is emitted
-    here so the oracle pins both the count and the mechanism."""
-    import hashlib
-    import math
-
-    eps, seed = 1.0, "dp-r4"
-    ds = _read(sf_dir, "events", ["event_type"])
-
-    from ray.data.aggregate import Sum
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"event_type": df["event_type"], "n": 1})
-        return out.groupby("event_type", as_index=False).sum()
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        noisy = []
-        for et, n in zip(df["event_type"], df["sum(n)"]):
-            h = int(hashlib.md5((seed + et).encode()).hexdigest()[:8], 16)
-            u = (h + 0.5) / 4294967296.0
-            noise = -(1.0 / eps) * math.copysign(1.0, u - 0.5) * math.log(
-                1.0 - 2.0 * abs(u - 0.5)
-            )
-            noisy.append(n + noise)
-        return pd.DataFrame(
-            {
-                "event_type": df["event_type"],
-                "n_true": df["sum(n)"].astype("int64"),
-                "epsilon": eps,
-                "n_noisy": noisy,
-            }
-        )
-
-    return _preagg_native(ds, ["event_type"], partial, [Sum("n")], finalize)
-
-
-SQL_EVENTS_DP_COUNTS = """
-WITH c AS (
-  SELECT event_type, count(*) AS n FROM events GROUP BY 1
-),
-d AS (
-  SELECT event_type, n,
-         (CAST(('0x' || substr(md5('dp-r4' || event_type), 1, 8)) AS UBIGINT)
-          + 0.5) / 4294967296.0 AS u
-  FROM c
-)
-SELECT event_type, CAST(n AS BIGINT) AS n_true, 1.0 AS epsilon,
-       n + (-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) AS n_noisy
-FROM d ORDER BY event_type
-"""
-
-
-def q_embeddings_hard_negatives(sf_dir: str):
-    """Contrastive training-pair mining over the embedding table: for
-    each anchor vector, the top-1 SAME-label neighbor (the positive)
-    and the top-3 DIFFERENT-label neighbors (hard negatives) — the
-    pair-generation stage of contrastive / triplet embedding training
-    (e.g. SBERT hard-negative mining). Anchors broadcast once via
-    ``ray.put``; each batch computes a (A × n) cosine block with one
-    BLAS matmul and keeps only per-(anchor, role) partial top-k, so
-    the merge task sees O(batches · A · k) rows — the kNN
-    partial-top-k shape (q_embeddings_knn), widened to a role-split
-    rank. Cosines round to 4 dp on BOTH sides, ties break by vec_id."""
-    import pyarrow.dataset as pds
-
-    n_anchors, k_neg = 4, 3
-    at = pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-        columns=["vec_id", "embedding", "label"],
-        filter=pc.field("vec_id") < n_anchors,
-    )
-    a_ids = at.column("vec_id").to_numpy()
-    a_labels = at.column("label").to_numpy()
-    avals = pc.list_flatten(at.column("embedding").combine_chunks()).to_numpy(
-        zero_copy_only=False
-    )
-    amat = avals.reshape(len(a_ids), -1).astype(np.float64)
-    amat /= np.linalg.norm(amat, axis=1, keepdims=True)
-    aref = ray.put((a_ids, a_labels, amat))
-    ds = _read_coalesced(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-
-    def topk_rows(ids, sims, kk):
-        order = np.lexsort((ids, -sims))[:kk]
-        return ids[order], sims[order]
-
-    def fn(t: pa.Table) -> pa.Table:
-        ids_, labels_, am = ray.get(aref)
-        col = t.column("embedding").combine_chunks()
-        ids = t.column("vec_id").to_numpy()
-        labels = t.column("label").to_numpy()
-        n = len(col)
-        vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
-        mat = vals.reshape(n, len(vals) // n).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = np.round(am @ mat.T, 4)  # (A, n)
-        out = {"anchor_id": [], "role": [], "vec_id": [], "cosine_sim": []}
-        for ai in range(len(ids_)):
-            not_self = ids != ids_[ai]
-            for role, mask, kk in (
-                ("pos", (labels == labels_[ai]) & not_self, 1),
-                ("neg", (labels != labels_[ai]) & not_self, k_neg),
-            ):
-                vi, vs = topk_rows(ids[mask], sims[ai][mask], kk)
-                out["anchor_id"].extend([ids_[ai]] * len(vi))
-                out["role"].extend([role] * len(vi))
-                out["vec_id"].extend(vi)
-                out["cosine_sim"].extend(vs)
-        return pa.table(
-            {
-                "anchor_id": pa.array(out["anchor_id"], pa.int64()),
-                "role": pa.array(out["role"], pa.string()),
-                "vec_id": pa.array(out["vec_id"], pa.int64()),
-                "cosine_sim": pa.array(out["cosine_sim"], pa.float64()),
-            }
-        )
-
-    def merge(t: pa.Table) -> pa.Table:
-        aid = t.column("anchor_id").to_numpy()
-        role = t.column("role").to_numpy(zero_copy_only=False)
-        ids = t.column("vec_id").to_numpy()
-        sims = t.column("cosine_sim").to_numpy()
-        cols = {"anchor_id": [], "role": [], "rank": [], "vec_id": [],
-                "cosine_sim": []}
-        for a in np.unique(aid):
-            for r, kk in (("pos", 1), ("neg", k_neg)):
-                m = (aid == a) & (role == r)
-                vi, vs = topk_rows(ids[m], sims[m], kk)
-                cols["anchor_id"].extend([a] * len(vi))
-                cols["role"].extend([r] * len(vi))
-                cols["rank"].extend(range(1, len(vi) + 1))
-                cols["vec_id"].extend(vi)
-                cols["cosine_sim"].extend(vs)
-        return pa.table(
-            {
-                "anchor_id": pa.array(cols["anchor_id"], pa.int64()),
-                "role": pa.array(cols["role"], pa.string()),
-                "rank": pa.array(cols["rank"], pa.int64()),
-                "vec_id": pa.array(cols["vec_id"], pa.int64()),
-                "cosine_sim": pa.array(cols["cosine_sim"], pa.float64()),
-            }
-        )
-
-    return (
-        ds.map_batches(fn, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(merge, batch_format="pyarrow", batch_size=None)
-    )
-
-
-SQL_EMBEDDINGS_HARD_NEGATIVES = """
-WITH a AS (
-  SELECT vec_id AS anchor_id, embedding AS ae, label AS alabel
-  FROM embeddings WHERE vec_id < 4
-),
-s AS (
-  SELECT a.anchor_id, e.vec_id, e.label, a.alabel,
-         round(list_dot_product(e.embedding, a.ae)
-               / sqrt(list_dot_product(e.embedding, e.embedding))
-               / sqrt(list_dot_product(a.ae, a.ae)), 4) AS cosine_sim
-  FROM embeddings e CROSS JOIN a
-  WHERE e.vec_id != a.anchor_id
-),
-pos AS (
-  SELECT anchor_id, 'pos' AS role,
-         row_number() OVER (PARTITION BY anchor_id
-                            ORDER BY cosine_sim DESC, vec_id) AS rank,
-         vec_id, cosine_sim
-  FROM s WHERE label = alabel QUALIFY rank = 1
-),
-neg AS (
-  SELECT anchor_id, 'neg' AS role,
-         row_number() OVER (PARTITION BY anchor_id
-                            ORDER BY cosine_sim DESC, vec_id) AS rank,
-         vec_id, cosine_sim
-  FROM s WHERE label != alabel QUALIFY rank <= 3
-)
-SELECT anchor_id, role, CAST(rank AS BIGINT) AS rank, vec_id, cosine_sim
-FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
-ORDER BY anchor_id, role, rank
-"""
-
-
-def q_docs_dedup_keep_best(sf_dir: str):
-    """Canonical-document selection: exact dedup over the NORMALIZED
-    fingerprint (whitespace-collapsed lowercase md5 — docs_fingerprint
-    semantics, so raw variants of one content cluster together) that
-    keeps the HIGHEST-QUALITY member per cluster instead of the first
-    (argmax-per-group at unbounded key cardinality: ONE sort by
-    (fingerprint, quality DESC, doc_id) + run-scan firsts — the D1
-    dedup upgraded with the quality family's scoring, which is how a
-    production corpus dedup actually chooses survivors). The quality
-    score is the exact-rational alpha_ratio, identical doubles in
-    both engines."""
-    import hashlib
-    import re
-
-    ws = re.compile(r"[\t\n\f\r ]+")
-    from .query_utils import _run_starts_mask_arrow, _window_by_key_arrow
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def score(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        fps = [
-            hashlib.md5(ws.sub(" ", x).strip().lower().encode()).hexdigest()
-            for x in texts
-        ]
-        alpha = pc.count_substring_regex(t.column("text"), "[A-Za-z]")
-        nchars = pc.utf8_length(t.column("text"))
-        ratio = pc.divide(
-            pc.cast(alpha, pa.float64()), pc.cast(nchars, pa.float64())
-        )
-        return pa.table(
-            {
-                "fingerprint": pa.array(fps, pa.string()),
-                "doc_id": t.column("doc_id"),
-                "alpha_ratio": ratio,
-            }
-        )
-
-    def firsts(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "fingerprint": pa.array([], pa.string()),
-                "kept_doc_id": pa.array([], pa.int64()),
-                "kept_alpha_ratio": pa.array([], pa.float64()),
-                "cluster_size": pa.array([], pa.int64()),
-            }
-        )
-        if t.num_rows == 0:
-            return empty
-        starts = np.flatnonzero(_run_starts_mask_arrow(t, ["fingerprint"]))
-        sizes = np.diff(np.append(starts, t.num_rows))
-        idx = pa.array(starts)
-        return pa.table(
-            {
-                "fingerprint": t.column("fingerprint").take(idx),
-                "kept_doc_id": t.column("doc_id").take(idx),
-                "kept_alpha_ratio": t.column("alpha_ratio").take(idx),
-                "cluster_size": pa.array(sizes, pa.int64()),
-            }
-        )
-
-    scored = ds.map_batches(score, batch_format="pyarrow")
-    return _window_by_key_arrow(
-        scored,
-        ["fingerprint"],
-        ["fingerprint", "alpha_ratio", "doc_id"],
-        firsts,
-        descending=[False, True, False],
-    )
-
-
-SQL_DOCS_DEDUP_KEEP_BEST = """
-WITH s AS (
-  SELECT doc_id,
-         md5(lower(trim(regexp_replace(text, '[\t\n\f\r ]+', ' ', 'g'))))
-           AS fingerprint,
-         CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
-           / length(text) AS alpha_ratio
-  FROM documents
-)
-SELECT fingerprint, doc_id AS kept_doc_id, alpha_ratio AS kept_alpha_ratio,
-       CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT)
-         AS cluster_size
-FROM s
-QUALIFY row_number() OVER (PARTITION BY fingerprint
-                           ORDER BY alpha_ratio DESC, doc_id) = 1
-ORDER BY fingerprint
 """
 
 
