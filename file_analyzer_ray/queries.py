@@ -796,3 +796,21 @@ RETIRED_ORACLE_SQL.update(
         "docs_negative_sampling_table": SQL_DOCS_NEGATIVE_SAMPLING_TABLE,
     }
 )
+
+# ---------------------------------------------------------------------------
+# r5 driver-slot rotation (VERDICT r4 item 8): rotate long-stable green
+# entries out for high-value retired ones, so the driver's own per-round
+# hash record progressively touches the whole query surface. Every
+# rotated-out entry keeps its in-repo DuckDB oracle + pytest coverage
+# (test_queries falls back to RETIRED_QUERIES) and its per-round
+# RETIRED_CORRECTNESS_r{N}.json row — retiring never reduces verified
+# coverage. The registry stays at exactly 50.
+_ROTATE_OUT = ("events_type_stats", "docs_length_by_lang", "orders_status_pivot")
+_ROTATE_IN = ("docs_bm25_search", "events_interval_join", "graph_triangles")
+for _n in _ROTATE_OUT:
+    RETIRED_QUERIES[_n] = QUERIES.pop(_n)
+    RETIRED_ORACLE_SQL[_n] = ORACLE_SQL.pop(_n)
+for _n in _ROTATE_IN:
+    QUERIES[_n] = RETIRED_QUERIES.pop(_n)
+    ORACLE_SQL[_n] = RETIRED_ORACLE_SQL.pop(_n)
+del _ROTATE_OUT, _ROTATE_IN, _n
