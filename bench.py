@@ -107,7 +107,9 @@ def run_bench() -> dict:
     n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "0")) or _corpus_docs(SF_DIR)
     src = corpus_path(n_docs)  # untimed: generate-or-reuse cache
     # Warm the OS page cache so we measure compute, not cold disk.
-    ray.data.read_parquet(src).count()
+    from file_analyzer_ray.query_utils import read_parquet_clean as _rp_clean
+
+    _rp_clean(src).count()
 
     out = f"/tmp/fa_bench_out_{NCPU}"
     # Best-of-2: this shared VM has ~2x window-to-window noise and the
@@ -147,7 +149,7 @@ def run_bench() -> dict:
         # query block measures compute, not first-touch disk latency.
         for t in ("lineitem", "customer", "orders", "events",
                   "documents", "embeddings"):
-            ray.data.read_parquet(f"{SF_DIR}/{t}.parquet").count()
+            _rp_clean(f"{SF_DIR}/{t}.parquet").count()
     if "bucketed_customer_revenue" in bench_queries:
         # untimed warm-up: builds the WRITE-ONCE bucketed layout (same
         # doctrine as the corpus cache — the layout is infrastructure
@@ -209,7 +211,12 @@ def run_bench() -> dict:
         _best2("docs_gopher_rules", lambda: gopher_rules(docs))
         # r4 retired-registry additions: bin-overlap interval join,
         # last-writer-wins compaction, shuffle-export layout
-        from file_analyzer_ray.queries import RETIRED_QUERIES as _RQ
+        # merged view: the r5 slot rotation moves entries between the
+        # live and retired registries without changing the USER surface
+        from file_analyzer_ray.queries import QUERIES as _LQ
+        from file_analyzer_ray.queries import RETIRED_QUERIES as _RQ0
+
+        _RQ = {**_RQ0, **_LQ}
 
         for _name in ("events_interval_join", "events_upsert_compact",
                       "docs_shuffle_export",

@@ -28,10 +28,34 @@ def _strip_schema_meta(t: "pa.Table") -> "pa.Table":
     return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
-def read_parquet_clean(*args, **kwargs) -> "ray.data.Dataset":
-    """``ray.data.read_parquet`` + fused zero-copy metadata strip —
-    the repo-wide read entry (see ``_strip_schema_meta``)."""
-    return ray.data.read_parquet(*args, **kwargs).map_batches(
+def read_parquet_clean(paths=None, *args, **kwargs) -> "ray.data.Dataset":
+    """``ray.data.read_parquet`` + schema-metadata strip — the
+    repo-wide read entry (see ``_strip_schema_meta``).
+
+    For a single-file path (the pandas-written driver tables, where the
+    b'pandas' blob lives) the strip happens AT THE SOURCE: the pruned
+    footer schema is passed ``remove_metadata()``-ed as the read
+    schema, so even the blocks Ray concatenates INSIDE the read task
+    (ReadParquet→SplitBlocks — upstream of any fused map) are clean.
+    The fused zero-copy strip stays as the catch-all for directory /
+    multi-file reads (our own writers emit metadata-free files)."""
+    if (
+        "schema" not in kwargs
+        and isinstance(paths, str)
+        and paths.endswith(".parquet")
+    ):
+        try:
+            import os
+
+            import pyarrow.parquet as pq
+
+            if os.path.isfile(paths):
+                full = pq.read_schema(paths).remove_metadata()
+                cols = kwargs.get("columns") or full.names
+                kwargs["schema"] = pa.schema([full.field(c) for c in cols])
+        except Exception:  # noqa: BLE001 — fall back to the fused strip
+            kwargs.pop("schema", None)
+    return ray.data.read_parquet(paths, *args, **kwargs).map_batches(
         _strip_schema_meta, batch_format="pyarrow", batch_size=None
     )
 
@@ -185,7 +209,15 @@ def _window_by_key(ds, keys: list[str], sort_cols: list[str], fn,
     assumption every per-key window makes); a pathological super-key
     should be salted into sub-windows first (stages/skew.py pattern)."""
     desc = descending or [False] * len(sort_cols)
-    s = ds.sort(sort_cols, descending=desc).materialize()
+    # pre-sort arrow-convert + metadata strip: a pandas-format upstream
+    # stage would otherwise convert at the SORT boundary via
+    # pa.Table.from_pandas, which re-attaches the b'pandas' schema blob
+    # and makes every reduce-side schema unify log "Failed to hash the
+    # schemas". The conversion happens here instead (fused, zero extra
+    # pass) and the strip is zero-copy.
+    s = ds.map_batches(
+        _strip_schema_meta, batch_format="pyarrow", batch_size=None
+    ).sort(sort_cols, descending=desc).materialize()
     asc = [not d for d in desc]
 
     def interior(df: pd.DataFrame) -> pd.DataFrame:
@@ -250,7 +282,15 @@ def _window_by_key_arrow(ds, keys: list[str], sort_cols: list[str], fn,
     import pyarrow as pa
 
     desc = descending or [False] * len(sort_cols)
-    s = ds.sort(sort_cols, descending=desc).materialize()
+    # pre-sort arrow-convert + metadata strip: a pandas-format upstream
+    # stage would otherwise convert at the SORT boundary via
+    # pa.Table.from_pandas, which re-attaches the b'pandas' schema blob
+    # and makes every reduce-side schema unify log "Failed to hash the
+    # schemas". The conversion happens here instead (fused, zero extra
+    # pass) and the strip is zero-copy.
+    s = ds.map_batches(
+        _strip_schema_meta, batch_format="pyarrow", batch_size=None
+    ).sort(sort_cols, descending=desc).materialize()
     order = [
         (c, "descending" if d else "ascending") for c, d in zip(sort_cols, desc)
     ]

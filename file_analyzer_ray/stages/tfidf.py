@@ -98,10 +98,15 @@ def tfidf_top_terms(
     # document frequency: tf already has one row per (doc, term) — df is
     # a per-term row count. Per-batch partial counts, then sort+run-scan
     # merge (term cardinality scales with the corpus; no per-key agg).
-    def df_partial(d: pd.DataFrame) -> pd.DataFrame:
-        return d.groupby("term", as_index=False).size().rename(columns={"size": "df"})
+    def df_partial(t: pa.Table) -> pa.Table:
+        # Arrow hash-count (C++ over the string buffers) — also keeps
+        # the block metadata-free: a pandas-format stage here would
+        # re-attach the b'pandas' schema blob at the pandas→arrow
+        # conversion and defeat the downstream sort's schema dedup
+        g = t.select(["term"]).group_by(["term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term", "df"])
 
-    part = tf.map_batches(df_partial, batch_format="pandas", batch_size=65536)
+    part = tf.map_batches(df_partial, batch_format="pyarrow", batch_size=65536)
 
     def df_merge(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -69,7 +69,11 @@ def read_bucket(dir_: str, bucket: int, columns=None) -> pa.Table:
     path = os.path.join(dir_, f"bucket={bucket}")
     if not os.path.isdir(path):
         return pa.table({})
-    return pds.dataset(path).to_table(columns=columns)
+    # metadata strip: a layout written from pandas-descended blocks
+    # embeds b'pandas' schema metadata, which makes pa.Schema unhashable
+    # and defeats Ray's schema dedup downstream (query_utils
+    # _strip_schema_meta doctrine)
+    return pds.dataset(path).to_table(columns=columns).replace_schema_metadata(None)
 
 
 def bucketed_join(
