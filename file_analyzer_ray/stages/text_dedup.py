@@ -804,7 +804,12 @@ def ngram_dedup_clusters(
     if assembly == "distributed":
         from ..query_utils import _window_by_key_arrow
 
-        labels = cc_min_label_propagation(pairs)
+        # star contraction (r5): O(log) rounds vs min-label's rounds
+        # ∝ component diameter — near-dup clusters are usually dense,
+        # but a CHAIN of near-dups (doc A ~ B ~ C ... with A !~ C) is
+        # exactly the high-diameter case; identical labels
+        # (equality-pinned in test_star_cc)
+        labels = cc_star_contraction(pairs)
 
         def clusters_fn(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
